@@ -1,0 +1,169 @@
+"""The positional spine: ordered series as DataFrames.
+
+The reference models every column as an ordered sequence where *element
+position* is a first-class concept (imcs_iterator_t first_pos/next_pos/
+last_pos, reference imcs.h:324-344; counted B-Tree giving O(log n)
+access by position, btree.h:20-38). In Spark we materialize position as
+an explicit ``pos`` column:
+
+- per-series (an id column partitions the table into many series):
+  ``row_number() over (partition by id order by ts) - 1`` — fully
+  parallel, no global shuffle bottleneck; this is the common case at
+  100 TB (millions of independent series).
+- global (one giant series): a two-pass partition-offset scheme — range
+  partition by the order key, count rows per partition (tiny agg),
+  broadcast cumulative offsets, and add them to the partition-local
+  index carried by ``monotonically_increasing_id``. All JVM-side; no
+  single-partition window, so it scales to arbitrarily long series.
+
+Convention used by every operator in this package: a *series frame* is a
+DataFrame carrying ``pos`` (long, 0-based, dense per series) plus value
+columns, optionally an id column. Operators return frames logically
+ordered by (id, pos) and never rely on physical row order.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+POS = "pos"
+VAL = "val"
+
+# monotonically_increasing_id() = (partition_id << 33) | partition-local index
+_MID_LOCAL_MASK = (1 << 33) - 1
+
+
+def with_pos(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+) -> DataFrame:
+    """Materialize a dense 0-based position per series.
+
+    Equivalent of the reference's implicit element numbering
+    (btree.c:146-254 positional access). With ``partition_by`` this is a
+    per-series window — embarrassingly parallel. Without it, prefer
+    :func:`zip_with_global_pos` for long series; this fallback uses a
+    single-partition window (fine for bounded slices, e.g. after a
+    time-range ``get``).
+    """
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    else:
+        w = Window.orderBy(*order_by)
+    return df.withColumn(pos_col, F.row_number().over(w) - F.lit(1).cast("long"))
+
+
+def zip_with_global_pos(
+    df: DataFrame,
+    order_by: Sequence[str],
+    pos_col: str = POS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scalable global position: range-partition + broadcast offsets.
+
+    Two Spark jobs, zero single-partition stages:
+      1. range-partition and sort by the order key, count rows per
+         physical partition (a tiny aggregate);
+      2. broadcast the cumulative offsets and add the partition-local
+         index from ``monotonically_increasing_id``.
+    """
+    spark = df.sparkSession
+    if num_partitions:
+        part = df.repartitionByRange(num_partitions, *order_by)
+    else:
+        part = df.repartitionByRange(*order_by)
+    part = part.sortWithinPartitions(*order_by)
+    mid = part.withColumn("_mid", F.monotonically_increasing_id())
+    mid = mid.withColumn("_pid", F.shiftright("_mid", 33))
+    counts = (
+        mid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
+    )
+    offsets = {}
+    running = 0
+    for row in counts:
+        offsets[row["_pid"]] = running
+        running += row["_cnt"]
+    offset_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid long, _offset long"
+    )
+    out = (
+        mid.join(F.broadcast(offset_df), "_pid")
+        .withColumn(pos_col, (F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)) + F.col("_offset")))
+        .drop("_mid", "_pid", "_offset")
+    )
+    return out
+
+
+def seq(
+    spark: SparkSession,
+    values: Iterable,
+    elem_type: str = "double",
+    val_col: str = VAL,
+) -> DataFrame:
+    """Literal series — the analog of cs_parse('int4:{1,2,3}')
+    (reference imcs.c:2433-2478, func.c:413-593). Returns (pos, val)."""
+    rows = [(i, v) for i, v in enumerate(values)]
+    return spark.createDataFrame(rows, f"{POS} long, {val_col} {elem_type}")
+
+
+def const_series(spark: SparkSession, value, n: int, elem_type: str = "double") -> DataFrame:
+    """cs_const analog (reference imcs.c:2479-2573): constant series.
+
+    The reference's version is an *infinite* iterator broadcast against
+    the driving sequence; in DataFrame algebra a constant is just
+    ``F.lit`` — this explicit form exists for API parity and tests.
+    """
+    return spark.range(n).select(
+        F.col("id").alias(POS), F.lit(value).cast(elem_type).alias(VAL)
+    )
+
+
+def run_id(
+    df: DataFrame,
+    group_col: str | Column,
+    order_by: Sequence[str] = (POS,),
+    partition_by: Sequence[str] | None = None,
+    out_col: str = "run_id",
+) -> DataFrame:
+    """Identify *consecutive runs* of equal values — the group notion of
+    cs_group_* / cs_win_group_* aggregates (reference func.c:1898-1984;
+    user guide "group aggregates": groups are runs, not global keys).
+
+    run_id = cumulative count of value-changes along the series. One
+    window chain per series partition; with ``partition_by`` set this is
+    fully parallel across series.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    else:
+        w = Window.orderBy(*order_by)
+    change = F.when(g.eqNullSafe(F.lag(g).over(w)), F.lit(0)).otherwise(F.lit(1))
+    return df.withColumn(out_col, F.sum(change).over(w) - F.lit(1))
+
+
+def count_series(df: DataFrame, partition_by: Sequence[str] | None = None) -> DataFrame | int:
+    """Element count per series (TABLE_count, reference btree.c:349-383)."""
+    if partition_by:
+        return df.groupBy(*partition_by).agg(F.count(F.lit(1)).alias("count"))
+    return df.count()
+
+
+def resolve_pos(df: DataFrame, pos, pos_col: str = POS) -> Column:
+    """Resolve a possibly-negative position against the series length,
+    mirroring the reference's negative-index convention in cs_limit /
+    TABLE_span (imcs.c:3154-3175: negatives count from the end).
+
+    Returns a Column usable in filters; requires a window-free total
+    count, so we inject it as a scalar subquery-style crossJoin — callers
+    on the hot path should pass non-negative positions.
+    """
+    if pos >= 0:
+        return F.lit(pos)
+    total = df.count()
+    return F.lit(total + pos)

@@ -1,0 +1,52 @@
+"""SparkSession construction with engine defaults.
+
+The reference engine (knizhnik/imcs) gets its performance from columnar
+storage + tile-vectorized execution + an intra-query thread pool
+(reference: imcs.c:2005-2035, threadpool.c). On Spark all three are
+native (Parquet + whole-stage codegen + partitioned execution); the one
+thing we must do is configure the session sanely:
+
+- AQE on (runtime re-planning, skew-join handling, partition coalescing)
+- shuffle partitions sized to the cluster (env-overridable)
+- UTC session timezone so results compare bit-for-bit with the DuckDB
+  oracle (DuckDB timestamps are UTC-naive)
+- Arrow enabled for the few pandas-UDF operators (recurrences)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "imcs-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    In a real deployment the master/memory come from spark-submit; only
+    SQL-level settings are pinned here so they survive cluster mode.
+    """
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type — read as long and convert at load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cpus}]").config("spark.driver.memory", "8g")
+    return builder.getOrCreate()

@@ -1,0 +1,217 @@
+"""Table layer: the cs_create / TABLE_* generated-API surface.
+
+Reference: cs_create codegen imcs--1.1.sql:33-430 generates per-table
+functions (load/get/span/first/last/count/delete/append/join/project).
+Here `Engine.create(...)` returns a `TsTable` handle exposing the same
+verbs as methods — no codegen needed, Python objects close over the
+schema.
+
+Storage model (SURVEY §1.4): a timeseries table is a Parquet-backed
+DataFrame sorted by (id, ts). At scale the Parquet layout should be
+partitioned/bucketed so that:
+- time-range `get` prunes row groups via min/max stats on ts
+  (the analog of the reference's B-Tree descent, btree.c:479-590);
+- per-id operators run without a shuffle (id is the partition key).
+
+Mutation (append with ascending-ts enforcement, range delete,
+truncate — reference btree.c:384-478, 747-905) is implemented as
+versioned rewrites: Parquet is immutable, so appends write new files
+into the table directory and deletes rewrite the anti-filter. This
+mirrors the reference's MURSIW single-writer model (imcs.c:893-904).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .series import with_pos
+
+
+class OutOfOrderAppendError(ValueError):
+    """Reference errors on appends with non-ascending timestamps
+    (imcs.c:4299-4306) unless nulls/ordering relaxed."""
+
+
+class TsTable:
+    """Handle over one registered timeseries table."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        df: DataFrame,
+        ts_col: str,
+        id_col: str | None = None,
+        path: str | None = None,
+    ):
+        self.spark = spark
+        self.name = name
+        self._df = df
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.path = path
+
+    # --- read surface -------------------------------------------------
+    def df(self) -> DataFrame:
+        return self._df
+
+    def get(self, id_value=None, low=None, high=None, limit: int | None = None) -> DataFrame:
+        """TABLE_get: time-slice [low, high], optionally one series.
+        Reference: generated imcs--1.1.sql:262-283 → B-Tree range search
+        imcs.c:2197-2233. In Spark the filter reaches the Parquet scan
+        (PushedFilters), which prunes row groups by ts min/max — same
+        O(touched data) behavior without an explicit index."""
+        out = self._df
+        if id_value is not None and self.id_col:
+            out = out.filter(F.col(self.id_col) == id_value)
+        if low is not None:
+            out = out.filter(F.col(self.ts_col) >= low)
+        if high is not None:
+            out = out.filter(F.col(self.ts_col) <= high)
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def with_pos(self, df: DataFrame | None = None) -> DataFrame:
+        """Attach the positional spine (per-id when id_col exists)."""
+        src = df if df is not None else self._df
+        parts = [self.id_col] if self.id_col else None
+        return with_pos(src, [self.ts_col], parts)
+
+    def span(self, id_value=None, from_pos: int = 0, till_pos: int | None = None) -> DataFrame:
+        """TABLE_span: positional slice; negatives count from the end
+        (reference imcs.c:2179-2194, btree.c:201-254)."""
+        src = self.get(id_value)
+        n = None
+        if from_pos < 0 or (till_pos is not None and till_pos < 0):
+            n = src.count()
+        lo = from_pos if from_pos >= 0 else n + from_pos
+        hi = till_pos if till_pos is None or till_pos >= 0 else n + till_pos
+        posed = self.with_pos(src)
+        out = posed.filter(F.col("pos") >= lo)
+        if hi is not None:
+            out = out.filter(F.col("pos") <= hi)
+        return out
+
+    def concat(self, ids: Sequence, low=None, high=None) -> DataFrame:
+        """TABLE_concat (imcs--1.1.sql:246-259): slices of several ids
+        in the id-sequence order given, then ts order."""
+        sliced = self.get(None, low, high).filter(F.col(self.id_col).isin(list(ids)))
+        order_map = self.spark.createDataFrame(
+            [(v, i) for i, v in enumerate(ids)], f"{self.id_col} string, _id_order int"
+        )
+        return (
+            sliced.join(F.broadcast(order_map), self.id_col)
+            .orderBy("_id_order", self.ts_col)
+            .drop("_id_order")
+        )
+
+    def first(self, id_value=None) -> DataFrame:
+        """TABLE_first: min timestamp (btree.c:349-383)."""
+        return self.get(id_value).agg(F.min(self.ts_col).alias("first"))
+
+    def last(self, id_value=None) -> DataFrame:
+        return self.get(id_value).agg(F.max(self.ts_col).alias("last"))
+
+    def count(self, id_value=None) -> int:
+        return self.get(id_value).count()
+
+    def project(self, columns: Sequence[str], positions: DataFrame | None = None) -> DataFrame:
+        """cs_project (imcs.c:3679-3923): vertical→horizontal. A
+        DataFrame is already horizontal, so this is a select; with a
+        positions frame it's a broadcast semi-join on pos."""
+        posed = self.with_pos()
+        cols = ["pos"] + ([self.id_col] if self.id_col else []) + list(columns)
+        out = posed.select(*cols)
+        if positions is not None:
+            out = out.join(F.broadcast(positions.select("pos")), "pos", "left_semi")
+        return out.orderBy(*(([self.id_col] if self.id_col else []) + ["pos"]))
+
+    # --- mutation surface --------------------------------------------
+    def append(self, new_df: DataFrame, already_sorted: bool = False, strict_order: bool = True) -> "TsTable":
+        """Ordered append. The reference rejects timestamps below the
+        current maximum per series (imcs.c:4299-4300); we enforce the
+        same check with one tiny aggregate + broadcast join, then union.
+        """
+        if strict_order:
+            if self.id_col:
+                cur_max = self._df.groupBy(self.id_col).agg(F.max(self.ts_col).alias("_maxts"))
+                bad = (
+                    new_df.join(F.broadcast(cur_max), self.id_col, "left")
+                    .filter(F.col(self.ts_col) < F.col("_maxts"))
+                    .limit(1)
+                    .count()
+                )
+            else:
+                row = self._df.agg(F.max(self.ts_col).alias("m")).collect()[0]
+                bad = 0
+                if row["m"] is not None:
+                    bad = new_df.filter(F.col(self.ts_col) < F.lit(row["m"])).limit(1).count()
+            if bad:
+                raise OutOfOrderAppendError(
+                    f"append to {self.name}: timestamps below current maximum"
+                )
+        merged = self._df.unionByName(new_df)
+        return TsTable(self.spark, self.name, merged, self.ts_col, self.id_col, self.path)
+
+    def delete(self, id_value=None, from_ts=None, till_ts=None) -> "TsTable":
+        """TABLE_delete: range delete / head-trim as an anti-filter
+        rewrite (reference btree.c:747-905 does page surgery; on
+        immutable Parquet a filtered rewrite is the equivalent)."""
+        cond = F.lit(True)
+        if id_value is not None and self.id_col:
+            cond = cond & (F.col(self.id_col) == id_value)
+        if from_ts is not None:
+            cond = cond & (F.col(self.ts_col) >= from_ts)
+        if till_ts is not None:
+            cond = cond & (F.col(self.ts_col) <= till_ts)
+        kept = self._df.filter(~cond)
+        return TsTable(self.spark, self.name, kept, self.ts_col, self.id_col, self.path)
+
+    def truncate(self) -> "TsTable":
+        return TsTable(
+            self.spark, self.name, self._df.limit(0), self.ts_col, self.id_col, self.path
+        )
+
+
+class Engine:
+    """Facade: the cs_create catalog (reference shared-memory hash
+    imcs.c:879-908 keyed by table-column strings; here a dict of
+    TsTable handles)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, TsTable] = {}
+
+    def create(
+        self,
+        name: str,
+        source: str | DataFrame,
+        ts_col: str,
+        id_col: str | None = None,
+    ) -> TsTable:
+        if isinstance(source, DataFrame):
+            df = source
+            path = None
+        else:
+            path = source
+            df = self.spark.read.parquet(source)
+        t = TsTable(self.spark, name, df, ts_col, id_col, path)
+        self.tables[name] = t
+        return t
+
+    def load_dir(self, sf_dir: str, specs: dict[str, tuple[str, str | None]]) -> None:
+        """Bulk-register tables from a directory of parquet files.
+        specs: {table_name: (ts_col, id_col)}."""
+        for name, (ts, idc) in specs.items():
+            self.create(name, os.path.join(sf_dir, f"{name}.parquet"), ts, idc)
+
+    def drop(self, name: str) -> None:
+        self.tables.pop(name, None)
+
+    def is_loaded(self, name: str) -> bool:
+        return name in self.tables

@@ -1,0 +1,109 @@
+"""Core layer: session, positional spine, table surface, grand aggs."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from imcs_spark import Engine, OutOfOrderAppendError, seq, with_pos, zip_with_global_pos
+from imcs_spark.functions import aggregates as agg
+
+from conftest import assert_seq
+
+
+QUOTE_ROWS = [
+    ("IBM", datetime.date(2013, 11, 1), 10.2, 11.0, 10.0, 10.5, 100),
+    ("IBM", datetime.date(2013, 11, 2), 20.2, 20.2, 20.2, 20.2, 200),
+    ("IBM", datetime.date(2013, 11, 4), 30.5, 31.0, 30.0, 30.2, 300),
+    ("IBM", datetime.date(2013, 11, 5), 40.5, 41.0, 40.0, 40.2, 400),
+    ("IBM", datetime.date(2013, 11, 6), 50.2, 51.0, 50.0, 50.5, 500),
+    ("ABB", datetime.date(2013, 11, 3), 60.5, 61.0, 70.0, 60.2, 600),
+    ("ABB", datetime.date(2013, 11, 6), 70.2, 71.0, 70.0, 70.5, 700),
+]
+QUOTE_SCHEMA = "symbol string, day date, open double, high double, low double, close double, volume int"
+
+
+@pytest.fixture(scope="module")
+def quote(spark):
+    eng = Engine(spark)
+    return eng.create("quote", spark.createDataFrame(QUOTE_ROWS, QUOTE_SCHEMA), "day", "symbol")
+
+
+def test_seq_literal(spark):
+    s = seq(spark, [1, 2, 3], "int")
+    assert_seq(s, [1, 2, 3])
+
+
+def test_with_pos_per_series(quote):
+    posed = quote.with_pos()
+    got = {
+        (r["symbol"], r["pos"]): r["volume"]
+        for r in posed.select("symbol", "pos", "volume").collect()
+    }
+    assert got[("IBM", 0)] == 100 and got[("IBM", 4)] == 500
+    assert got[("ABB", 0)] == 600 and got[("ABB", 1)] == 700
+
+
+def test_global_pos_scalable(spark):
+    df = spark.range(0, 1000).select((F.lit(999) - F.col("id")).alias("v"))
+    out = zip_with_global_pos(df, ["v"], num_partitions=7)
+    rows = out.orderBy("pos").select("v").collect()
+    assert [r["v"] for r in rows[:3]] == [0, 1, 2]
+    assert rows[-1]["v"] == 999
+    assert out.count() == 1000
+
+
+def test_table_get_span_first_last_count(quote):
+    assert quote.count("IBM") == 5
+    sliced = quote.get("IBM", datetime.date(2013, 11, 2), datetime.date(2013, 11, 5))
+    assert sliced.count() == 3
+    assert quote.first("IBM").collect()[0]["first"] == datetime.date(2013, 11, 1)
+    assert quote.last("ABB").collect()[0]["last"] == datetime.date(2013, 11, 6)
+    sp = quote.span("IBM", 1, 3)
+    assert [r["volume"] for r in sp.orderBy("pos").collect()] == [200, 300, 400]
+    sp_neg = quote.span("IBM", -2)
+    assert [r["volume"] for r in sp_neg.orderBy("pos").collect()] == [400, 500]
+
+
+def test_grand_aggs_vwap(quote):
+    ibm = quote.get("IBM")
+    row = ibm.agg(
+        agg.wavg("volume", "close").alias("vwap"),
+        agg.sum("volume").alias("s"),
+        agg.var("close").alias("v"),
+        agg.prd(F.col("volume") / 100).alias("p"),
+    ).collect()[0]
+    closes = [10.5, 20.2, 30.2, 40.2, 50.5]
+    vols = [100, 200, 300, 400, 500]
+    assert row["vwap"] == pytest.approx(
+        sum(c * v for c, v in zip(closes, vols)) / sum(vols)
+    )
+    assert row["s"] == 1500
+    mean = sum(closes) / 5
+    assert row["v"] == pytest.approx(sum((c - mean) ** 2 for c in closes) / 5)
+    assert row["p"] == pytest.approx(1 * 2 * 3 * 4 * 5)
+
+
+def test_append_ordering(quote, spark):
+    ok = spark.createDataFrame(
+        [("IBM", datetime.date(2013, 11, 7), 1.0, 1.0, 1.0, 1.0, 1)], QUOTE_SCHEMA
+    )
+    t2 = quote.append(ok)
+    assert t2.count("IBM") == 6
+    bad = spark.createDataFrame(
+        [("IBM", datetime.date(2013, 10, 1), 1.0, 1.0, 1.0, 1.0, 1)], QUOTE_SCHEMA
+    )
+    with pytest.raises(OutOfOrderAppendError):
+        quote.append(bad)
+
+
+def test_delete_range(quote):
+    t2 = quote.delete("IBM", till_ts=datetime.date(2013, 11, 2))
+    assert t2.count("IBM") == 3
+    assert t2.count("ABB") == 2
+
+
+def test_project_positions(quote, spark):
+    positions = seq(spark, [0, 2], "long").select(F.col("val").alias("pos"))
+    out = quote.project(["close"], positions).filter(F.col("symbol") == "IBM")
+    assert [r["close"] for r in out.collect()] == [10.5, 30.2]
