@@ -1,0 +1,176 @@
+"""Grouped aggregation families: run-based, windowed-run, grid, hash,
+dup-count, histogram — SURVEY §2.5.
+
+Reference:
+- cs_group_*     IMCS_GROUP_AGG_DEF func.c:1898-2169 — groups are
+  *consecutive runs* of equal group-by values, not global keys.
+- cs_win_group_* IMCS_WIN_GROUP_AGG_DEF func.c:6594-6784 — same runs,
+  aggregate repeated back onto every element of its run.
+- cs_grid_*      IMCS_GRID_AGG_DEF func.c:2170-2267 — fixed-size
+  positional buckets (tumbling count windows).
+- cs_hash_*      IMCS_HASH_AGG_DEF func.c:5113-5459 — true GROUP BY
+  via chained hash table, parallel partial tables + merge.
+- cs_hash_dup_count func.c:5750-6216 — per group, number of distinct
+  input values occurring ≥ min_occurrences.
+- cs_histogram   func.c:4071-4151 — fixed-range bucket counts.
+
+Spark: run-ids come from the shared sessionization helper
+(series.run_id — one window chain); everything else is groupBy, which
+Catalyst executes as partial/final hash aggregation — the exact model
+the reference hand-built with per-thread hash tables (imcs.c:1874).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..series import POS, VAL, run_id
+
+_AGGS = {
+    "count": F.count,
+    "sum": F.sum,
+    "avg": F.avg,
+    "max": F.max,
+    "min": F.min,
+    "var": F.var_pop,
+    "dev": F.stddev_pop,
+    "first": F.first,
+    "last": F.last,
+    "all": F.bit_and,
+    "any": F.bit_or,
+    "approxdc": F.approx_count_distinct,
+}
+
+
+def group_agg(
+    df: DataFrame,
+    agg: str,
+    group_col: str,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """cs_group_<agg>(value, group_by): one row per *run* of equal
+    group_by values, in run order. Output: (pos=run index, group_val,
+    <agg>)."""
+    out_name = out_col or f"group_{agg}"
+    rid = run_id(df, group_col, (POS,), partition_by)
+    keys = ([*partition_by] if partition_by else []) + ["run_id"]
+    fn = _AGGS[agg]
+    target = F.col(val_col) if agg != "count" else F.lit(1)
+    agged = rid.groupBy(*keys).agg(
+        F.first(group_col).alias(group_col), fn(target).alias(out_name)
+    )
+    return agged.withColumnRenamed("run_id", POS)
+
+
+def win_group_agg(
+    df: DataFrame,
+    agg: str,
+    group_col: str,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """cs_win_group_<agg>: run-aggregate repeated onto each element of
+    its run (unbounded window per run)."""
+    out_name = out_col or f"win_group_{agg}"
+    rid = run_id(df, group_col, (POS,), partition_by)
+    parts = ([*partition_by] if partition_by else []) + ["run_id"]
+    w = Window.partitionBy(*parts)
+    fn = _AGGS[agg]
+    target = F.col(val_col) if agg != "count" else F.lit(1)
+    return rid.withColumn(out_name, fn(target).over(w)).drop("run_id")
+
+
+def grid_agg(
+    df: DataFrame,
+    agg: str,
+    interval: int,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """cs_grid_<agg>(value, interval): tumbling positional buckets of
+    `interval` elements; output pos = bucket index."""
+    out_name = out_col or f"grid_{agg}"
+    bucket = F.floor(F.col(POS) / interval).cast("long")
+    keys = ([*partition_by] if partition_by else [])
+    fn = _AGGS[agg]
+    target = F.col(val_col) if agg != "count" else F.lit(1)
+    return (
+        df.withColumn("_bucket", bucket)
+        .groupBy(*keys, "_bucket")
+        .agg(fn(target).alias(out_name))
+        .withColumnRenamed("_bucket", POS)
+    )
+
+
+def hash_agg(
+    df: DataFrame,
+    aggs: dict[str, tuple[str, str]],
+    group_by: Sequence[str],
+) -> DataFrame:
+    """cs_hash_* — true GROUP BY. aggs: {out_col: (agg_name, val_col)}.
+    Compound keys are just multiple columns (the reference packs them
+    into byte-concat keys, cs_cat, and unpacks with cs_cut — both
+    unnecessary here, SURVEY §2.5)."""
+    exprs = []
+    for out_col, (agg, val_col) in aggs.items():
+        fn = _AGGS[agg]
+        target = F.lit(1) if agg == "count" else F.col(val_col)
+        exprs.append(fn(target).alias(out_col))
+    return df.groupBy(*group_by).agg(*exprs)
+
+
+def hash_dup_count(
+    df: DataFrame,
+    val_col: str,
+    group_by: Sequence[str],
+    min_occurrences: int = 1,
+    out_col: str = "dup_count",
+) -> DataFrame:
+    """cs_hash_dup_count (func.c:5750-6216): per group, the number of
+    distinct values occurring at least min_occurrences times. Two-level
+    aggregation — both levels partial/final parallel."""
+    lvl1 = df.groupBy(*group_by, val_col).agg(F.count(F.lit(1)).alias("_occ"))
+    return (
+        lvl1.filter(F.col("_occ") >= min_occurrences)
+        .groupBy(*group_by)
+        .agg(F.count(F.lit(1)).alias(out_col))
+    )
+
+
+def histogram(
+    df: DataFrame,
+    low: float,
+    high: float,
+    n_intervals: int,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_histogram (func.c:4071-4151): counts per fixed-width bucket
+    over [low, high); values outside the range are ignored (reference
+    skips them). Output: (pos=bucket, count) with empty buckets as 0."""
+    width = (high - low) / n_intervals
+    keys = [*partition_by] if partition_by else []
+    bucket = F.floor((F.col(val_col) - low) / width).cast("long")
+    counts = (
+        df.filter((F.col(val_col) >= low) & (F.col(val_col) < high))
+        .withColumn("_bucket", bucket)
+        .groupBy(*keys, "_bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    # densify: emit all buckets, 0 for empty (reference emits the full grid)
+    spark = df.sparkSession
+    grid = spark.range(n_intervals).select(F.col("id").alias("_bucket"))
+    if keys:
+        key_rows = df.select(*keys).distinct()
+        grid = key_rows.crossJoin(F.broadcast(grid))
+    out = grid.join(counts, on=keys + ["_bucket"], how="left").withColumn(
+        "count", F.coalesce(F.col("count"), F.lit(0))
+    )
+    return out.withColumnRenamed("_bucket", POS)

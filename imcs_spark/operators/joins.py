@@ -1,0 +1,306 @@
+"""Ordered-sequence joins: equi (merge), as-of (nearest), directional,
+stretch / gap-fill — SURVEY §2.4.
+
+Reference: cs_join_pos/cs_join func.c:4677-4799 (merge equi-join of two
+sorted sequences, emitting matched positions/values); cs_asof_join(_pos)
+func.c:4499-4676 — for each left timestamp pick the *nearest* right
+element, ties to the earlier (≤) one; TABLE_join / imcs_join_unsorted
+func.c:6494-6553 with direction -1/0/+1 = preceding/exact/succeeding;
+cs_stretch func.c:4308-4392; cs_stretch0 func.c:4393-4498; cs_union
+func.c:3857-3937.
+
+Spark-first execution — the union+window pattern:
+tag both sides, union, one window pass ordered by (ts, side) per
+by-group fills the prev/next right-hand value onto every left row.
+This is a single shuffle on the by-keys (or a range shuffle when
+global), scales linearly, and never collects a side to the driver —
+versus pd.merge_asof which needs co-partitioned pandas groups.
+With by-keys (the common multi-series case) every window is
+per-series and fully parallel.
+
+Exactness note: cs_stretch's iterator advances its right cursor at most
+once per left element (func.c:4332-4352, a lockstep quirk observable
+only when the right series ticks more than once between two left
+elements); we implement the declarative form — value of the first right
+timestamp strictly greater than t, filler when none — which matches the
+reference on its documented use (right ⊆ left timeline, e.g. split
+adjustment) and all its published examples.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..series import POS, VAL
+from .positional import renumber
+
+
+def join_pos(
+    left: DataFrame,
+    right: DataFrame,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_join_pos (op `<->`): positions in sorted right whose value
+    equals some element of sorted left. Sort-merge/broadcast semi-join;
+    Catalyst picks the strategy."""
+    keys = [*partition_by] if partition_by else []
+    probe = left.select(*keys, val_col).distinct()
+    matched = right.join(probe, on=keys + [val_col], how="left_semi")
+    out = matched.select(*keys, F.col(POS).cast("long").alias(VAL))
+    return renumber(out, keys or None, order_by=(VAL,))
+
+
+def join_values(
+    left: DataFrame,
+    right: DataFrame,
+    values: DataFrame,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_join: values from `values` at the positions where right
+    matches left (values is aligned to right by pos)."""
+    keys = [*partition_by] if partition_by else []
+    pos_frame = join_pos(left, right, val_col, partition_by)
+    vals = values.select(*keys, POS, F.col(val_col).alias("_v"))
+    out = pos_frame.join(
+        vals.withColumnRenamed(POS, VAL), on=keys + [VAL], how="inner"
+    )
+    return out.select(*keys, POS, F.col("_v").alias(val_col))
+
+
+def _tagged_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    right_payload: list[str],
+    by: Sequence[str] | None,
+    left_keep: list[str],
+    equal_goes_to_right_first: bool,
+):
+    """Union both sides with a side marker; right rows sort before left
+    rows at equal timestamps when equal_goes_to_right_first (so
+    'backward' includes equality)."""
+    keys = [*by] if by else []
+    lmark, rmark = (1, 0) if equal_goes_to_right_first else (0, 1)
+    l = left.select(
+        *keys,
+        F.col(on).alias("_ts"),
+        F.lit(lmark).alias("_side"),
+        *[F.col(c) for c in left_keep],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload],
+    )
+    r = right.select(
+        *keys,
+        F.col(on).alias("_ts"),
+        F.lit(rmark).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_keep],
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+    )
+    return l.unionByName(r), keys, lmark
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
+    direction: str = "nearest",
+    strict: bool = False,
+    filler=None,
+) -> DataFrame:
+    """As-of join via union + one window pass.
+
+    direction:
+      'backward' — last right row with ts ≤ left ts (< if strict)
+      'forward'  — first right row with ts ≥ left ts (> if strict)
+      'nearest'  — closest of the two; ties to backward
+                   (reference cs_asof_join rule, func.c:4549-4551:
+                   pick prev when x-prev ≤ next-x)
+    Right columns arrive suffixed only on collision. `filler` replaces
+    nulls where no match exists (used by stretch).
+    """
+    payload = list(right_cols) if right_cols else [c for c in right.columns if c != on and not (by and c in by)]
+    u, keys, lmark = _tagged_union(
+        left, right, on, payload, by,
+        [c for c in left.columns if c != on and not (by and c in by)],
+        equal_goes_to_right_first=not (direction == "backward" and strict)
+        and not (direction == "forward" and not strict),
+    )
+    # ordering: for backward-inclusive and forward-strict, right rows sort
+    # first at equal ts; for backward-strict and forward-inclusive, left first.
+    if keys:
+        w = Window.partitionBy(*keys).orderBy("_ts", "_side")
+    else:
+        w = Window.orderBy("_ts", "_side")
+    wback = w.rowsBetween(Window.unboundedPreceding, 0)
+    wfwd = w.rowsBetween(0, Window.unboundedFollowing)
+
+    out = u
+    bcols, fcols = {}, {}
+    for c in payload:
+        rc = F.col(f"_r_{c}")
+        bcols[c] = F.last(rc, ignorenulls=True).over(wback)
+        fcols[c] = F.first(rc, ignorenulls=True).over(wfwd)
+    bts = F.last(F.when(F.col("_side") != lmark, F.col("_ts")), ignorenulls=True).over(wback)
+    fts = F.first(F.when(F.col("_side") != lmark, F.col("_ts")), ignorenulls=True).over(wfwd)
+
+    if direction == "backward":
+        chosen = {c: bcols[c] for c in payload}
+    elif direction == "forward":
+        chosen = {c: fcols[c] for c in payload}
+    else:  # nearest: prev if x - prev_ts <= next_ts - x, else next
+        out = out.withColumn("_bts", bts).withColumn("_fts", fts)
+        prefer_back = (
+            F.col("_fts").isNull()
+            | (
+                F.col("_bts").isNotNull()
+                & (
+                    (F.col("_ts").cast("double") - F.col("_bts").cast("double"))
+                    <= (F.col("_fts").cast("double") - F.col("_ts").cast("double"))
+                )
+            )
+        )
+        chosen = {
+            c: F.when(prefer_back, bcols[c]).otherwise(fcols[c]) for c in payload
+        }
+    for c in payload:
+        val = chosen[c]
+        if filler is not None:
+            val = F.coalesce(val, F.lit(filler))
+        name = c if c not in left.columns else f"{c}_right"
+        out = out.withColumn(name, val)
+    out = out.filter(F.col("_side") == lmark)
+    drop = ["_side"] + [f"_r_{c}" for c in payload] + (["_bts", "_fts"] if direction == "nearest" else [])
+    return out.withColumnRenamed("_ts", on).drop(*drop)
+
+
+def asof_join_pos(
+    left: DataFrame,
+    right: DataFrame,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_asof_join_pos (op `->`): position in right of the nearest
+    element for each left value; ties to the earlier one. Output pos
+    follows left's order."""
+    keys = [*partition_by] if partition_by else []
+    r = right.select(*keys, F.col(val_col), F.col(POS).alias("rpos"))
+    l = left.select(*keys, POS, val_col)
+    joined = asof_join(
+        l, r, on=val_col, by=keys or None, right_cols=["rpos"], direction="nearest"
+    )
+    return joined.select(*keys, POS, F.col("rpos").cast("long").alias(VAL))
+
+
+def asof_join_values(
+    left: DataFrame,
+    right: DataFrame,
+    values: DataFrame,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_asof_join: values (aligned to right by pos) at the nearest
+    match."""
+    keys = [*partition_by] if partition_by else []
+    pos_frame = asof_join_pos(left, right, val_col, partition_by)
+    vals = values.select(*keys, F.col(POS).alias(VAL), F.col(val_col).alias("_v"))
+    out = pos_frame.join(vals, on=keys + [VAL], how="inner")
+    return out.select(*keys, POS, F.col("_v").alias(val_col))
+
+
+def table_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    direction: int = 0,
+    by: Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """TABLE_join (imcs--1.1.sql:334-347, func.c:6494-6553): join an
+    unsorted probe against the stored sorted timestamp column;
+    direction -1/0/+1 = preceding (last ≤) / exact / succeeding
+    (first ≥). The reference does one B-Tree descent per probe row;
+    Spark plans exact as an equi-join and ±1 as the as-of window."""
+    if direction == 0:
+        sel = right if right_cols is None else right.select(
+            *([*by] if by else []), on, *right_cols
+        )
+        return left.join(sel, on=([*by] if by else []) + [on], how="inner")
+    d = "backward" if direction < 0 else "forward"
+    return asof_join(left, right, on=on, by=by, right_cols=right_cols, direction=d)
+
+
+def stretch(
+    ts1: DataFrame,
+    ts2: DataFrame,
+    values: DataFrame,
+    filler,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_stretch: map each left timestamp to the value attached to the
+    first right timestamp strictly greater than it; filler past the
+    end. (Split-adjustment gap fill — see module docstring for the
+    lockstep caveat.)"""
+    keys = [*partition_by] if partition_by else []
+    r = ts2.select(*keys, F.col(val_col).alias("_ts2"), POS).join(
+        values.select(*keys, POS, F.col(val_col).alias("_sval")), on=keys + [POS]
+    ).drop(POS)
+    l = ts1.select(*keys, POS, F.col(val_col))
+    out = asof_join(
+        l,
+        r.withColumnRenamed("_ts2", val_col),
+        on=val_col,
+        by=keys or None,
+        right_cols=["_sval"],
+        direction="forward",
+        strict=True,
+    )
+    return out.select(
+        *keys, POS, F.coalesce(F.col("_sval"), F.lit(filler)).alias(val_col)
+    )
+
+
+def stretch0(
+    ts1: DataFrame,
+    ts2: DataFrame,
+    values: DataFrame,
+    filler,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_stretch0 (func.c:4393-4498): full ordered merge of the two
+    timelines — right-side timestamps emit their value (consuming a
+    matching left timestamp if equal), unmatched left timestamps emit
+    filler. Result ordered by timestamp, right-before-left on ties...
+    i.e. a full outer join on the timestamp with filler for left-only
+    rows."""
+    keys = [*partition_by] if partition_by else []
+    r = (
+        ts2.select(*keys, F.col(val_col).alias("_ts"), POS)
+        .join(values.select(*keys, POS, F.col(val_col).alias("_sval")), on=keys + [POS])
+        .drop(POS)
+    )
+    l = ts1.select(*keys, F.col(val_col).alias("_ts"))
+    merged = l.join(r, on=keys + ["_ts"], how="full_outer")
+    out = merged.select(
+        *keys,
+        F.col("_ts").alias("_order_ts"),
+        F.coalesce(F.col("_sval"), F.lit(filler)).alias(val_col),
+    )
+    return renumber(out, keys or None, order_by=("_order_ts",)).drop("_order_ts")
+
+
+def union_merge(
+    a: DataFrame, b: DataFrame, val_col: str = VAL, partition_by: Sequence[str] | None = None
+) -> DataFrame:
+    """cs_union: order-preserving multiset merge of two sorted
+    sequences — distributed union + range-partitioned sort."""
+    keys = [*partition_by] if partition_by else []
+    u = a.select(*keys, val_col).unionByName(b.select(*keys, val_col))
+    return renumber(u, keys or None, order_by=(val_col,))

@@ -1,0 +1,220 @@
+"""Positional transforms: filter/thin/unique/reverse/repeat/map/limit/
+concat/union — SURVEY §2.2 / §2.4.
+
+Reference: cs_filter imcs.c:3238-3253, cs_filter_pos func.c:2834-2930,
+cs_thin func.c:664-768, cs_unique func.c:3737-3856, cs_reverse
+func.c:1203-1307, cs_repeat func.c:769-863, cs_map func.c:3646-3736,
+cs_limit imcs.c:3154-3175, cs_concat func.c:2353-2456, cs_union
+func.c:3857-3937.
+
+Every operator consumes/produces a *series frame* — (pos, value cols
+[, id]) logically ordered by (id, pos). Operators that select a
+subsequence renumber `pos` densely (the reference's iterators do this
+implicitly: each output sequence has positions 0..n-1). Renumbering is
+a per-series window — embarrassingly parallel when `partition_by` is
+set; pass `renumber=False` mid-chain to skip the extra window when the
+next op doesn't need dense positions.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..series import POS, VAL
+
+
+def _w(partition_by: Sequence[str] | None, order_by=(POS,)):
+    if partition_by:
+        return Window.partitionBy(*partition_by).orderBy(*order_by)
+    return Window.orderBy(*order_by)
+
+
+def renumber(
+    df: DataFrame,
+    partition_by: Sequence[str] | None = None,
+    order_by: Sequence[str] = (POS,),
+    pos_col: str = POS,
+) -> DataFrame:
+    """Re-densify positions after a subsequence selection."""
+    return df.withColumn(pos_col, F.row_number().over(_w(partition_by, order_by)) - F.lit(1).cast("long"))
+
+
+def filter_(
+    df: DataFrame,
+    cond: Column,
+    partition_by: Sequence[str] | None = None,
+    renum: bool = True,
+) -> DataFrame:
+    """cs_filter (SQL op `?`): keep rows where cond holds. Predicate is
+    pushed into the scan by Catalyst when cond references base columns."""
+    out = df.filter(cond)
+    return renumber(out, partition_by) if renum else out
+
+
+def filter_pos(
+    df: DataFrame,
+    cond: Column,
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+) -> DataFrame:
+    """cs_filter_pos: original positions where cond holds, as a new
+    series (pos, val=original position)."""
+    keep = ([*partition_by] if partition_by else []) + [pos_col]
+    out = df.filter(cond).select(*keep).withColumnRenamed(pos_col, VAL)
+    return renumber(out, partition_by, order_by=(VAL,))
+
+
+def filter_first_pos(
+    df: DataFrame,
+    cond: Column,
+    n: int,
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+) -> DataFrame:
+    """cs_filter_first_pos: first n matching positions per series.
+    The reference parallelizes this with a position-ordered merge
+    (func.c:2931-2980); here row_number + filter — Catalyst executes it
+    as a rank-limit per partition."""
+    out = filter_pos(df, cond, partition_by)
+    return out.filter(F.col(POS) < n)
+
+
+def thin(
+    df: DataFrame,
+    origin: int,
+    step: int,
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+) -> DataFrame:
+    """cs_thin: every step-th element starting at origin."""
+    out = df.filter(((F.col(pos_col) - origin) % step == 0) & (F.col(pos_col) >= origin))
+    return renumber(out, partition_by)
+
+
+def unique(
+    df: DataFrame,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+) -> DataFrame:
+    """cs_unique: collapse *adjacent* duplicates (NOT distinct —
+    reference semantics, func.c:3737-3856)."""
+    w = _w(partition_by, (pos_col,))
+    prev = F.lag(F.col(val_col)).over(w)
+    out = df.withColumn("_prev", prev).filter(
+        F.col("_prev").isNull() | (F.col(val_col) != F.col("_prev"))
+    ).drop("_prev")
+    return renumber(out, partition_by)
+
+
+def reverse(
+    df: DataFrame,
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+) -> DataFrame:
+    """cs_reverse: relabel pos = count-1-pos (no data movement; the
+    ordering convention is logical)."""
+    if partition_by:
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*partition_by))
+    else:
+        cnt = F.count(F.lit(1)).over(Window.partitionBy())
+    return df.withColumn(pos_col, cnt - 1 - F.col(pos_col))
+
+
+def repeat(
+    df: DataFrame,
+    n: int,
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+) -> DataFrame:
+    """cs_repeat: each element n times; new pos = pos*n + k. Pure
+    narrow transform (explode), no shuffle."""
+    out = df.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+    return out.withColumn(pos_col, F.col(pos_col) * n + F.col("_k")).drop("_k")
+
+
+def map_positions(
+    df: DataFrame,
+    positions: DataFrame,
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+) -> DataFrame:
+    """cs_map / project-by-positions: gather df[positions[i]].
+    positions is a series frame whose `val` holds source positions.
+    Join on pos — broadcast when the position list is small (the common
+    case: output of filter_pos/top_pos on a slice)."""
+    pos_src = positions.select(
+        *([*partition_by] if partition_by else []),
+        F.col(POS).alias("_out_pos"),
+        F.col(VAL).alias(pos_col),
+    )
+    keys = ([*partition_by] if partition_by else []) + [pos_col]
+    out = df.join(pos_src, on=keys, how="inner")
+    return out.withColumn(pos_col, F.col("_out_pos")).drop("_out_pos")
+
+
+def limit(
+    df: DataFrame,
+    from_pos: int = 0,
+    till_pos: int | None = None,
+    partition_by: Sequence[str] | None = None,
+    pos_col: str = POS,
+    total: int | None = None,
+) -> DataFrame:
+    """cs_limit / << / >>: positional subsequence, negatives from the
+    end (imcs.c:3154-3175). Negative bounds need the series length —
+    resolved per-series via a window count, so multi-series limit stays
+    one pass."""
+    if (from_pos < 0 or (till_pos is not None and till_pos < 0)) and total is None:
+        if partition_by:
+            cnt = F.count(F.lit(1)).over(Window.partitionBy(*partition_by))
+        else:
+            cnt = F.count(F.lit(1)).over(Window.partitionBy())
+        df = df.withColumn("_cnt", cnt)
+        lo = F.lit(from_pos) if from_pos >= 0 else F.col("_cnt") + from_pos
+        hi = None if till_pos is None else (F.lit(till_pos) if till_pos >= 0 else F.col("_cnt") + till_pos)
+    else:
+        n = total or 0
+        lo = F.lit(from_pos if from_pos >= 0 else n + from_pos)
+        hi = None if till_pos is None else F.lit(till_pos if till_pos >= 0 else n + till_pos)
+    out = df.filter(F.col(pos_col) >= lo)
+    if hi is not None:
+        out = out.filter(F.col(pos_col) <= hi)
+    if "_cnt" in out.columns:
+        out = out.drop("_cnt")
+    return renumber(out, partition_by)
+
+
+def head(df: DataFrame, n: int, partition_by=None) -> DataFrame:
+    return limit(df, 0, n - 1, partition_by)
+
+
+def tail(df: DataFrame, n: int, partition_by=None) -> DataFrame:
+    return limit(df, -n, None, partition_by)
+
+
+def cut_head(df: DataFrame, n: int, partition_by=None) -> DataFrame:
+    return limit(df, n, None, partition_by)
+
+
+def cut_tail(df: DataFrame, n: int, partition_by=None) -> DataFrame:
+    return limit(df, 0, -n - 1, partition_by)
+
+
+def concat(a: DataFrame, b: DataFrame, pos_col: str = POS) -> DataFrame:
+    """cs_concat (op `|||`): sequence concatenation — union with the
+    second operand's positions offset by count(a). One tiny count job;
+    rows never move."""
+    n = a.count()
+    return a.unionByName(b.withColumn(pos_col, F.col(pos_col) + F.lit(n)))
+
+
+def union_sorted(a: DataFrame, b: DataFrame, val_col: str = VAL) -> DataFrame:
+    """cs_union: merge two sorted sequences into one sorted sequence
+    (multiset union, func.c:3857-3937). Spark: union + renumber by
+    value — a range-partitioned sort, not a single-node merge."""
+    u = a.select(val_col).unionByName(b.select(val_col))
+    return renumber(u, None, order_by=(val_col,))

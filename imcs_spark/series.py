@@ -107,7 +107,8 @@ def seq(
 ) -> DataFrame:
     """Literal series — the analog of cs_parse('int4:{1,2,3}')
     (reference imcs.c:2433-2478, func.c:413-593). Returns (pos, val)."""
-    rows = [(i, v) for i, v in enumerate(values)]
+    coerce = float if elem_type in ("double", "float") else (lambda v: v)
+    rows = [(i, coerce(v)) for i, v in enumerate(values)]
     return spark.createDataFrame(rows, f"{POS} long, {val_col} {elem_type}")
 
 

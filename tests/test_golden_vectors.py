@@ -1,0 +1,273 @@
+"""Golden-vector tests ported from the reference's pg_regress suite
+(FIXTURES.md §3; reference sql/spec.sql, sql/sort.sql, sql/transform.sql
+and user-guide examples). Each case feeds a literal sequence and asserts
+the exact expected output vector."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from imcs_spark import seq
+from imcs_spark.operators import grouping, joins, positional, sorting, timeseries, windows
+
+from conftest import assert_seq
+
+
+def test_filter(spark):
+    cond = seq(spark, [1, 0, 1], "int")
+    vals = seq(spark, [1.0, 2.0, 3.0])
+    joined = vals.join(cond.withColumnRenamed("val", "c"), "pos")
+    out = positional.filter_(joined, F.col("c") != 0).drop("c")
+    assert_seq(out, [1.0, 3.0])
+
+
+def test_filter_pos(spark):
+    cond = seq(spark, [1, 0, 1], "int")
+    assert_seq(positional.filter_pos(cond, F.col("val") != 0), [0, 2])
+
+
+def test_filter_first_pos(spark):
+    cond = seq(spark, [1, 0, 1, 1, 0, 1], "int")
+    assert_seq(positional.filter_first_pos(cond, F.col("val") != 0, 2), [0, 2])
+
+
+def test_thin(spark):
+    s = seq(spark, [10, 20, 30, 40, 50, 60], "int")
+    assert_seq(positional.thin(s, 1, 2), [20, 40, 60])
+
+
+def test_unique_adjacent(spark):
+    s = seq(spark, [1, 1, 2, 2, 2, 1, 3], "int")
+    assert_seq(positional.unique(s), [1, 2, 1, 3])
+
+
+def test_reverse(spark):
+    s = seq(spark, [1, 2, 3], "int")
+    assert_seq(positional.reverse(s), [3, 2, 1])
+
+
+def test_repeat(spark):
+    s = seq(spark, [1, 2], "int")
+    assert_seq(positional.repeat(s, 3), [1, 1, 1, 2, 2, 2])
+
+
+def test_limit_negatives(spark):
+    s = seq(spark, [10, 20, 30, 40, 50], "int")
+    assert_seq(positional.limit(s, 1, 3), [20, 30, 40])
+    assert_seq(positional.limit(s, -2), [40, 50])
+    assert_seq(positional.head(s, 2), [10, 20])
+    assert_seq(positional.tail(s, 2), [40, 50])
+    assert_seq(positional.cut_head(s, 2), [30, 40, 50])
+    assert_seq(positional.cut_tail(s, 2), [10, 20, 30])
+
+
+def test_concat(spark):
+    a = seq(spark, [1, 2], "int")
+    b = seq(spark, [3, 4], "int")
+    assert_seq(positional.concat(a, b), [1, 2, 3, 4])
+
+
+def test_union_sorted(spark):
+    a = seq(spark, [1, 5, 7, 8], "int")
+    b = seq(spark, [2, 3, 5, 6], "int")
+    assert_seq(positional.union_sorted(a, b), [1, 2, 3, 5, 5, 6, 7, 8])
+
+
+def test_map_positions(spark):
+    s = seq(spark, [10.0, 20.0, 30.0, 40.0])
+    pos = seq(spark, [3, 0], "long")
+    out = positional.map_positions(s, pos)
+    assert_seq(out, [40.0, 10.0])
+
+
+# --- sorting ----------------------------------------------------------------
+def test_sort_and_pos(spark):
+    s = seq(spark, [1.1, 0.1, 2.2, 0.2, 0.1])
+    assert_seq(sorting.sort(s), [0.1, 0.1, 0.2, 1.1, 2.2])
+    assert_seq(sorting.sort(s, "desc"), [2.2, 1.1, 0.2, 0.1, 0.1])
+    assert_seq(sorting.sort_pos(s), [1, 4, 3, 0, 2])
+
+
+def test_rank_original_order(spark):
+    s = seq(spark, [1.1, 0.1, 2.2, 0.2, 0.1])
+    out = sorting.rank(s).orderBy("pos")
+    assert [r["rank"] for r in out.collect()] == [4, 1, 5, 3, 1]
+    out2 = sorting.dense_rank(s).orderBy("pos")
+    assert [r["dense_rank"] for r in out2.collect()] == [3, 1, 4, 2, 1]
+
+
+def test_quantile(spark):
+    s = seq(spark, [10, 3, 0, 3, 4, 5, 9, 11, 7, 3, 3], "int")
+    assert_seq(sorting.quantile(s, 2), [0, 4, 11])
+
+
+def test_top(spark):
+    s = seq(spark, [1.1, 0.1, 2.2, 0.2])
+    assert_seq(sorting.top_max(s, 2), [2.2, 1.1])
+    assert_seq(sorting.top_min(s, 2), [0.1, 0.2])
+    assert_seq(sorting.top_min_pos(s, 2), [1, 3])
+    assert_seq(sorting.top_max_pos(s, 2), [2, 0])
+
+
+# --- time-series specials ---------------------------------------------------
+def test_diff(spark):
+    s = seq(spark, [1, 3, 2, 5], "int")
+    out = timeseries.diff(s).orderBy("pos")
+    assert [r["diff"] for r in out.collect()] == [0, 2, -1, 3]
+
+
+def test_trend(spark):
+    s = seq(spark, [1, 2, 3, 3, 2, 2, 4, 5, 6, 5, 5], "int")
+    out = timeseries.trend(s).orderBy("pos")
+    assert [r["trend"] for r in out.collect()] == [0, 1, 1, 1, -1, -1, 1, 1, 1, -1, -1]
+
+
+def test_cross(spark):
+    s = seq(spark, [1, 2, -1, 0.5, 0.6, 0.0, 0.1, 0.3, -5.0])
+    assert_seq(timeseries.cross(s, 0), [2, 3, 7])
+
+
+def test_cross_direction(spark):
+    s = seq(spark, [1, 2, -1, 0.5, 0.6, 0.0, 0.1, 0.3, -5.0])
+    # first reported crossing must be into negative territory
+    assert_seq(timeseries.cross(s, -1), [2, 3, 7])
+    # first reported crossing into positive: skips the first (into -1)
+    assert_seq(timeseries.cross(s, 1), [3, 7])
+
+
+def test_extrema(spark):
+    s = seq(spark, [1, 2, 3, 2, 1, 0, 0, 1, 1, 2, 4, 0], "int")
+    assert_seq(timeseries.extrema(s, 0), [2, 6, 10])
+    assert_seq(timeseries.extrema(s, 1), [2, 10])  # maxima only
+    assert_seq(timeseries.extrema(s, -1), [6])  # minima only
+
+
+def test_norm(spark):
+    s = seq(spark, [3.0, 4.0])
+    out = timeseries.norm(s).orderBy("pos")
+    assert [round(r["norm"], 6) for r in out.collect()] == [0.6, 0.8]
+
+
+# --- joins ------------------------------------------------------------------
+def test_join_pos(spark):
+    a = seq(spark, [0, 2, 3, 8, 10], "int")
+    b = seq(spark, [1, 3, 6, 10], "int")
+    assert_seq(joins.join_pos(a, b), [1, 3])
+
+
+def test_asof_join_pos(spark):
+    a = seq(spark, [4, 9], "int")
+    b = seq(spark, [1, 3, 6, 10], "int")
+    out = joins.asof_join_pos(a, b).orderBy("pos")
+    assert [r["val"] for r in out.collect()] == [1, 3]
+
+
+def test_asof_join_values(spark):
+    a = seq(spark, [4, 9], "int")
+    b = seq(spark, [1, 3, 6, 10], "int")
+    v = seq(spark, [0.1, 0.3, 0.6, 1.0])
+    out = joins.asof_join_values(a, b, v).orderBy("pos")
+    assert [r["val"] for r in out.collect()] == [pytest.approx(0.3), pytest.approx(1.0)]
+
+
+def test_stretch(spark):
+    ts1 = seq(spark, [1, 2, 3, 4, 5], "int")
+    ts2 = seq(spark, [2, 4], "int")
+    vals = seq(spark, [1.1, 2.2])
+    out = joins.stretch(ts1, ts2, vals, 1.0).orderBy("pos")
+    assert [r["val"] for r in out.collect()] == [
+        pytest.approx(x) for x in [1.1, 2.2, 2.2, 1.0, 1.0]
+    ]
+
+
+def test_stretch0(spark):
+    ts1 = seq(spark, [1, 2, 3, 5], "int")
+    ts2 = seq(spark, [2, 3, 4], "int")
+    vals = seq(spark, [1.1, 1.2, 1.3])
+    assert_seq(joins.stretch0(ts1, ts2, vals, 0.0), [0.0, 1.1, 1.2, 1.3, 0.0])
+
+
+# --- windows ----------------------------------------------------------------
+def test_moving_aggs(spark):
+    s = seq(spark, [1.0, 2.0, 3.0, 4.0])
+    out = windows.moving_agg(s, "sum", 2).orderBy("pos")
+    assert [r["window_sum"] for r in out.collect()] == [1.0, 3.0, 5.0, 7.0]
+    out = windows.moving_agg(s, "avg", 3).orderBy("pos")
+    assert [r["window_avg"] for r in out.collect()] == [
+        pytest.approx(x) for x in [1.0, 1.5, 2.0, 3.0]
+    ]
+
+
+def test_cum_aggs(spark):
+    s = seq(spark, [1.0, 2.0, 3.0])
+    out = windows.cum_agg(s, "sum").orderBy("pos")
+    assert [r["cum_sum"] for r in out.collect()] == [1.0, 3.0, 6.0]
+    out = windows.cum_prd(s).orderBy("pos")
+    assert [r["cum_prd"] for r in out.collect()] == [
+        pytest.approx(x) for x in [1.0, 2.0, 6.0]
+    ]
+
+
+def test_ema(spark):
+    s = seq(spark, [10.0, 20.0, 30.0])
+    out = windows.ema(s, 3).orderBy("pos")
+    # p = 0.5: e = [10, 15, 22.5]
+    assert [r["ema"] for r in out.collect()] == [
+        pytest.approx(x) for x in [10.0, 15.0, 22.5]
+    ]
+
+
+def test_atr(spark):
+    s = seq(spark, [10.0, 20.0, 30.0, 40.0])
+    out = windows.atr(s, 3).orderBy("pos")
+    # warm-up: r1=10; r2=(10+20)/2=15; r3=(15*2+30)/3=20; r4=(20*2+40)/3=80/3
+    assert [r["atr"] for r in out.collect()] == [
+        pytest.approx(x) for x in [10.0, 15.0, 20.0, 80.0 / 3]
+    ]
+
+
+# --- grouping ---------------------------------------------------------------
+def test_group_agg_runs(spark):
+    g = seq(spark, [1, 1, 2, 2, 1], "int").withColumnRenamed("val", "grp")
+    v = seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0])
+    df = v.join(g, "pos")
+    out = grouping.group_agg(df, "sum", "grp").orderBy("pos")
+    rows = out.collect()
+    assert [r["group_sum"] for r in rows] == [30.0, 70.0, 50.0]
+    assert [r["grp"] for r in rows] == [1, 2, 1]
+
+
+def test_win_group_agg(spark):
+    g = seq(spark, [1, 1, 2], "int").withColumnRenamed("val", "grp")
+    v = seq(spark, [10.0, 20.0, 30.0])
+    df = v.join(g, "pos")
+    out = grouping.win_group_agg(df, "sum", "grp").orderBy("pos")
+    assert [r["win_group_sum"] for r in out.collect()] == [30.0, 30.0, 30.0]
+
+
+def test_grid_agg(spark):
+    s = seq(spark, [1.0, 2.0, 3.0, 4.0, 5.0])
+    out = grouping.grid_agg(s, "avg", 2).orderBy("pos")
+    assert [r["grid_avg"] for r in out.collect()] == [1.5, 3.5, 5.0]
+
+
+def test_hash_agg_counts(spark):
+    s = seq(spark, [1, 3, 1, 4, 2, 2], "int")
+    out = grouping.hash_agg(s, {"cnt": ("count", "val")}, ["val"]).orderBy("val")
+    rows = out.collect()
+    assert [(r["val"], r["cnt"]) for r in rows] == [(1, 2), (2, 2), (3, 1), (4, 1)]
+
+
+def test_hash_dup_count(spark):
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "c")]
+    df = spark.createDataFrame(rows, "k int, v string")
+    out = grouping.hash_dup_count(df, "v", ["k"], 2).collect()
+    assert {(r["k"], r["dup_count"]) for r in out} == {(1, 1)}
+    out2 = grouping.hash_dup_count(df, "v", ["k"], 1).collect()
+    assert {(r["k"], r["dup_count"]) for r in out2} == {(1, 2), (2, 1)}
+
+
+def test_histogram(spark):
+    s = seq(spark, [0.5, 1.5, 2.5, 1.6, 9.9, 10.0])
+    out = grouping.histogram(s, 0.0, 10.0, 5).orderBy("pos")
+    # width 2: [0,2)→{0.5,1.5,1.6}, [2,4)→{2.5}, [8,10)→{9.9}; 10.0 excluded
+    assert [r["count"] for r in out.collect()] == [3, 1, 0, 0, 1]
