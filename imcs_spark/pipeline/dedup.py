@@ -1,0 +1,278 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's surface (it has no document ops); designed for
+100 TB corpora:
+- exact: hash-groupBy on a content digest — one shuffle of (digest, id),
+  never the document bodies.
+- MinHash + LSH: shingle → K minhashes → B bands → bucket join.
+  Candidate generation touches only (doc_id, band, signature) tuples;
+  verification re-computes true Jaccard only for bucket collisions.
+- SimHash: 64-bit sign fingerprint of token hashes; near-dups differ in
+  few bits. Entirely JVM-side (explode + bit arithmetic + groupBy).
+- n-gram Jaccard: exact similarity for candidate pairs via shared-token
+  inverted-index join.
+- embedding cosine: exact pairwise above a threshold via normalized dot
+  product — O(n²) in the worst case, so use only behind an LSH/IVF
+  candidate filter at scale (see pipeline.similarity).
+
+All hashes are deterministic (xxhash64 with literal salts), so results
+are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _normalize(text_col) -> F.Column:
+    c = text_col if not isinstance(text_col, str) else F.col(text_col)
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup on normalized content digest; keeps the min (or max)
+    id per digest. Returns the surviving rows."""
+    digest = F.md5(_normalize(text_col))
+    w = Window.partitionBy("_digest").orderBy(
+        F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    )
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_digest", "_rn")
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingle set per document (distinct), as column
+    `shingle`. explode-based: narrow, no shuffle."""
+    tokens = F.split(_normalize(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+    )
+    return df.withColumn("shingle", F.explode(F.array_distinct(sh)))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """K minhash values per doc: min over shingles of xxhash64(salt_k,
+    shingle). One explode + one groupBy(doc) with K min-aggregates —
+    partial aggregation keeps the shuffle tiny (K longs per doc)."""
+    sh = shingles(df.select(id_col, text_col), text_col, shingle_n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Band the signature (rows = num_hashes // bands) and emit
+    candidate pairs (left_id < right_id) sharing any band bucket.
+    Bucket join shuffles only (band, bucket_hash, id)."""
+    rows = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
+            "bucket"
+        )
+        for b in range(bands)
+    ]
+    stacked = signatures.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l = stacked.select(F.col(id_col).alias("left_id"), "band", "bucket")
+    r = stacked.select(F.col(id_col).alias("right_id"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """True n-gram Jaccard similarity per pair via inverted-index join
+    on shared shingles. With `candidates`, restricted to those pairs
+    (semi-join pushdown before the heavy join)."""
+    sh = shingles(df.select(id_col, text_col), text_col, shingle_n).select(
+        id_col, "shingle"
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
+    l = sh.select(F.col(id_col).alias("left_id"), "shingle")
+    r = sh.select(F.col(id_col).alias("right_id"), "shingle")
+    inter = (
+        l.join(r, "shingle")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["left_id", "right_id"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "left_id").withColumnRenamed("_size", "_ls"), "left_id")
+        .join(sizes.withColumnRenamed(id_col, "right_id").withColumnRenamed("_size", "_rs"), "right_id")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_ls") + F.col("_rs") - F.col("_inter")),
+        )
+        .select("left_id", "right_id", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Greedy near-dedup: drop any document having a verified duplicate
+    (Jaccard ≥ threshold) with a smaller id. Greedy (non-transitive)
+    like most production MinHash dedup; full connected components would
+    need an iterative min-propagation join."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    dups = jaccard_pairs(df, cands, text_col, id_col, shingle_n, jaccard_threshold)
+    losers = dups.select(F.col("right_id").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash over word tokens — JVM-side only: explode tokens,
+    per-bit ±1 votes, sign → bit. Near-duplicate docs have small
+    Hamming distance (use F.bit_count(a ^ b) to compare)."""
+    tok = df.select(
+        id_col, F.explode(F.split(_normalize(text_col), " ")).alias("_tok")
+    ).withColumn("_h", F.xxhash64("_tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col("_b63") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.withColumn(out_col, sig).select(id_col, out_col)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole — split the 64-bit sig
+    into `blocks` bands; any pair within Hamming ≤ max_hamming (<
+    blocks) shares at least one exact band. Join per band (shuffle of
+    (band, 16-bit chunk, id)), then verify with bit_count."""
+    sig = simhash(df, text_col, id_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    chunks = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+    l = chunks.select(
+        F.col(id_col).alias("left_id"), F.col("simhash").alias("_lsig"), "band", "chunk"
+    )
+    r = chunks.select(
+        F.col(id_col).alias("right_id"), F.col("simhash").alias("_rsig"), "band", "chunk"
+    )
+    pairs = (
+        l.join(r, ["band", "chunk"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "_lsig", "_rsig")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("_lsig").bitwiseXOR(F.col("_rsig"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+    return pairs
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Exact cosine near-dup pairs above threshold. Normalizes, then
+    pairwise dot via join — quadratic; at scale gate behind
+    similarity.lsh_buckets and pass the bucketed frame here."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    unit = df.select(
+        id_col,
+        F.transform(vec_col, lambda x: x / norm).alias("_unit"),
+    )
+    l = unit.select(F.col(id_col).alias("left_id"), F.col("_unit").alias("_lv"))
+    r = unit.select(F.col(id_col).alias("right_id"), F.col("_unit").alias("_rv"))
+    return (
+        l.crossJoin(r)
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("_lv", "_rv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

@@ -1,0 +1,131 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, fingerprinting.
+
+All pure Column expressions (JVM, codegen) — no Python in the hot
+path; at 100 TB these run as narrow map stages over the corpus with
+zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal function-word lists for the n-gram/stopword language
+# heuristic. Deliberately tiny: the signal is presence of very frequent
+# function words; good enough for coarse routing, deterministic.
+_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "eine", "nicht"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "人", "这"],
+}
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def _tokens(text_col) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text_col: str = "text", mode: str = "whitespace") -> Column:
+    """Token count: whitespace words, or a BPE-ish regex segmentation
+    (letters / digits / single punctuation — a proxy for subword
+    tokenizer cost accounting)."""
+    if mode == "whitespace":
+        return F.size(_tokens(text_col))
+    return F.size(
+        F.filter(
+            F.split(
+                F.regexp_replace(F.col(text_col), f"({_BPE_ISH})", "$1"),
+                "",
+            ),
+            lambda t: F.trim(t) != "",
+        )
+    )
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Per-language stopword-hit ratio."""
+    toks = _tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    out = {}
+    for lang, words in _STOPWORDS.items():
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        # array_intersect is set-wise; count multiplicity via filter
+        multi = F.size(F.filter(toks, lambda t: t.isin(words)))
+        out[lang] = multi / n
+    return out
+
+
+def lang_id(text_col: str = "text", default: str = "unknown", min_score: float = 0.0) -> Column:
+    """Argmax language over stopword-hit ratios; `default` when no
+    language scores above min_score."""
+    scores = lang_scores(text_col)
+    pairs = F.array(
+        *[F.struct(score.alias("s"), F.lit(lang).alias("l")) for lang, score in scores.items()]
+    )
+    best = F.array_max(pairs)
+    return F.when(best["s"] > min_score, best["l"]).otherwise(F.lit(default))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, word stats, punctuation and
+    stopword ratios, uppercase ratio, digit ratio."""
+    c = F.col(text_col)
+    toks = _tokens(text_col)
+    n_chars = F.length(c)
+    n_words = F.size(toks)
+    stop_en = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS["en"])))
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_words > 0, (F.aggregate(F.transform(toks, F.length), F.lit(0), lambda a, x: a + x)) / n_words).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.length(F.regexp_replace(c, r"[^\.,;:!\?\"'\(\)]", "")) / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn("stopword_ratio", stop_en / F.greatest(n_words, F.lit(1)))
+        .withColumn(
+            "digit_ratio",
+            F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.greatest(n_chars, F.lit(1)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Composite [0,1] quality score: length sweet-spot, sane word
+    length, some stopwords, low digit/punct noise — a Gopher-rules-like
+    linear blend, fully declarative."""
+    feats = quality_features(df, text_col)
+    len_ok = F.when(
+        (F.col("n_words") >= 10) & (F.col("n_words") <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    wlen_ok = F.when(
+        (F.col("mean_word_len") >= 2) & (F.col("mean_word_len") <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    stop_ok = F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+    noise = F.greatest(
+        F.lit(0.0), F.lit(1.0) - F.col("digit_ratio") * 2 - F.col("punct_ratio")
+    )
+    return feats.withColumn(
+        out_col, (len_ok * 0.3 + wlen_ok * 0.2 + stop_ok * 0.2 + noise * 0.3)
+    )
+
+
+def fingerprint(
+    text_col: str = "text",
+    window: int = 8,
+) -> Column:
+    """Document fingerprint: minimum of rolling window-gram hashes over
+    the token stream (winnowing-style min-sampling, deterministic).
+    Equal fingerprints → high overlap candidates."""
+    toks = _tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    return F.array_min(grams)

@@ -162,3 +162,471 @@ def hash_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(agg.min("value")).alias("min_value"),
         _r6(agg.max("value")).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — filtered grand sum; exercises predicate pushdown to the
+# parquet scan (reference analog: cs_sum over cs_filter, user guide perf
+# section "filtered count").
+# ---------------------------------------------------------------------------
+@query(
+    "filtered_sum",
+    oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS matched
+FROM lineitem
+WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def filtered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("matched"),
+    )
+
+
+def _events_posed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with the per-user positional spine (pos ordered by ts;
+    (user_id, ts) is unique in the testdata)."""
+    from .series import with_pos
+
+    ev = _t(spark, sf_dir, "events")
+    return with_pos(ev, ["ts"], ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Moving-window aggregates (cs_window_avg/sum, SURVEY §2.5) per series.
+# ---------------------------------------------------------------------------
+@query(
+    "window_agg",
+    oracle="""
+SELECT user_id, CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS w_avg,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS w_sum,
+       ROUND(MIN(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS w_min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+)
+def window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import windows
+
+    posed = _events_posed(spark, sf_dir)
+    out = windows.moving_agg(posed, "avg", 5, "value", ["user_id"], "w_avg")
+    out = windows.moving_agg(out, "sum", 5, "value", ["user_id"], "w_sum")
+    out = windows.moving_agg(out, "min", 5, "value", ["user_id"], "w_min")
+    return out.select(
+        "user_id", "pos", _r6(F.col("w_avg")).alias("w_avg"),
+        _r6(F.col("w_sum")).alias("w_sum"), _r6(F.col("w_min")).alias("w_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative aggregates (cs_cum_sum/max).
+# ---------------------------------------------------------------------------
+@query(
+    "cum_agg",
+    oracle="""
+SELECT user_id, CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS c_sum,
+       ROUND(MAX(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS c_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+""",
+)
+def cum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import windows
+
+    posed = _events_posed(spark, sf_dir)
+    out = windows.cum_agg(posed, "sum", "value", ["user_id"], "c_sum")
+    out = windows.cum_agg(out, "max", "value", ["user_id"], "c_max")
+    return out.select(
+        "user_id", "pos", _r6(F.col("c_sum")).alias("c_sum"), _r6(F.col("c_max")).alias("c_max")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Run-based group aggregates (cs_group_* — groups are consecutive runs of
+# equal values, func.c:1898-2169).
+# ---------------------------------------------------------------------------
+@query(
+    "run_group_agg",
+    oracle="""
+WITH chg AS (
+  SELECT user_id, event_type, value, ts,
+         CASE WHEN event_type = LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) THEN 0 ELSE 1 END AS c
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, value,
+         SUM(c) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS run_id
+  FROM chg
+)
+SELECT user_id, CAST(run_id AS BIGINT) AS pos, MIN(event_type) AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS run_cnt, ROUND(SUM(value), 6) AS run_sum
+FROM runs GROUP BY user_id, run_id
+""",
+)
+def run_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouping
+
+    posed = _events_posed(spark, sf_dir)
+    cnt = grouping.group_agg(posed, "count", "event_type", "value", ["user_id"], "run_cnt")
+    sm = grouping.group_agg(posed, "sum", "event_type", "value", ["user_id"], "run_sum")
+    out = cnt.join(sm.select("user_id", "pos", "run_sum"), ["user_id", "pos"])
+    return out.select(
+        "user_id", "pos", "event_type", "run_cnt", _r6(F.col("run_sum")).alias("run_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid (tumbling positional bucket) aggregates — cs_grid_avg.
+# ---------------------------------------------------------------------------
+@query(
+    "grid_agg",
+    oracle="""
+WITH posed AS (
+  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
+  FROM events
+)
+SELECT user_id, CAST(pos // 10 AS BIGINT) AS pos_bucket,
+       ROUND(AVG(value), 6) AS grid_avg, CAST(COUNT(*) AS BIGINT) AS grid_cnt
+FROM posed GROUP BY user_id, pos // 10
+""",
+)
+def grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouping
+
+    posed = _events_posed(spark, sf_dir)
+    avg = grouping.grid_agg(posed, "avg", 10, "value", ["user_id"], "grid_avg")
+    cnt = grouping.grid_agg(posed, "count", 10, "value", ["user_id"], "grid_cnt")
+    out = avg.join(cnt.select("user_id", "pos", "grid_cnt"), ["user_id", "pos"])
+    return out.select(
+        "user_id", F.col("pos").alias("pos_bucket"),
+        _r6(F.col("grid_avg")).alias("grid_avg"), F.col("grid_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (cs_asof_join / TABLE_join direction=-1): for each click, the
+# value of the user's most recent purchase at-or-before it.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join",
+    oracle="""
+SELECT c.event_id, c.user_id,
+       ROUND(p.value, 6) AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+)
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pvalue")
+    )
+    out = joins.asof_join(
+        clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"], direction="backward"
+    )
+    return out.select(
+        "event_id", "user_id", _r6(F.col("pvalue")).alias("last_purchase_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N (cs_top_max / cs_top_max_pos → TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+@query(
+    "top_n",
+    oracle="""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) - 1 AS BIGINT) AS pos,
+       event_id, ROUND(value, 6) AS val
+FROM events ORDER BY value DESC, event_id LIMIT 10
+""",
+)
+def top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sorting
+
+    ev = _t(spark, sf_dir, "events")
+    # event_id is the tie-breaking spine (unique)
+    s = ev.select(F.col("event_id").alias("pos"), F.col("value").alias("val"))
+    out = sorting.top_max(s, 10)
+    ranked = sorting.top_max_pos(s, 10).withColumnRenamed("val", "event_id")
+    return out.join(ranked, "pos").select(
+        "pos", F.col("event_id"), _r6(F.col("val")).alias("val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantiles — the reference index formula (func.c:3579-3581).
+# ---------------------------------------------------------------------------
+@query(
+    "quantile",
+    oracle="""
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS rn,
+         COUNT(*) OVER () AS c
+  FROM lineitem
+), idx AS (
+  SELECT i.i AS pos, CASE WHEN i.i < 4 THEN (t.c * i.i) // 4 ELSE t.c - 1 END AS target
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS i) i,
+       (SELECT COUNT(*) AS c FROM lineitem) t
+)
+SELECT CAST(idx.pos AS BIGINT) AS pos, ROUND(s.v, 6) AS val
+FROM idx JOIN s ON s.rn = idx.target
+""",
+)
+def quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sorting
+    from .series import with_pos
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = with_pos(
+        li.select(F.col("l_extendedprice").alias("val")), ["val"], None
+    )
+    out = sorting.quantile(s, 4)
+    return out.select("pos", _r6(F.col("val")).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# diff + trend (cs_diff, cs_trend) per series.
+# ---------------------------------------------------------------------------
+@query(
+    "diff_trend",
+    oracle="""
+WITH posed AS (
+  SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos,
+         value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts) AS d
+  FROM events
+)
+SELECT user_id, pos,
+       ROUND(COALESCE(d, 0), 6) AS diff,
+       CAST(COALESCE(LAST_VALUE(CASE WHEN d <> 0 THEN SIGN(d) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS TINYINT) AS trend
+FROM posed
+""",
+)
+def diff_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import timeseries
+
+    posed = _events_posed(spark, sf_dir)
+    out = timeseries.diff(posed, "value", ["user_id"], "diff")
+    out = timeseries.trend(out, "value", ["user_id"], "trend")
+    return out.select("user_id", "pos", _r6(F.col("diff")).alias("diff"), "trend")
+
+
+# ---------------------------------------------------------------------------
+# Histogram (cs_histogram): fixed-range buckets over l_extendedprice.
+# ---------------------------------------------------------------------------
+@query(
+    "histogram",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(FLOOR(l_extendedprice / 5500.0) AS BIGINT) AS b, COUNT(*) AS c
+  FROM lineitem WHERE l_extendedprice >= 0 AND l_extendedprice < 110000
+  GROUP BY 1
+)
+SELECT CAST(g.i AS BIGINT) AS pos, CAST(COALESCE(c.c, 0) AS BIGINT) AS count
+FROM (SELECT UNNEST(GENERATE_SERIES(0, 19)) AS i) g LEFT JOIN counts c ON g.i = c.b
+""",
+)
+def histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouping
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(F.col("l_extendedprice").alias("val"))
+    return grouping.histogram(s, 0.0, 110000.0, 20)
+
+
+# ---------------------------------------------------------------------------
+# Date parts (cs_year/quarter/wday/week — reference epoch-week and
+# Sunday-based weekday, imcs.c:5280-5419).
+# ---------------------------------------------------------------------------
+@query(
+    "dateparts",
+    oracle="""
+SELECT CAST(YEAR(l_shipdate) AS INT) AS y,
+       CAST(QUARTER(l_shipdate) AS INT) AS q,
+       CAST(DAYOFWEEK(CAST(l_shipdate AS DATE)) AS INT) AS wd,
+       CAST(TRUNC((DATEDIFF('day', DATE '2000-01-01', CAST(l_shipdate AS DATE))
+             - DAYOFWEEK(CAST(l_shipdate AS DATE))) / 7.0) AS INT) AS wk,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY 1, 2, 3, 4
+""",
+)
+def dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import elementwise as E
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            E.year("l_shipdate").alias("y"),
+            E.quarter("l_shipdate").alias("q"),
+            E.wday("l_shipdate").cast("int").alias("wd"),
+            E.week("l_shipdate").alias("wk"),
+        )
+        .groupBy("y", "q", "wd", "wk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# cs_hash_dup_count: per event_type, distinct users with ≥ 20 events.
+# ---------------------------------------------------------------------------
+@query(
+    "dup_count",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dup_count FROM (
+  SELECT event_type, user_id, COUNT(*) AS occ FROM events GROUP BY 1, 2 HAVING occ >= 20
+) GROUP BY event_type
+""",
+)
+def dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouping
+
+    ev = _t(spark, sf_dir, "events")
+    return grouping.hash_dup_count(ev, "user_id", ["event_type"], 20)
+
+
+# ---------------------------------------------------------------------------
+# Positional transforms vs oracle: per-user thin (every 50th element).
+# ---------------------------------------------------------------------------
+@query(
+    "thin",
+    oracle="""
+WITH posed AS (
+  SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
+  FROM events
+)
+SELECT user_id, CAST(pos // 50 AS BIGINT) AS pos_out, event_id
+FROM posed WHERE pos % 50 = 0
+""",
+)
+def thin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import positional
+
+    posed = _events_posed(spark, sf_dir)
+    out = positional.thin(posed.select("user_id", "pos", "event_id"), 0, 50, ["user_id"])
+    return out.select("user_id", F.col("pos").alias("pos_out"), "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text-analysis / similarity pipeline queries (documents table).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS dg FROM documents
+)
+SELECT doc_id FROM d WHERE doc_id = (SELECT MIN(doc_id) FROM d d2 WHERE d2.dg = d.dg)
+""",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id")
+
+
+@query(
+    "text_metrics",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+'), t -> t <> '')) AS INT) AS tok_cnt,
+       CAST(LENGTH(text) AS BIGINT) AS chars
+FROM documents
+""",
+)
+def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("int").alias("tok_cnt"),
+        F.length("text").cast("long").alias("chars"),
+    )
+
+
+@query(
+    "langid_counts",
+    oracle=None,  # heuristic classifier — no SQL-expressible oracle; rows-only
+)
+def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("pred", T.lang_id("text"))
+        .groupBy("pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "ann_cosine",
+    oracle="""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+  FROM embeddings e, q
+), ranked AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, CAST(rn AS INT) AS rank
+FROM ranked WHERE rn <= 5
+""",
+)
+def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries_df, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query("minhash_dedup", oracle=None)  # LSH candidate generation — rows-only
+def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, num_hashes=32, bands=8, jaccard_threshold=0.8).select(
+        "doc_id"
+    )
+
+
+@query("simhash_pairs", oracle=None)  # rows-only
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=10)
+
+
+@query("lsh_topk", oracle=None)  # approximate — rows-only
+def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries_df, k=5, n_planes=8, multi_probe=2)

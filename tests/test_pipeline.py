@@ -1,0 +1,133 @@
+"""Training-data pipeline ops: dedup, text analysis, similarity,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from imcs_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog today"),  # near dup
+        (3, "completely different content about spark engines and columns"),
+        (4, "el gato y el perro en la casa de la abuela"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {0, 2, 3, 4}
+
+
+def test_minhash_candidates_and_jaccard(docs):
+    sigs = dedup.minhash_signatures(docs, num_hashes=16, shingle_n=2)
+    assert sigs.count() == 5
+    cands = dedup.minhash_lsh_candidates(sigs, num_hashes=16, bands=8)
+    pairs = {(r["left_id"], r["right_id"]) for r in cands.collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    jac = dedup.jaccard_pairs(docs, cands, shingle_n=2)
+    jmap = {(r["left_id"], r["right_id"]): r["jaccard"] for r in jac.collect()}
+    assert jmap[(0, 1)] == pytest.approx(1.0)
+
+
+def test_minhash_dedup(docs):
+    out = dedup.minhash_dedup(docs, num_hashes=16, bands=8, shingle_n=2, jaccard_threshold=0.99)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 not in ids and 0 in ids and 3 in ids
+
+
+def test_simhash_near_pairs(docs):
+    sig = dedup.simhash(docs)
+    m = {r["doc_id"]: r["simhash"] for r in sig.collect()}
+    assert m[0] == m[1]  # identical docs, identical signature
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
+    got = {(r["left_id"], r["right_id"]) for r in pairs.collect()}
+    assert (0, 1) in got
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.embedding_near_dups(df, threshold=0.95)
+    pairs = {(r["left_id"], r["right_id"]) for r in out.collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lang_id(docs):
+    out = docs.withColumn("pred", text.lang_id("text")).collect()
+    m = {r["doc_id"]: r["pred"] for r in out}
+    assert m[0] == "en" and m[4] == "es"
+
+
+def test_token_count_and_quality(docs):
+    out = docs.withColumn("tc", text.token_count("text")).collect()
+    assert {r["doc_id"]: r["tc"] for r in out}[0] == 9
+    q = text.quality_score(docs).collect()
+    for r in q:
+        assert 0.0 <= r["quality"] <= 1.0
+
+
+def test_fingerprint_deterministic(docs):
+    a = docs.withColumn("fp", text.fingerprint("text")).collect()
+    b = docs.withColumn("fp", text.fingerprint("text")).collect()
+    assert {r["doc_id"]: r["fp"] for r in a} == {r["doc_id"]: r["fp"] for r in b}
+    m = {r["doc_id"]: r["fp"] for r in a}
+    assert m[0] == m[1]
+
+
+def test_brute_force_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        best = sorted(rs, key=lambda r: r["rank"])[0]
+        assert best["vec_id"] == qid  # self is the top hit
+        assert best["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.brute_force_topk(emb, queries, k=3)
+    approx = similarity.lsh_topk(emb, queries, k=3, n_planes=6, multi_probe=3)
+    # self-hit must survive LSH (identical vector → identical bucket)
+    self_hits = approx.filter(F.col("query_id") == F.col("vec_id")).count()
+    assert self_hits == 3
+    assert approx.count() >= 3
+
+
+def test_multimodal_features(spark):
+    media = multimodal.fake_media_table(spark, 30)
+    out = multimodal.extract_features(media)
+    rows = out.collect()
+    assert len(rows) == 30
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in rows)
+    again = {r["media_id"]: r["features"] for r in multimodal.extract_features(media).collect()}
+    first = {r["media_id"]: r["features"] for r in rows}
+    assert again == first  # deterministic
+
+    frames = multimodal.sample_frames(media, every_ms=1000)
+    vid = frames.filter(F.col("media_id") == 2).collect()
+    assert [r["frame_ts_ms"] for r in vid] == [0, 1000, 2000]
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"x", "image/png")
