@@ -17,6 +17,7 @@ Layers:
 from .session import get_spark
 from .table import Engine, TsTable, OutOfOrderAppendError
 from .series import seq, const_series, with_pos, zip_with_global_pos, run_id
+from . import functions, operators, pipeline, sources, streaming
 
 __all__ = [
     "get_spark",

@@ -67,6 +67,25 @@ def group_agg(
     return agged.withColumnRenamed("run_id", POS)
 
 
+def group_aggs(
+    df: DataFrame,
+    aggs: dict[str, tuple[str, str]],
+    group_col: str,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Multi-aggregate run grouping in ONE pass: {out_col: (agg,
+    val_col)}. Same run semantics as group_agg; avoids re-sessionizing
+    and re-shuffling per aggregate."""
+    rid = run_id(df, group_col, (POS,), partition_by)
+    keys = ([*partition_by] if partition_by else []) + ["run_id"]
+    exprs = [F.first(group_col).alias(group_col)]
+    for out_col, (agg, val_col) in aggs.items():
+        fn = _AGGS[agg]
+        target = F.lit(1) if agg == "count" else F.col(val_col)
+        exprs.append(fn(target).alias(out_col))
+    return rid.groupBy(*keys).agg(*exprs).withColumnRenamed("run_id", POS)
+
+
 def win_group_agg(
     df: DataFrame,
     agg: str,

@@ -273,9 +273,12 @@ def run_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import grouping
 
     posed = _events_posed(spark, sf_dir)
-    cnt = grouping.group_agg(posed, "count", "event_type", "value", ["user_id"], "run_cnt")
-    sm = grouping.group_agg(posed, "sum", "event_type", "value", ["user_id"], "run_sum")
-    out = cnt.join(sm.select("user_id", "pos", "run_sum"), ["user_id", "pos"])
+    out = grouping.group_aggs(
+        posed,
+        {"run_cnt": ("count", "value"), "run_sum": ("sum", "value")},
+        "event_type",
+        ["user_id"],
+    )
     return out.select(
         "user_id", "pos", "event_type", "run_cnt", _r6(F.col("run_sum")).alias("run_sum")
     )
@@ -630,3 +633,275 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_topk(emb, queries_df, k=5, n_planes=8, multi_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Windowed run-group aggregates (cs_win_group_*): run aggregate repeated
+# onto every element of its run.
+# ---------------------------------------------------------------------------
+@query(
+    "win_group_agg",
+    oracle="""
+WITH chg AS (
+  SELECT user_id, event_type, value, ts,
+         CASE WHEN event_type = LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) THEN 0 ELSE 1 END AS c
+  FROM events
+), runs AS (
+  SELECT user_id, event_type, value, ts,
+         SUM(c) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS run_id
+  FROM chg
+), posed AS (
+  SELECT user_id, value, run_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
+  FROM runs
+)
+SELECT user_id, CAST(pos AS BIGINT) AS pos,
+       ROUND(SUM(value) OVER (PARTITION BY user_id, run_id), 6) AS wg_sum,
+       ROUND(MAX(value) OVER (PARTITION BY user_id, run_id), 6) AS wg_max
+FROM posed
+""",
+)
+def win_group_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouping
+
+    posed = _events_posed(spark, sf_dir)
+    out = grouping.win_group_agg(posed, "sum", "event_type", "value", ["user_id"], "wg_sum")
+    out = grouping.win_group_agg(out, "max", "event_type", "value", ["user_id"], "wg_max")
+    return out.select(
+        "user_id", "pos", _r6(F.col("wg_sum")).alias("wg_sum"), _r6(F.col("wg_max")).alias("wg_max")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct count (cs_approxdc — reference HLL m=128; Spark
+# HLL++ differs in constants → no exact oracle; rows-only + tested with
+# tolerance in tests/).
+# ---------------------------------------------------------------------------
+@query("approxdc", oracle=None)
+def approxdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar math functions (cs_sin/cos/sqrt/log/exp/pow, §2.3) — element-wise
+# over a projected column, aggregated so the result is compact but covers
+# every function.
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_math",
+    oracle="""
+SELECT ROUND(SUM(SIN(l_discount)), 6)            AS s_sin,
+       ROUND(SUM(COS(l_discount)), 6)            AS s_cos,
+       ROUND(SUM(SQRT(l_quantity)), 6)           AS s_sqrt,
+       ROUND(SUM(LN(l_extendedprice)), 6)        AS s_log,
+       ROUND(SUM(EXP(l_discount)), 6)            AS s_exp,
+       ROUND(SUM(POW(l_tax, 2)), 6)              AS s_pow,
+       ROUND(SUM(ABS(l_quantity - 25)), 6)       AS s_abs,
+       ROUND(SUM(FLOOR(l_extendedprice / 1000)), 6) AS s_floor,
+       ROUND(SUM(CEIL(l_quantity / 7.0)), 6)     AS s_ceil,
+       ROUND(SUM(GREATEST(l_discount, l_tax)), 6) AS s_maxof,
+       ROUND(SUM(LEAST(l_discount, l_tax)), 6)   AS s_minof
+FROM lineitem
+""",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import elementwise as E
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        _r6(F.sum(E.sin("l_discount"))).alias("s_sin"),
+        _r6(F.sum(E.cos("l_discount"))).alias("s_cos"),
+        _r6(F.sum(E.sqrt("l_quantity"))).alias("s_sqrt"),
+        _r6(F.sum(E.log("l_extendedprice"))).alias("s_log"),
+        _r6(F.sum(E.exp("l_discount"))).alias("s_exp"),
+        _r6(F.sum(E.pow("l_tax", F.lit(2)))).alias("s_pow"),
+        _r6(F.sum(E.abs(F.col("l_quantity") - 25))).alias("s_abs"),
+        _r6(F.sum(E.floor(F.col("l_extendedprice") / 1000))).alias("s_floor"),
+        _r6(F.sum(E.ceil(F.col("l_quantity") / 7.0))).alias("s_ceil"),
+        _r6(F.sum(E.maxof("l_discount", "l_tax"))).alias("s_maxof"),
+        _r6(F.sum(E.minof("l_discount", "l_tax"))).alias("s_minof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIKE / ILIKE + iif + cast (cs_like/cs_ilike/cs_iif/cs_cast, §2.3).
+# ---------------------------------------------------------------------------
+@query(
+    "like_iif_cast",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN event_type LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like,
+       CAST(SUM(CASE WHEN event_type ILIKE 'S%P' THEN 1 ELSE 0 END) AS BIGINT) AS n_ilike,
+       ROUND(SUM(CASE WHEN value > 50 THEN value ELSE -value END), 6) AS iif_sum,
+       CAST(SUM(CAST(TRUNC(value) AS BIGINT)) AS BIGINT) AS cast_sum
+FROM events
+""",
+)
+def like_iif_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions import elementwise as E
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.sum(E.like("event_type", "c%").cast("long")).alias("n_like"),
+        F.sum(E.ilike("event_type", "S%P").cast("long")).alias("n_ilike"),
+        _r6(F.sum(E.iif(F.col("value") > 50, F.col("value"), -F.col("value")))).alias("iif_sum"),
+        F.sum(E.cast("value", "long")).alias("cast_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zero-cross (cs_cross) — per-user crossings of the centered value series.
+# The testdata has no exact zeros, so the zero-run adjustment (covered by
+# golden tests) is inert and the SQL oracle is a plain sign-flip filter.
+# ---------------------------------------------------------------------------
+@query(
+    "cross",
+    oracle="""
+WITH posed AS (
+  SELECT user_id, value - 50.0 AS v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos, ts
+  FROM events
+), signs AS (
+  SELECT user_id, pos, SIGN(v) AS s, LAG(SIGN(v)) OVER (PARTITION BY user_id ORDER BY ts) AS ps
+  FROM posed
+), flips AS (
+  SELECT user_id, pos FROM signs WHERE s <> 0 AND ps IS NOT NULL AND ps <> 0 AND s <> ps
+)
+SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos) - 1 AS BIGINT) AS pos,
+       CAST(pos AS BIGINT) AS val
+FROM flips
+""",
+)
+def cross_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import timeseries
+
+    posed = _events_posed(spark, sf_dir).withColumn("val", F.col("value") - 50.0)
+    return timeseries.cross(posed.select("user_id", "pos", "val"), 0, "val", ["user_id"])
+
+
+# ---------------------------------------------------------------------------
+# Local extrema (cs_extrema) — per-user extremum positions of the value
+# series (no ties in the data → plateau handling inert; golden tests cover
+# plateaus exactly).
+# ---------------------------------------------------------------------------
+@query(
+    "extrema",
+    oracle="""
+WITH posed AS (
+  SELECT user_id, value AS v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos, ts
+  FROM events
+), steps AS (
+  SELECT user_id, pos, ts, SIGN(v - LAG(v) OVER (PARTITION BY user_id ORDER BY ts)) AS t
+  FROM posed
+), trends AS (
+  SELECT user_id, pos, t, LAG(t) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+  FROM steps
+), flips AS (
+  SELECT user_id, pos - 1 AS epos FROM trends
+  WHERE t IS NOT NULL AND pt IS NOT NULL AND t <> 0 AND pt <> 0 AND t <> pt
+)
+SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epos) - 1 AS BIGINT) AS pos,
+       CAST(epos AS BIGINT) AS val
+FROM flips
+""",
+)
+def extrema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import timeseries
+
+    posed = _events_posed(spark, sf_dir)
+    return timeseries.extrema(
+        posed.select("user_id", "pos", F.col("value").alias("val")), 0, "val", ["user_id"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# EMA / ATR recurrences (cs_window_ema / cs_window_atr) — sequential
+# recurrences, not ANSI-SQL-expressible → rows-only here; exact-value parity
+# is covered by golden tests (tests/test_golden_vectors.py).
+# ---------------------------------------------------------------------------
+@query("ema_atr", oracle=None)
+def ema_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import windows
+
+    posed = _events_posed(spark, sf_dir)
+    out = windows.ema(posed, 10, "value", ["user_id"], "ema")
+    out = windows.atr(out, 10, "value", ["user_id"], "atr")
+    return out.select(
+        "user_id", "pos", _r6(F.col("ema")).alias("ema"), _r6(F.col("atr")).alias("atr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-slice + projection (TABLE_get + cs_project): the reference's
+# flagship access pattern — slice one series by time range, project columns.
+# ---------------------------------------------------------------------------
+@query(
+    "slice_project",
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS o_totalprice
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate <= TIMESTAMP '1996-12-31'
+  AND o_orderstatus = 'F'
+""",
+)
+def slice_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .table import Engine
+
+    eng = Engine(spark)
+    t = eng.create("orders", _t(spark, sf_dir, "orders"), "o_orderdate", "o_orderstatus")
+    sliced = t.get("F", "1996-01-01", "1996-12-31 23:59:59")
+    return sliced.select("o_orderkey", "o_custkey", _r6(F.col("o_totalprice")).alias("o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# Literal-series spec ops (reference sql/spec.sql shapes): stretch,
+# stretch0, join_pos, asof_join_pos, union over literal vectors, verified
+# against VALUES-based oracles — operator-level parity checks the driver
+# can hash.
+# ---------------------------------------------------------------------------
+@query(
+    "spec_literal_ops",
+    oracle="""
+SELECT * FROM (VALUES
+  ('stretch',  0, 1.1), ('stretch', 1, 2.2), ('stretch', 2, 2.2), ('stretch', 3, 1.0), ('stretch', 4, 1.0),
+  ('stretch0', 0, 0.0), ('stretch0', 1, 1.1), ('stretch0', 2, 1.2), ('stretch0', 3, 1.3), ('stretch0', 4, 0.0),
+  ('join_pos', 0, 1.0), ('join_pos', 1, 3.0),
+  ('asof_pos', 0, 1.0), ('asof_pos', 1, 3.0),
+  ('union',    0, 1.0), ('union', 1, 2.0), ('union', 2, 3.0), ('union', 3, 5.0),
+  ('union',    4, 5.0), ('union', 5, 6.0), ('union', 6, 7.0), ('union', 7, 8.0)
+) AS t(op, pos, val)
+""",
+)
+def spec_literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins
+    from .series import seq
+
+    ts1 = seq(spark, [1, 2, 3, 4, 5], "int")
+    ts2 = seq(spark, [2, 4], "int")
+    vals = seq(spark, [1.1, 2.2])
+    st = joins.stretch(ts1, ts2, vals, 1.0).withColumn("op", F.lit("stretch"))
+
+    s1 = seq(spark, [1, 2, 3, 5], "int")
+    s2 = seq(spark, [2, 3, 4], "int")
+    sv = seq(spark, [1.1, 1.2, 1.3])
+    st0 = joins.stretch0(s1, s2, sv, 0.0).withColumn("op", F.lit("stretch0"))
+
+    a = seq(spark, [0, 2, 3, 8, 10], "int")
+    b = seq(spark, [1, 3, 6, 10], "int")
+    jp = joins.join_pos(a, b).withColumn("op", F.lit("join_pos"))
+
+    aa = seq(spark, [4, 9], "int")
+    ap = joins.asof_join_pos(aa, b).withColumn("op", F.lit("asof_pos"))
+
+    u1 = seq(spark, [1, 5, 7, 8], "int")
+    u2 = seq(spark, [2, 3, 5, 6], "int")
+    un = joins.union_merge(u1, u2).withColumn("op", F.lit("union"))
+
+    parts = [
+        df.select("op", F.col("pos").cast("int").alias("pos"), F.col("val").cast("double").alias("val"))
+        for df in (st, st0, jp, ap, un)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,120 @@
+"""Sources & compat conversions: literal parsing, array bridges, UDF
+call — the periphery of SURVEY §2.1/§2.9.
+
+- parse: cs_parse's `'int4:{1,2,3}'` literal syntax → series frame
+  (reference imcs.c:2433-2478, func.c:413-593).
+- to_array / from_array: timeseries ↔ array conversion
+  (cs_to_array/cs_from_array, imcs.c:5532-5715) — collect_list /
+  explode (posexplode keeps the positional spine).
+- call: cs_call(input, funcoid) — element-wise application of an
+  arbitrary function (imcs.c:5467-5531). The Spark-native equivalent is
+  a vectorized pandas_udf; `call` wraps a plain Python scalar fn.
+- str2code / code2str: the reference dictionary-encodes unbounded
+  varchars (imcs.c:2281-2309). Parquet does this internally; provided
+  as explicit helpers for API parity.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..series import POS, VAL, seq
+
+_TYPE_MAP = {
+    "char": "tinyint",
+    "int2": "smallint",
+    "int4": "int",
+    "int8": "bigint",
+    "date": "date",
+    "time": "bigint",
+    "timestamp": "timestamp",
+    "money": "decimal(19,2)",
+    "float4": "float",
+    "float8": "double",
+    "bpchar": "string",
+    "varchar": "string",
+    "text": "string",
+    "bool": "boolean",
+}
+
+_LITERAL_RE = re.compile(r"^\s*(\w+)\s*:\s*\{(.*)\}\s*$", re.S)
+
+
+def parse(spark: SparkSession, literal: str) -> DataFrame:
+    """cs_parse: `'int4:{1,2,3}'` → series frame (pos, val)."""
+    m = _LITERAL_RE.match(literal)
+    if not m:
+        raise ValueError(f"bad timeseries literal: {literal!r}")
+    type_name, body = m.group(1), m.group(2)
+    spark_type = _TYPE_MAP.get(type_name)
+    if spark_type is None:
+        raise ValueError(f"unknown element type {type_name!r}")
+    items = [s.strip() for s in body.split(",") if s.strip() != ""]
+    if spark_type in ("tinyint", "smallint", "int", "bigint"):
+        vals = [int(x) for x in items]
+    elif spark_type in ("float", "double"):
+        vals = [float(x) for x in items]
+    elif spark_type == "boolean":
+        vals = [x.lower() in ("t", "true", "1") for x in items]
+    else:
+        vals = [x.strip("'\"") for x in items]
+    return seq(spark, vals, spark_type)
+
+
+def to_array(df: DataFrame, val_col: str = VAL, pos_col: str = POS) -> Column:
+    """cs_to_array: aggregate the series into one array column (ordered
+    by pos). Use inside .agg(); collects per group, so size-bounded."""
+    return F.array_sort(
+        F.collect_list(F.struct(F.col(pos_col), F.col(val_col)))
+    ).getField(val_col)
+
+
+def from_array(df: DataFrame, array_col: str, val_col: str = VAL) -> DataFrame:
+    """cs_from_array: explode an array column into a series frame,
+    positions from the array index (posexplode)."""
+    return df.select(
+        F.posexplode(array_col).alias(POS, val_col)
+    ).withColumn(POS, F.col(POS).cast("long"))
+
+
+def call(
+    df: DataFrame,
+    fn: Callable,
+    val_col: str = VAL,
+    out_col: str = "call",
+    return_type: str = "double",
+) -> DataFrame:
+    """cs_call: element-wise arbitrary function, vectorized via Arrow
+    (pandas_udf SCALAR) — batches cross the Python boundary once per
+    Arrow batch instead of once per row (the reference pays a PG
+    function call per element, imcs.c:5467-5531)."""
+
+    @pandas_udf(return_type)
+    def _udf(s: pd.Series) -> pd.Series:
+        return s.map(fn)
+
+    return df.withColumn(out_col, _udf(F.col(val_col)))
+
+
+def str2code(df: DataFrame, str_col: str, code_col: str = "code") -> DataFrame:
+    """cs_str2code compat: dense integer codes for strings (dictionary
+    encoding made explicit). Deterministic: codes assigned by sorted
+    string order."""
+    from ..series import zip_with_global_pos
+
+    dictionary = zip_with_global_pos(
+        df.select(str_col).distinct(), [str_col], pos_col=code_col
+    )
+    return df.join(dictionary, str_col)
+
+
+def code2str(coded: DataFrame, dictionary: DataFrame, code_col: str = "code") -> DataFrame:
+    """cs_code2str compat: decode via broadcast join on the dictionary."""
+    return coded.join(F.broadcast(dictionary), code_col)

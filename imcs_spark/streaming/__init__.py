@@ -1,0 +1,90 @@
+"""Structured Streaming ingest — the Spark-native answer to the
+reference's insert-trigger append path (columnar_store_insert_trigger,
+imcs.c:4617-4812, and TABLE_append with ascending-timestamp
+enforcement, imcs.c:4299-4300).
+
+The reference appends row-by-row under a writer lock. Here a stream
+(file source, rate source, Kafka, ...) is appended micro-batch-wise to
+a Parquet-backed series table via foreachBatch; each batch is checked
+for timestamp monotonicity against the running per-series maximum —
+the same out-of-order rejection, but batched and parallel. Late data
+can alternatively be *watermarked* away instead of erroring, which the
+reference cannot express (SURVEY §2.8: it has no watermarks).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def append_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    ts_col: str,
+    id_col: str | None = None,
+    on_violation: str = "error",  # error | drop
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Write a stream into a series table with ordered-append
+    semantics. on_violation='drop' silently discards rows older than
+    the stored per-series max (watermark-style); 'error' raises —
+    matching the reference trigger's behavior."""
+    state: dict = {}
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            current = spark.read.parquet(target_path)
+            if id_col:
+                maxes = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
+            else:
+                maxes = current.agg(F.max(ts_col).alias("_maxts"))
+        except Exception:  # first batch, empty table
+            maxes = None
+        out = batch
+        if maxes is not None:
+            if id_col:
+                out = batch.join(F.broadcast(maxes), id_col, "left")
+            else:
+                out = batch.crossJoin(F.broadcast(maxes))
+            late = out.filter(F.col(ts_col) < F.col("_maxts"))
+            if on_violation == "error":
+                n = late.limit(1).count()
+                if n:
+                    raise ValueError(
+                        f"out-of-order append into {target_path} (batch {batch_id})"
+                    )
+            else:
+                out = out.filter(
+                    F.col("_maxts").isNull() | (F.col(ts_col) >= F.col("_maxts"))
+                )
+            out = out.drop("_maxts")
+        out.write.mode("append").parquet(target_path)
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_agg_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    agg_exprs: list | None = None,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window aggregate with late-data watermark —
+    the streaming counterpart of cs_grid_* positional buckets, keyed by
+    event time instead of position."""
+    aggs = agg_exprs or [F.count(F.lit(1)).alias("cnt")]
+    groups = [F.window(ts_col, window_duration)] + [F.col(c) for c in (group_cols or [])]
+    return stream_df.withWatermark(ts_col, watermark).groupBy(*groups).agg(*aggs)
