@@ -204,6 +204,43 @@ def cut_tail(df: DataFrame, n: int, partition_by=None) -> DataFrame:
     return limit(df, 0, -n - 1, partition_by)
 
 
+def if_streams(
+    cond: DataFrame,
+    a: DataFrame,
+    b: DataFrame,
+    val_col: str = VAL,
+    pos_col: str = POS,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_if (imcs.c:3223-3237, func.c:2559-2681): conditional with
+    *demand-driven* operand consumption — a and b are independent
+    streams; each true cond pulls the next unconsumed element of a,
+    each false cond the next of b (unlike cs_iif, which advances both).
+
+    Declarative formulation: the k-th true condition reads a[k], the
+    k-th false condition reads b[k] — running indices via an exclusive
+    prefix sum, then two position joins. No sequential state needed.
+    """
+    keys = [*partition_by] if partition_by else []
+    w = _w(partition_by, (pos_col,)).rowsBetween(Window.unboundedPreceding, -1)
+    c = F.col(val_col).cast("boolean")
+    idx = cond.withColumn("_true_before", F.coalesce(F.sum(c.cast("long")).over(w), F.lit(0)))
+    idx = idx.withColumn(
+        "_false_before", F.col(pos_col) - F.col("_true_before")
+    ).withColumnRenamed(val_col, "_cond")
+    a_src = a.select(*keys, F.col(pos_col).alias("_true_before"), F.col(val_col).alias("_aval"))
+    b_src = b.select(*keys, F.col(pos_col).alias("_false_before"), F.col(val_col).alias("_bval"))
+    out = (
+        idx.join(a_src, on=keys + ["_true_before"], how="left")
+        .join(b_src, on=keys + ["_false_before"], how="left")
+        .withColumn(
+            val_col,
+            F.when(F.col("_cond").cast("boolean"), F.col("_aval")).otherwise(F.col("_bval")),
+        )
+    )
+    return out.select(*keys, pos_col, val_col)
+
+
 def concat(a: DataFrame, b: DataFrame, pos_col: str = POS) -> DataFrame:
     """cs_concat (op `|||`): sequence concatenation — union with the
     second operand's positions offset by count(a). One tiny count job;

@@ -142,12 +142,14 @@ def quantile(
     arr[count-1]. Selection over the sorted index — only the q+1
     matching rows survive the filter."""
     keys = [*partition_by] if partition_by else []
-    s = _sorted_index(df, val_col, partition_by)
     if keys:
+        s = _sorted_index(df, val_col, partition_by)
         cw = Window.partitionBy(*keys)
         s = s.withColumn("_cnt", F.count(F.lit(1)).over(cw))
     else:
-        total = df.count()
+        from ..series import zip_with_global_pos_and_total
+
+        s, total = zip_with_global_pos_and_total(df, [val_col, POS], pos_col="_sidx")
         s = s.withColumn("_cnt", F.lit(total))
     slots = F.filter(
         F.transform(

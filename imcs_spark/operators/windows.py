@@ -102,23 +102,24 @@ def _recurrence_apply(
     df: DataFrame,
     partition_by: Sequence[str] | None,
     val_col: str,
-    out_col: str,
-    kernel,
+    kernels: dict,
     order_col: str = POS,
 ) -> DataFrame:
-    """Run a per-series sequential kernel as Arrow-batched grouped
-    pandas. kernel(values: pd.Series) -> pd.Series."""
+    """Run per-series sequential kernels as ONE Arrow-batched grouped
+    pandas pass. kernels: {out_col: fn(values: pd.Series) -> pd.Series}
+    — multiple recurrences share the transfer and the sort."""
     keys = list(partition_by) if partition_by else []
     if not keys:
         # single global series: one group — the sequential fallback the
         # reference also takes for non-context-free ops (imcs.c:1886-1908).
         df = df.withColumn("_g", F.lit(0))
     schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
-    schema = ", ".join(schema_parts + [f"{out_col} double"])
+    schema = ", ".join(schema_parts + [f"{c} double" for c in kernels])
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col)
-        pdf[out_col] = kernel(pdf[val_col]).astype("float64")
+        for out_col, kernel in kernels.items():
+            pdf[out_col] = kernel(pdf[val_col]).astype("float64")
         return pdf
 
     grouped = df.groupBy(*keys) if keys else df.groupBy("_g")
@@ -136,13 +137,19 @@ def ema(
 ) -> DataFrame:
     """cs_window_ema (func.c:1764-1778): e_0 = x_0;
     e_i = p·x_i + (1-p)·e_{i-1}, p = 2/(n+1)."""
+    return _recurrence_apply(
+        df, partition_by, val_col, {out_col: _ema_kernel(n)}, order_col
+    )
+
+
+def _ema_kernel(n: int):
     p = 2.0 / (n + 1)
 
     def kernel(s: pd.Series) -> pd.Series:
         # pandas ewm(adjust=False) is exactly this recurrence.
         return s.astype("float64").ewm(alpha=p, adjust=False).mean()
 
-    return _recurrence_apply(df, partition_by, val_col, out_col, kernel, order_col)
+    return kernel
 
 
 def atr(
@@ -155,7 +162,12 @@ def atr(
 ) -> DataFrame:
     """cs_window_atr (func.c:1779-1790): Wilder smoothing with warm-up:
     r_i = (r_{i-1}·(m-1) + x_i)/m where m = min(i+1, n)."""
+    return _recurrence_apply(
+        df, partition_by, val_col, {out_col: _atr_kernel(n)}, order_col
+    )
 
+
+def _atr_kernel(n: int):
     def kernel(s: pd.Series) -> pd.Series:
         import numpy as np
 
@@ -168,4 +180,24 @@ def atr(
             out[i] = acc
         return pd.Series(out, index=s.index)
 
-    return _recurrence_apply(df, partition_by, val_col, out_col, kernel, order_col)
+    return kernel
+
+
+def recurrences(
+    df: DataFrame,
+    kernels: dict,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+    order_col: str = POS,
+) -> DataFrame:
+    """Run several recurrences over the same series in one Arrow pass.
+    kernels: {out_col: 'ema:N' | 'atr:N' | callable}."""
+    resolved = {}
+    for out_col, k in kernels.items():
+        if callable(k):
+            resolved[out_col] = k
+        else:
+            kind, _, num = k.partition(":")
+            n = int(num)
+            resolved[out_col] = _ema_kernel(n) if kind == "ema" else _atr_kernel(n)
+    return _recurrence_apply(df, partition_by, val_col, resolved, order_col)

@@ -125,6 +125,17 @@ def jaccard_pairs(
     sh = shingles(df.select(id_col, text_col), text_col, shingle_n).select(
         id_col, "shingle"
     )
+    if candidates is not None:
+        # restrict the inverted index to docs that appear in any
+        # candidate pair BEFORE the self-join — without this, common
+        # shingles across the whole corpus blow the join up
+        # quadratically; with it, cost scales with candidate count.
+        cand_docs = (
+            candidates.select(F.col("left_id").alias(id_col))
+            .unionByName(candidates.select(F.col("right_id").alias(id_col)))
+            .distinct()
+        )
+        sh = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
     l = sh.select(F.col(id_col).alias("left_id"), "shingle")
     r = sh.select(F.col(id_col).alias("right_id"), "shingle")

@@ -823,9 +823,10 @@ def extrema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ema_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import windows
 
-    posed = _events_posed(spark, sf_dir)
-    out = windows.ema(posed, 10, "value", ["user_id"], "ema")
-    out = windows.atr(out, 10, "value", ["user_id"], "atr")
+    posed = _events_posed(spark, sf_dir).select("user_id", "pos", "value")
+    out = windows.recurrences(
+        posed, {"ema": "ema:10", "atr": "atr:10"}, "value", ["user_id"]
+    )
     return out.select(
         "user_id", "pos", _r6(F.col("ema")).alias("ema"), _r6(F.col("atr")).alias("atr")
     )

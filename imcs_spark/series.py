@@ -72,6 +72,19 @@ def zip_with_global_pos(
       2. broadcast the cumulative offsets and add the partition-local
          index from ``monotonically_increasing_id``.
     """
+    out, _total = zip_with_global_pos_and_total(df, order_by, pos_col, num_partitions)
+    return out
+
+
+def zip_with_global_pos_and_total(
+    df: DataFrame,
+    order_by: Sequence[str],
+    pos_col: str = POS,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """zip_with_global_pos that also returns the total row count (known
+    for free from the partition-count pass — saves callers a separate
+    count job)."""
     spark = df.sparkSession
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *order_by)
@@ -96,7 +109,7 @@ def zip_with_global_pos(
         .withColumn(pos_col, (F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)) + F.col("_offset")))
         .drop("_mid", "_pid", "_offset")
     )
-    return out
+    return out, running
 
 
 def seq(

@@ -271,3 +271,27 @@ def test_histogram(spark):
     out = grouping.histogram(s, 0.0, 10.0, 5).orderBy("pos")
     # width 2: [0,2)→{0.5,1.5,1.6}, [2,4)→{2.5}, [8,10)→{9.9}; 10.0 excluded
     assert [r["count"] for r in out.collect()] == [3, 1, 0, 0, 1]
+
+
+def test_if_streams_demand_driven(spark):
+    # reference cs_if golden (FIXTURES.md §3): [1,0,1] ? [1,2,3] : [.1,.2,.3]
+    # -> [1.0, 0.1, 2.0]  (streams consumed independently)
+    cond = seq(spark, [1, 0, 1], "int")
+    a = seq(spark, [1.0, 2.0, 3.0])
+    b = seq(spark, [0.1, 0.2, 0.3])
+    out = positional.if_streams(cond, a, b)
+    assert_seq(out, [1.0, 0.1, 2.0])
+
+
+def test_iif_vs_if(spark):
+    # cs_iif advances both sides in lockstep: [1,0,1]?[1,2,3]:[.1,.2,.3]
+    # -> [1.0, 0.2, 3.0]
+    from imcs_spark.functions import elementwise as E
+    from pyspark.sql import functions as F
+
+    cond = seq(spark, [1, 0, 1], "int").withColumnRenamed("val", "c")
+    a = seq(spark, [1.0, 2.0, 3.0]).withColumnRenamed("val", "a")
+    b = seq(spark, [0.1, 0.2, 0.3]).withColumnRenamed("val", "b")
+    df = cond.join(a, "pos").join(b, "pos")
+    out = df.withColumn("val", E.iif(F.col("c"), F.col("a"), F.col("b")))
+    assert_seq(out.select("pos", "val"), [1.0, 0.2, 3.0])
