@@ -27,9 +27,18 @@ def main():
     spark = get_spark("imcs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM, codegen, parquet footer reads
+    # warm-up: JVM, codegen, parquet footer reads, Python/Arrow workers
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).collect()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(s):
+        return s * 1.0
+
+    spark.range(1000).select(_warm(F.col("id").cast("double"))).collect()
 
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():

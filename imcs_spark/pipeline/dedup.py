@@ -61,6 +61,31 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     return df.withColumn("shingle", F.explode(F.array_distinct(sh)))
 
 
+def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Hashed shingle set per document as a long column `shingle` —
+    the scale path: tokens are hashed ONCE, an n-gram's hash is a
+    rotate-XOR combination of its token hashes, so no shingle strings
+    are ever materialized (≈3-4× cheaper than string shingling; hash
+    collisions are harmless for minhash/Jaccard estimation)."""
+    tokens = F.split(_normalize(text_col), " ")
+    out = df.withColumn("_tokh", F.transform(tokens, lambda t: F.xxhash64(t)))
+    m = F.greatest(F.size(F.col("_tokh")) - (n - 1), F.lit(1))
+    # sliding combine via aligned slices + zip_with (vectorized array
+    # ops — per-index element_at lambdas de-optimize to interpreted
+    # evaluation and are ~10× slower)
+    grams = F.slice(F.col("_tokh"), 1, m)
+    for j in range(1, n):
+        shifted = F.slice(F.col("_tokh"), j + 1, m)
+        grams = F.zip_with(
+            grams,
+            shifted,
+            lambda h, nxt: F.shiftleft(h, 13)
+            .bitwiseOR(F.shiftrightunsigned(h, 51))
+            .bitwiseXOR(F.coalesce(nxt, F.lit(-7046029254386353131))),
+        )
+    return out.withColumn("shingle", F.explode(F.array_distinct(grams))).drop("_tokh")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -68,14 +93,22 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """K minhash values per doc: min over shingles of xxhash64(salt_k,
-    shingle). One explode + one groupBy(doc) with K min-aggregates —
-    partial aggregation keeps the shuffle tiny (K longs per doc)."""
-    sh = shingles(df.select(id_col, text_col), text_col, shingle_n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"mh_{k}")
-        for k in range(num_hashes)
-    ]
+    """K minhash values per doc. The K permutations are derived from
+    TWO base xxhash64 values per shingle via XOR-rotate mixing
+    (Kirsch-Mitzenmacher-style double hashing, bit-ops only so ANSI
+    overflow checking never fires) — hashing the string K times would
+    be K× the scan cost. One explode + one groupBy(doc) with K
+    min-aggregates; partial aggregation keeps the shuffle at K longs
+    per doc."""
+    sh = shingle_hashes(df.select(id_col, text_col), text_col, shingle_n)
+    h1 = F.col("shingle")
+    h2 = F.xxhash64(F.col("shingle"))
+    sh = sh.withColumn("_h1", h1).withColumn("_h2", h2)
+    aggs = []
+    for k in range(num_hashes):
+        r = (k * 7) % 63 + 1
+        rot = F.shiftleft("_h2", r).bitwiseOR(F.shiftrightunsigned("_h2", 64 - r))
+        aggs.append(F.min(F.col("_h1").bitwiseXOR(rot).bitwiseXOR(F.lit(k * 0x9E3779B9))).alias(f"mh_{k}"))
     return sh.groupBy(id_col).agg(*aggs)
 
 
@@ -122,20 +155,19 @@ def jaccard_pairs(
     """True n-gram Jaccard similarity per pair via inverted-index join
     on shared shingles. With `candidates`, restricted to those pairs
     (semi-join pushdown before the heavy join)."""
-    sh = shingles(df.select(id_col, text_col), text_col, shingle_n).select(
-        id_col, "shingle"
-    )
+    src = df.select(id_col, text_col)
     if candidates is not None:
-        # restrict the inverted index to docs that appear in any
-        # candidate pair BEFORE the self-join — without this, common
-        # shingles across the whole corpus blow the join up
-        # quadratically; with it, cost scales with candidate count.
+        # restrict to docs that appear in any candidate pair BEFORE
+        # shingling — shingle cost and the inverted-index self-join
+        # then scale with candidate count, not corpus size (without
+        # this, common shingles blow the join up quadratically).
         cand_docs = (
             candidates.select(F.col("left_id").alias(id_col))
             .unionByName(candidates.select(F.col("right_id").alias(id_col)))
             .distinct()
         )
-        sh = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+        src = src.join(F.broadcast(cand_docs), id_col, "left_semi")
+    sh = shingle_hashes(src, text_col, shingle_n).select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_size"))
     l = sh.select(F.col(id_col).alias("left_id"), "shingle")
     r = sh.select(F.col(id_col).alias("right_id"), "shingle")

@@ -906,3 +906,73 @@ def spec_literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Star join — beyond the reference (it cannot join tables, about.txt:86);
+# native in Spark and required at 100 TB: dimensions broadcast, the fact
+# table never shuffles for the join (only for the aggregate).
+# ---------------------------------------------------------------------------
+@query(
+    "star_join",
+    oracle="""
+SELECT n.n_name, r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS orders_cnt,
+       ROUND(SUM(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY n.n_name, r.r_name
+""",
+)
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name", "r_name").agg(
+        F.count(F.lit(1)).alias("orders_cnt"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: join + filter + group + top-N — the canonical
+# fact-to-fact join with rank-limit output.
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q3_shape",
+    oracle="""
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       o.o_orderdate
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)
+def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderdate"
+    )
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
