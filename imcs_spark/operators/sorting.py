@@ -149,7 +149,9 @@ def quantile(
     else:
         from ..series import zip_with_global_pos_and_total
 
-        s, total = zip_with_global_pos_and_total(df, [val_col, POS], pos_col="_sidx")
+        s, total = zip_with_global_pos_and_total(
+            df, [val_col, POS], pos_col="_sidx", persist=True
+        )
         s = s.withColumn("_cnt", F.lit(total))
     slots = F.filter(
         F.transform(

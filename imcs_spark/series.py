@@ -81,10 +81,18 @@ def zip_with_global_pos_and_total(
     order_by: Sequence[str],
     pos_col: str = POS,
     num_partitions: int | None = None,
+    persist: bool = False,
 ) -> tuple[DataFrame, int]:
     """zip_with_global_pos that also returns the total row count (known
     for free from the partition-count pass — saves callers a separate
-    count job)."""
+    count job).
+
+    persist=True materializes the range-shuffled sort once (memory-
+    and-disk) so the counting job and the caller's job don't each
+    redo the range-partitioner sampling and shuffle — the equivalent
+    of a sort-based engine keeping its sorted run on disk. The cache
+    is left to Spark's LRU (caller may unpersist via the returned
+    frame's lineage)."""
     spark = df.sparkSession
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *order_by)
@@ -93,6 +101,8 @@ def zip_with_global_pos_and_total(
     part = part.sortWithinPartitions(*order_by)
     mid = part.withColumn("_mid", F.monotonically_increasing_id())
     mid = mid.withColumn("_pid", F.shiftright("_mid", 33))
+    if persist:
+        mid = mid.persist()
     counts = (
         mid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
     )
