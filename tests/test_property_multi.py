@@ -1,0 +1,245 @@
+"""Randomized multi-series property tests.
+
+20 seeded random series ride in ONE DataFrame (case id = series key);
+each operator runs partitioned by case and every series is compared to
+a pure-Python model of the reference semantics. This exercises the
+partition_by code paths (the shape that matters at scale) and the
+operator semantics at once.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+N_CASES = 20
+LEN = 40
+
+
+def _cases(value_gen):
+    rng = random.Random(42)
+    return {c: [value_gen(rng) for _ in range(LEN)] for c in range(N_CASES)}
+
+
+def _frame(spark, cases, typ="double"):
+    rows = [(c, i, v) for c, vals in cases.items() for i, v in enumerate(vals)]
+    return spark.createDataFrame(rows, f"case int, pos long, val {typ}")
+
+
+def _collect(df, cols):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["case"], []).append(tuple(r[c] for c in ["pos"] + cols))
+    return {c: [t[1:] for t in sorted(v)] for c, v in out.items()}
+
+
+# --- python models of reference semantics ----------------------------------
+def model_trend(vals):
+    out, t = [], 0
+    for i, v in enumerate(vals):
+        if i > 0:
+            t = -1 if v < vals[i - 1] else 1 if v > vals[i - 1] else t
+        out.append(t)
+    return out
+
+
+def model_diff(vals):
+    return [0 if i == 0 else v - vals[i - 1] for i, v in enumerate(vals)]
+
+
+def model_rank(vals):
+    s = sorted(vals)
+    return [s.index(v) + 1 for v in vals]
+
+
+def model_dense_rank(vals):
+    s = sorted(set(vals))
+    return [s.index(v) + 1 for v in vals]
+
+
+def model_moving_sum(vals, n):
+    return [sum(vals[max(0, i - n + 1) : i + 1]) for i in range(len(vals))]
+
+
+def model_cum_max(vals):
+    out, m = [], None
+    for v in vals:
+        m = v if m is None else max(m, v)
+        out.append(m)
+    return out
+
+
+def model_run_sums(vals, groups):
+    runs, cur_g = [], object()
+    for g, v in zip(groups, vals):
+        if g != cur_g:
+            runs.append([g, 0.0, 0])
+            cur_g = g
+        runs[-1][1] += v
+        runs[-1][2] += 1
+    return runs
+
+
+def model_cross(vals):
+    out, prev, nz = [], 0, 0
+    for i, v in enumerate(vals):
+        s = -1 if v < 0 else 1 if v > 0 else 0
+        if s != prev:
+            if (prev & s) != 0:
+                out.append(i - nz)
+            if s != 0:
+                prev, nz = s, 0
+            else:
+                nz += 1
+    return out
+
+
+def model_extrema(vals, first=0):
+    out, prev_t = [], 0
+    for i in range(1, len(vals)):
+        t = -1 if vals[i] < vals[i - 1] else 1 if vals[i] > vals[i - 1] else 0
+        if t != prev_t:
+            if (prev_t & t) != 0 and (first == 0 or prev_t == first):
+                out.append(i - 1)
+            if t != 0:
+                prev_t = t
+    return out
+
+
+def model_ema(vals, n):
+    p = 2.0 / (n + 1)
+    out = []
+    for i, v in enumerate(vals):
+        out.append(v if i == 0 else v * p + out[-1] * (1 - p))
+    return out
+
+
+def model_atr(vals, n):
+    out, acc = [], 0.0
+    for i, v in enumerate(vals):
+        m = min(i + 1, n)
+        acc = (acc * (m - 1) + v) / m
+        out.append(acc)
+    return out
+
+
+def model_quantile(vals, q):
+    s = sorted(vals)
+    c = len(s)
+    return [s[c * i // q] for i in range(q)] + [s[-1]]
+
+
+# --- tests ------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def floats(spark):
+    cases = _cases(lambda rng: round(rng.uniform(-100, 100), 3))
+    return cases, _frame(spark, cases)
+
+
+@pytest.fixture(scope="module")
+def ints(spark):
+    cases = _cases(lambda rng: rng.randint(-3, 3))
+    return cases, _frame(spark, cases, "int")
+
+
+def test_trend_property(floats, spark):
+    from imcs_spark.operators import timeseries
+
+    cases, df = floats
+    got = _collect(timeseries.trend(df, "val", ["case"]), ["trend"])
+    for c, vals in cases.items():
+        assert [t[0] for t in got[c]] == model_trend(vals), f"case {c}"
+
+
+def test_diff_property(floats, spark):
+    from imcs_spark.operators import timeseries
+
+    cases, df = floats
+    got = _collect(timeseries.diff(df, "val", ["case"]), ["diff"])
+    for c, vals in cases.items():
+        expect = model_diff(vals)
+        for (g,), e in zip(got[c], expect):
+            assert g == pytest.approx(e), f"case {c}"
+
+
+def test_rank_property(floats, spark):
+    from imcs_spark.operators import sorting
+
+    cases, df = floats
+    got = _collect(sorting.rank(df, "val", ["case"]), ["rank"])
+    got_d = _collect(sorting.dense_rank(df, "val", ["case"]), ["dense_rank"])
+    for c, vals in cases.items():
+        assert [t[0] for t in got[c]] == model_rank(vals), f"case {c}"
+        assert [t[0] for t in got_d[c]] == model_dense_rank(vals), f"case {c}"
+
+
+def test_moving_cum_property(floats, spark):
+    from imcs_spark.operators import windows
+
+    cases, df = floats
+    got = _collect(windows.moving_agg(df, "sum", 7, "val", ["case"]), ["window_sum"])
+    got_cm = _collect(windows.cum_agg(df, "max", "val", ["case"]), ["cum_max"])
+    for c, vals in cases.items():
+        for (g,), e in zip(got[c], model_moving_sum(vals, 7)):
+            assert g == pytest.approx(e), f"case {c}"
+        assert [t[0] for t in got_cm[c]] == model_cum_max(vals), f"case {c}"
+
+
+def test_run_groups_property(ints, spark):
+    from imcs_spark.operators import grouping
+
+    cases, dfi = ints
+    df = dfi.withColumn("grp", F.col("val")).withColumn(
+        "val", F.col("val").cast("double")
+    )
+    out = grouping.group_aggs(
+        df, {"s": ("sum", "val"), "n": ("count", "val")}, "grp", ["case"]
+    )
+    got = _collect(out.select("case", "pos", "grp", "s", "n"), ["grp", "s", "n"])
+    for c, vals in cases.items():
+        expect = model_run_sums([float(v) for v in vals], vals)
+        assert len(got[c]) == len(expect), f"case {c}"
+        for (g_grp, g_s, g_n), (e_grp, e_s, e_n) in zip(got[c], expect):
+            assert g_grp == e_grp and g_n == e_n and g_s == pytest.approx(e_s), f"case {c}"
+
+
+def test_cross_property(ints, spark):
+    from imcs_spark.operators import timeseries
+
+    cases, df = ints
+    got = _collect(timeseries.cross(df, 0, "val", ["case"]), ["val"])
+    for c, vals in cases.items():
+        assert [t[0] for t in got.get(c, [])] == model_cross(vals), f"case {c}"
+
+
+def test_extrema_property(ints, spark):
+    from imcs_spark.operators import timeseries
+
+    cases, df = ints
+    for first in (0, 1, -1):
+        got = _collect(timeseries.extrema(df, first, "val", ["case"]), ["val"])
+        for c, vals in cases.items():
+            assert [t[0] for t in got.get(c, [])] == model_extrema(vals, first), (
+                f"case {c} first={first}"
+            )
+
+
+def test_recurrences_property(floats, spark):
+    from imcs_spark.operators import windows
+
+    cases, df = floats
+    out = windows.recurrences(df, {"e": "ema:9", "a": "atr:9"}, "val", ["case"])
+    got = _collect(out.select("case", "pos", "e", "a"), ["e", "a"])
+    for c, vals in cases.items():
+        for (ge, ga), ee, ea in zip(got[c], model_ema(vals, 9), model_atr(vals, 9)):
+            assert ge == pytest.approx(ee) and ga == pytest.approx(ea), f"case {c}"
+
+
+def test_quantile_property(floats, spark):
+    from imcs_spark.operators import sorting
+
+    cases, df = floats
+    out = sorting.quantile(df, 4, "val", ["case"])
+    got = _collect(out.select("case", "pos", "val"), ["val"])
+    for c, vals in cases.items():
+        assert [t[0] for t in got[c]] == pytest.approx(model_quantile(vals, 4)), f"case {c}"
