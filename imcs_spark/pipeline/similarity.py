@@ -119,3 +119,122 @@ def lsh_topk(
         .select(query_id_col, id_col, "cosine", F.col("_rn").alias("rank"))
         .distinct()
     )
+
+
+def _assign_expr(unit_col: str, centroids: list[list[float]]):
+    """0-based nearest-centroid id by cosine, as a pure Column
+    expression (centroid literals inlined into the plan)."""
+    sims = []
+    for cvec in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        sims.append(_dot(unit_col, lit))
+    arr = F.array(*sims)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means on unit vectors, Spark-native Lloyd steps:
+    assignment is a broadcast argmax expression over the corpus (no
+    shuffle of vectors); the update is a posexplode → (cluster, dim)
+    partial-sum aggregate — only K×dim partial states move. Determinis-
+    tic: init picks the n_centroids corpus rows with smallest
+    xxhash64(id, seed)."""
+    import numpy as np
+
+    unit = corpus.select(id_col, F.col(vec_col).alias("_v")).withColumn(
+        "_u", _unit("_v")
+    )
+    init = (
+        unit.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .select("_u")
+        .collect()
+    )
+    centroids = [list(r["_u"]) for r in init]
+    for _ in range(iters):
+        assigned = unit.withColumn("_c", _assign_expr("_u", centroids))
+        sums = (
+            assigned.select("_c", F.posexplode("_u").alias("_d", "_x"))
+            .groupBy("_c", "_d")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        dim = len(centroids[0])
+        acc = {}
+        for r in sums:
+            acc.setdefault(r["_c"], np.zeros(dim))[r["_d"]] = r["_s"] / r["_n"]
+        new = []
+        for ci in range(len(centroids)):
+            if ci in acc:
+                v = acc[ci]
+                norm = float(np.linalg.norm(v)) or 1.0
+                new.append((v / norm).tolist())
+            else:  # empty cluster: keep previous centroid
+                new.append(centroids[ci])
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into coarse cells
+    (spherical k-means), each query probes its n_probe nearest cells,
+    exact cosine re-rank inside. The join shuffles (cell, id, vec) —
+    a 1/(n_centroids/n_probe) fraction of the corpus per query batch
+    instead of a cross product."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, iters, vec_col, id_col, seed
+        )
+    c = (
+        corpus.select(id_col, F.col(vec_col).alias("_cv"))
+        .withColumn("_cu", _unit("_cv"))
+        .withColumn("cell", _assign_expr("_cu", centroids))
+        .drop("_cv")
+    )
+    cents = np.array(centroids)
+    q = queries.select(query_id_col, F.col(vec_col).alias("_qv")).withColumn(
+        "_qu", _unit("_qv")
+    )
+    qrows = q.collect()
+    probe_rows = []
+    for r in qrows:
+        u = np.array(r["_qu"])
+        sims = cents @ u
+        for cell in np.argsort(-sims)[:n_probe]:
+            probe_rows.append((r[query_id_col], int(cell), list(r["_qu"])))
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, f"{query_id_col} long, cell int, _qu array<double>"
+    )
+    scored = c.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", _dot("_cu", "_qu")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("_rn").alias("rank"))
+    )

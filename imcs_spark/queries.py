@@ -976,3 +976,14 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     )
+
+
+@query("ivf_topk", oracle=None)  # approximate — rows-only
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)

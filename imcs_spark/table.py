@@ -177,6 +177,69 @@ class TsTable:
             self.spark, self.name, self._df.limit(0), self.ts_col, self.id_col, self.path
         )
 
+    def empty(self, id_value=None) -> bool:
+        """cs_empty (imcs.c:3613-3668)."""
+        return self.get(id_value).limit(1).count() == 0
+
+    def join(
+        self,
+        probe: DataFrame,
+        direction: int = 0,
+        right_cols: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """TABLE_join: join a probe frame against this table's sorted
+        timestamp; direction -1/0/+1 = preceding/exact/succeeding
+        (imcs--1.1.sql:334-347)."""
+        from .operators.joins import table_join
+
+        by = [self.id_col] if self.id_col else None
+        return table_join(probe, self._df, self.ts_col, direction, by, right_cols)
+
+    # --- versioned persistence ---------------------------------------
+    # The reference mutates shared memory under a single-writer lock
+    # (MURSIW, imcs.c:893-904). Parquet is immutable, so mutation is
+    # modeled as versioned snapshots: each save writes data/v=N and
+    # atomically repoints a tiny _VERSION file — readers of an open
+    # version are never disturbed, and concurrent writers conflict on
+    # the rename (single-writer, multi-reader).
+    def save(self, path: str | None = None) -> "TsTable":
+        import json
+        import time as _time
+
+        base = path or self.path
+        if base is None:
+            raise ValueError("no storage path bound; pass path=")
+        version = int(_time.time() * 1000)
+        data_dir = os.path.join(base, f"v={version}")
+        writer = self._df
+        if self.id_col:
+            writer = writer.repartition(self.id_col).sortWithinPartitions(
+                self.id_col, self.ts_col
+            )
+        else:
+            writer = writer.sortWithinPartitions(self.ts_col)
+        writer.write.mode("overwrite").parquet(data_dir)
+        tmp = os.path.join(base, "_VERSION.tmp")
+        final = os.path.join(base, "_VERSION")
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "ts_col": self.ts_col, "id_col": self.id_col}, f)
+        os.replace(tmp, final)  # atomic pointer swap
+        return TsTable(
+            self.spark, self.name, self.spark.read.parquet(data_dir),
+            self.ts_col, self.id_col, base,
+        )
+
+    @classmethod
+    def open(cls, spark: SparkSession, name: str, base: str) -> "TsTable":
+        import json
+
+        with open(os.path.join(base, "_VERSION")) as f:
+            meta = json.load(f)
+        data_dir = os.path.join(base, f"v={meta['version']}")
+        return cls(
+            spark, name, spark.read.parquet(data_dir), meta["ts_col"], meta["id_col"], base
+        )
+
 
 class Engine:
     """Facade: the cs_create catalog (reference shared-memory hash

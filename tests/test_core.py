@@ -107,3 +107,34 @@ def test_project_positions(quote, spark):
     positions = seq(spark, [0, 2], "long").select(F.col("val").alias("pos"))
     out = quote.project(["close"], positions).filter(F.col("symbol") == "IBM")
     assert [r["close"] for r in out.collect()] == [10.5, 30.2]
+
+
+def test_empty_and_table_join(quote, spark):
+    assert not quote.empty("IBM")
+    assert quote.truncate().empty()
+    probe = spark.createDataFrame(
+        [("IBM", datetime.date(2013, 11, 3))], "symbol string, day date"
+    )
+    # preceding: last stored day <= probe day (2013-11-02)
+    out = quote.join(probe, direction=-1, right_cols=["close", "volume"])
+    row = out.collect()[0]
+    assert row["volume"] == 200
+    # succeeding: first stored day >= probe day (2013-11-04)
+    out2 = quote.join(probe, direction=1, right_cols=["volume"])
+    assert out2.collect()[0]["volume"] == 300
+
+
+def test_versioned_save_open(quote, spark, tmp_path):
+    base = str(tmp_path / "quote_store")
+    saved = quote.save(base)
+    assert saved.count("IBM") == 5
+    reopened = type(quote).open(spark, "quote", base)
+    assert reopened.count("IBM") == 5
+    # append + save produces a new version; old reader handle still valid
+    new = reopened.append(
+        spark.createDataFrame(
+            [("IBM", datetime.date(2013, 11, 8), 1.0, 1.0, 1.0, 1.0, 1)], QUOTE_SCHEMA
+        )
+    ).save(base)
+    assert type(quote).open(spark, "quote", base).count("IBM") == 6
+    assert saved.count("IBM") == 5  # old snapshot untouched

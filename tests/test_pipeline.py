@@ -131,3 +131,15 @@ def test_multimodal_features(spark):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"x", "image/png")
+
+
+def test_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=3)
+    rows = out.collect()
+    assert len(rows) == 9
+    self_hits = [r for r in rows if r["query_id"] == r["vec_id"]]
+    assert len(self_hits) == 3  # own cell is always probed
+    for r in self_hits:
+        assert r["rank"] == 1
