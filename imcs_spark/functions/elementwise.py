@@ -197,6 +197,21 @@ def cast(a, to_type: str) -> Column:
     return _c(a).cast(to_type)
 
 
+# --- money (reference stores cents in int64; imcs.c:2064-2071) ---
+def to_money(a) -> Column:
+    """Dollars → cent-scaled DecimalType(19,2), the engine's money
+    representation (reference imcs_double2money)."""
+    return _c(a).cast("decimal(19,2)")
+
+
+def money_to_cents(a) -> Column:
+    return (_c(a).cast("decimal(19,2)") * 100).cast("long")
+
+
+def cents_to_money(a) -> Column:
+    return (_c(a).cast("decimal(21,0)") / 100).cast("decimal(19,2)")
+
+
 # --- date parts (imcs.c:5280-5419) ---
 def year(a) -> Column:
     return F.year(_c(a))

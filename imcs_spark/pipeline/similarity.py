@@ -151,6 +151,9 @@ def train_ivf_centroids(
     unit = corpus.select(id_col, F.col(vec_col).alias("_v")).withColumn(
         "_u", _unit("_v")
     )
+    # each Lloyd step + init re-reads the normalized corpus: materialize
+    # it once (spill-backed) for the duration of training
+    unit = unit.persist()
     init = (
         unit.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(n_centroids)
@@ -179,6 +182,7 @@ def train_ivf_centroids(
             else:  # empty cluster: keep previous centroid
                 new.append(centroids[ci])
         centroids = new
+    unit.unpersist()
     return centroids
 
 

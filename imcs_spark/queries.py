@@ -986,4 +986,60 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
+    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Global positional spine via the scalable two-pass zip (no single-
+# partition window) — validated against the oracle's global row_number.
+# (user_id, ts) → a total order since event ids are unique per (ts).
+# ---------------------------------------------------------------------------
+@query(
+    "global_pos",
+    oracle="""
+WITH posed AS (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS pos FROM events
+)
+SELECT CAST(pos AS BIGINT) AS pos, event_id FROM posed WHERE pos % 997 = 0
+""",
+)
+def global_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .series import zip_with_global_pos
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    posed = zip_with_global_pos(ev, ["ts", "event_id"])
+    return posed.filter(F.col("pos") % 997 == 0).select("pos", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap-based session ids per user (the time-based sibling
+# of run grouping; standard OLAP pattern the engine should own).
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 6) AS session_value
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .series import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, "ts", 3600.0, ["user_id"])
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r6(F.sum("value")).alias("session_value"),
+    )

@@ -171,6 +171,30 @@ def run_id(
     return df.withColumn(out_col, F.sum(change).over(w) - F.lit(1))
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap,
+    partition_by: Sequence[str] | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event exceeds `gap` (same units as ts_col differences, or
+    a Column expression). The time-based sibling of run_id — one window
+    chain, parallel across series."""
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(ts_col)
+    else:
+        w = Window.orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap_expr = gap if isinstance(gap, Column) else F.lit(gap)
+    new_session = F.when(
+        prev.isNull() | (F.col(ts_col).cast("double") - prev.cast("double") > gap_expr),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return df.withColumn(out_col, F.sum(new_session).over(w) - F.lit(1))
+
+
 def count_series(df: DataFrame, partition_by: Sequence[str] | None = None) -> DataFrame | int:
     """Element count per series (TABLE_count, reference btree.c:349-383)."""
     if partition_by:
