@@ -1043,3 +1043,142 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         _r6(F.sum("value")).alias("session_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Literal-series positional transforms vs VALUES oracles (reference
+# sql/transform.sql shapes): unique, reverse, repeat, limit family, map,
+# filter_pos, demand-driven cs_if.
+# ---------------------------------------------------------------------------
+@query(
+    "transform_literal_ops",
+    oracle="""
+SELECT * FROM (VALUES
+  ('unique',  0, 1.0), ('unique', 1, 2.0), ('unique', 2, 1.0), ('unique', 3, 3.0),
+  ('reverse', 0, 3.0), ('reverse', 1, 2.0), ('reverse', 2, 1.0),
+  ('repeat',  0, 1.0), ('repeat', 1, 1.0), ('repeat', 2, 2.0), ('repeat', 3, 2.0),
+  ('limit',   0, 20.0), ('limit', 1, 30.0), ('limit', 2, 40.0),
+  ('tail',    0, 40.0), ('tail', 1, 50.0),
+  ('map',     0, 40.0), ('map', 1, 10.0),
+  ('fpos',    0, 0.0), ('fpos', 1, 2.0),
+  ('if',      0, 1.0), ('if', 1, 0.1), ('if', 2, 2.0)
+) AS t(op, pos, val)
+""",
+)
+def transform_literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import positional
+    from .series import seq
+
+    uq = positional.unique(seq(spark, [1, 1, 2, 2, 2, 1, 3], "double")).withColumn("op", F.lit("unique"))
+    rv = positional.reverse(seq(spark, [1.0, 2.0, 3.0])).withColumn("op", F.lit("reverse"))
+    rp = positional.repeat(seq(spark, [1.0, 2.0]), 2).withColumn("op", F.lit("repeat"))
+    lm = positional.limit(seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 1, 3).withColumn("op", F.lit("limit"))
+    tl = positional.tail(seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 2).withColumn("op", F.lit("tail"))
+    mp = positional.map_positions(
+        seq(spark, [10.0, 20.0, 30.0, 40.0]), seq(spark, [3, 0], "long")
+    ).withColumn("op", F.lit("map"))
+    fp = positional.filter_pos(
+        seq(spark, [1, 0, 1], "int"), F.col("val") != 0
+    ).withColumn("val", F.col("val").cast("double")).withColumn("op", F.lit("fpos"))
+    ifs = positional.if_streams(
+        seq(spark, [1, 0, 1], "int"), seq(spark, [1.0, 2.0, 3.0]), seq(spark, [0.1, 0.2, 0.3])
+    ).withColumn("op", F.lit("if"))
+    parts = [
+        d.select("op", F.col("pos").cast("int").alias("pos"), F.col("val").cast("double").alias("val"))
+        for d in (uq, rv, rp, lm, tl, mp, fp, ifs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rank / dense-rank on real data, per series (cs_rank in original order).
+# ---------------------------------------------------------------------------
+@query(
+    "rank_events",
+    oracle="""
+WITH posed AS (
+  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
+  FROM events
+)
+SELECT user_id, pos,
+       CAST(RANK() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rank,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS dense_rank
+FROM posed
+""",
+)
+def rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sorting
+
+    posed = _events_posed(spark, sf_dir).select("user_id", "pos", F.col("value").alias("val"))
+    out = sorting.rank(posed, "val", ["user_id"])
+    out = sorting.dense_rank(out, "val", ["user_id"])
+    return out.select("user_id", "pos", "rank", "dense_rank")
+
+
+# ---------------------------------------------------------------------------
+# cs_norm on real data: value / sqrt(Σ value²) per series.
+# ---------------------------------------------------------------------------
+@query(
+    "norm_events",
+    oracle="""
+WITH posed AS (
+  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
+  FROM events
+)
+SELECT user_id, pos,
+       ROUND(value / SQRT(SUM(value * value) OVER (PARTITION BY user_id)), 6) AS norm
+FROM posed
+""",
+)
+def norm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import timeseries
+
+    posed = _events_posed(spark, sf_dir).select("user_id", "pos", F.col("value").alias("val"))
+    out = timeseries.norm(posed, "val", ["user_id"])
+    return out.select("user_id", "pos", _r6(F.col("norm")).alias("norm"))
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join on real data — the reference's distinctive semantics
+# (closest match, ties backward). Oracle: backward + forward ASOF joins,
+# pick the closer side.
+# ---------------------------------------------------------------------------
+@query(
+    "asof_nearest",
+    oracle="""
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     purch  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     back AS (
+       SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.value AS bval
+       FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+     ),
+     fwd AS (
+       SELECT c.event_id, p.ts AS fts, p.value AS fval
+       FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts <= p.ts
+     )
+SELECT b.event_id, b.user_id,
+       ROUND(CASE
+         WHEN f.fts IS NULL THEN b.bval
+         WHEN b.bts IS NULL THEN f.fval
+         WHEN EPOCH(b.ts) - EPOCH(b.bts) <= EPOCH(f.fts) - EPOCH(b.ts) THEN b.bval
+         ELSE f.fval END, 6) AS nearest_purchase_value
+FROM back b JOIN fwd f USING (event_id)
+""",
+)
+def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("pvalue")
+    )
+    out = joins.asof_join(
+        clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"], direction="nearest"
+    )
+    return out.select(
+        "event_id", "user_id", _r6(F.col("pvalue")).alias("nearest_purchase_value")
+    )
