@@ -201,3 +201,216 @@ def recurrences(
             n = int(num)
             resolved[out_col] = _ema_kernel(n) if kind == "ema" else _atr_kernel(n)
     return _recurrence_apply(df, partition_by, val_col, resolved, order_col)
+
+
+# ---------------------------------------------------------------------------
+# Scalable GLOBAL-series paths. A global Window.orderBy collapses to one
+# partition; these two-phase formulations keep every stage parallel, the
+# pattern the reference could not express (its fallback was running
+# non-context-free ops single-threaded, imcs.c:1886-1908).
+# ---------------------------------------------------------------------------
+def cum_agg_global(
+    df: DataFrame,
+    agg: str,
+    val_col: str = VAL,
+    out_col: str | None = None,
+    pos_col: str = POS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cumulative aggregate over ONE giant series without a global
+    window: range-partition by pos, cumulate within partitions (window
+    partitioned by physical partition id — parallel), then combine the
+    tiny per-partition totals on the driver into carry-in offsets and
+    broadcast them back. Supported: sum, count, min, max, avg
+    (sum/count composition). Exact, two jobs, no single-node stage."""
+    if agg not in ("sum", "count", "min", "max", "avg"):
+        raise ValueError(f"cum_agg_global: unsupported agg {agg!r}")
+    out_name = out_col or f"cum_{agg}"
+    spark = df.sparkSession
+    part = (
+        df.repartitionByRange(num_partitions, pos_col)
+        if num_partitions
+        else df.repartitionByRange(pos_col)
+    ).sortWithinPartitions(pos_col)
+    pid = part.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(pos_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = F.col(val_col)
+    local = (
+        pid.withColumn("_ls", F.sum(c).over(w))
+        .withColumn("_ln", F.count(c).over(w))
+        .withColumn("_lmin", F.min(c).over(w))
+        .withColumn("_lmax", F.max(c).over(w))
+    )
+    totals = (
+        pid.groupBy("_pid")
+        .agg(
+            F.sum(c).alias("_s"),
+            F.count(c).alias("_n"),
+            F.min(c).alias("_mn"),
+            F.max(c).alias("_mx"),
+        )
+        .orderBy("_pid")
+        .collect()
+    )
+    carry_rows, s_acc, n_acc, mn_acc, mx_acc = [], 0.0, 0, None, None
+    for r in totals:
+        carry_rows.append((r["_pid"], s_acc, n_acc, mn_acc, mx_acc))
+        s_acc += r["_s"] or 0
+        n_acc += r["_n"]
+        mn_acc = r["_mn"] if mn_acc is None else min(mn_acc, r["_mn"])
+        mx_acc = r["_mx"] if mx_acc is None else max(mx_acc, r["_mx"])
+    carries = spark.createDataFrame(
+        carry_rows, "_pid int, _cs double, _cn long, _cmn double, _cmx double"
+    )
+    joined = local.join(F.broadcast(carries), "_pid")
+    expr = {
+        "sum": F.col("_ls") + F.col("_cs"),
+        "count": F.col("_ln") + F.col("_cn"),
+        "avg": (F.col("_ls") + F.col("_cs")) / (F.col("_ln") + F.col("_cn")),
+        "min": F.least(F.col("_lmin"), F.coalesce(F.col("_cmn"), F.col("_lmin"))),
+        "max": F.greatest(F.col("_lmax"), F.coalesce(F.col("_cmx"), F.col("_lmax"))),
+    }[agg]
+    return joined.withColumn(out_name, expr).drop(
+        "_pid", "_ls", "_ln", "_lmin", "_lmax", "_cs", "_cn", "_cmn", "_cmx"
+    )
+
+
+def moving_agg_global(
+    df: DataFrame,
+    agg: str,
+    n: int,
+    val_col: str = VAL,
+    out_col: str | None = None,
+    pos_col: str = POS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Moving-window aggregate over ONE giant series without a global
+    window: range-partition by pos; interior rows use a per-physical-
+    partition window (parallel); only each partition's first n-1 rows
+    need the previous partition's tail, which is shipped as a broadcast
+    of P×(n-1) boundary rows and combined per-row with array
+    aggregation. Exact for sum/avg/min/max/count."""
+    if agg not in _MOVING or agg in ("var", "dev"):
+        if agg not in ("sum", "avg", "min", "max", "count"):
+            raise ValueError(f"moving_agg_global: unsupported agg {agg!r}")
+    out_name = out_col or f"window_{agg}"
+    spark = df.sparkSession
+    part = (
+        df.repartitionByRange(num_partitions, pos_col)
+        if num_partitions
+        else df.repartitionByRange(pos_col)
+    ).sortWithinPartitions(pos_col)
+    pid = part.withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(pos_col)
+    wn = w.rowsBetween(-(n - 1), 0)
+    fn = _MOVING[agg]
+    local = pid.withColumn("_local", fn(F.col(val_col)).over(wn)).withColumn(
+        "_lrn", F.row_number().over(w) - 1
+    )
+    # previous-partition tails: last n-1 values per partition, as arrays
+    wdesc = Window.partitionBy("_pid").orderBy(F.col(pos_col).desc())
+    tails = (
+        pid.withColumn("_rrn", F.row_number().over(wdesc))
+        .filter(F.col("_rrn") <= n - 1)
+        .groupBy("_pid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(pos_col).alias("p"), F.col(val_col).alias("v")))
+            ).alias("_tail")
+        )
+        .select((F.col("_pid") + 1).alias("_pid"), F.col("_tail"))
+    )
+    head = local.filter(F.col("_lrn") < n - 1).join(
+        F.broadcast(tails), "_pid", "left"
+    )
+    # needed = last (n-1-_lrn) of prev tail; combine with own window rows
+    own_prefix = F.array_sort(
+        F.collect_list(F.struct(F.col(pos_col).alias("p"), F.col(val_col).alias("v"))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    take = n - 1 - F.col("_lrn")
+    prev_part = F.when(
+        F.col("_tail").isNull(), F.array().cast("array<struct<p:long,v:double>>")
+    ).otherwise(
+        F.slice(
+            F.col("_tail"),
+            F.greatest(F.size("_tail") - take + 1, F.lit(1)).cast("int"),
+            F.least(take, F.size("_tail")).cast("int"),
+        )
+    )
+    head = head.withColumn("_win", F.concat(prev_part, own_prefix))
+    vals = F.transform(F.col("_win"), lambda s: s["v"].cast("double"))
+    combined = {
+        "sum": F.aggregate(vals, F.lit(0.0), lambda a, x: a + x),
+        "count": F.size(vals).cast("long"),
+        "min": F.array_min(vals),
+        "max": F.array_max(vals),
+        "avg": F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.size(vals),
+    }[agg]
+    head_fixed = head.withColumn("_local", combined).drop("_tail", "_win")
+    interior = local.filter(F.col("_lrn") >= n - 1)
+    out = interior.unionByName(head_fixed).withColumnRenamed("_local", out_name)
+    return out.drop("_pid", "_lrn")
+
+
+def ema_global(
+    df: DataFrame,
+    n: int,
+    val_col: str = VAL,
+    out_col: str = "ema",
+    pos_col: str = POS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EMA over ONE giant series without a sequential bottleneck —
+    linear-recurrence splitting. Each range partition computes a local
+    restart EMA (e restarts at its first element, the per-series
+    kernel); because e_i = a·e_{i-1} + p·x_i is linear with constant
+    a = 1-p, the true value is local plus an exponentially-decayed
+    correction: e_i = l_i + a^(k_i+1)·(carry_j − x_first_j), where
+    carry_j is the true EMA entering partition j. The carries are
+    combined sequentially on the driver over P partitions (not N rows)
+    and broadcast back. Exact to fp rounding; ATR admits the same
+    treatment once past its warm-up."""
+    a = 1.0 - 2.0 / (n + 1)
+    part = (
+        df.repartitionByRange(num_partitions, pos_col)
+        if num_partitions
+        else df.repartitionByRange(pos_col)
+    ).sortWithinPartitions(pos_col)
+    pid = part.withColumn("_pid", F.spark_partition_id())
+    keys = ["_pid"]
+    local = _recurrence_apply(pid, keys, val_col, {"_l": _ema_kernel(n)}, pos_col)
+    w = Window.partitionBy("_pid").orderBy(pos_col)
+    local = local.withColumn("_k", F.row_number().over(w) - 1)
+    stats = (
+        local.groupBy("_pid")
+        .agg(
+            F.min_by(val_col, pos_col).alias("_xf"),
+            F.max_by("_l", pos_col).alias("_ll"),
+            F.count(F.lit(1)).alias("_len"),
+        )
+        .orderBy("_pid")
+        .collect()
+    )
+    carries, carry = [], None
+    for r in stats:
+        carries.append((r["_pid"], carry))
+        if carry is None:
+            carry = r["_ll"]
+        else:
+            carry = r["_ll"] + (a ** r["_len"]) * (carry - r["_xf"])
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(carries, "_pid int, _carry double")
+    joined = local.join(F.broadcast(cdf), "_pid")
+    fixed = F.when(
+        F.col("_carry").isNull(), F.col("_l")
+    ).otherwise(
+        F.col("_l")
+        + F.pow(F.lit(a), F.col("_k") + 1) * (F.col("_carry") - F.first(val_col).over(
+            Window.partitionBy("_pid").orderBy(pos_col).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ))
+    )
+    return joined.withColumn(out_col, fixed).drop("_pid", "_l", "_k", "_carry")

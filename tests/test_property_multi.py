@@ -243,3 +243,63 @@ def test_quantile_property(floats, spark):
     got = _collect(out.select("case", "pos", "val"), ["val"])
     for c, vals in cases.items():
         assert [t[0] for t in got[c]] == pytest.approx(model_quantile(vals, 4)), f"case {c}"
+
+
+def test_global_scalable_windows(spark):
+    """Global-series cum/moving aggregates via the two-phase partition-
+    carry formulation must equal the single-partition window results."""
+    import random
+
+    from imcs_spark.operators import windows
+
+    rng = random.Random(7)
+    vals = [round(rng.uniform(-50, 50), 3) for _ in range(500)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, val double"
+    )
+    got = {
+        r["pos"]: (r["cum_sum"], r["cum_min"])
+        for r in windows.cum_agg_global(
+            windows.cum_agg_global(df, "sum", num_partitions=7),
+            "min",
+            num_partitions=7,
+        ).collect()
+    }
+    run_s, run_m = 0.0, None
+    for i, v in enumerate(vals):
+        run_s += v
+        run_m = v if run_m is None else min(run_m, v)
+        gs, gm = got[i]
+        assert gs == pytest.approx(run_s) and gm == pytest.approx(run_m), i
+
+    mov = {
+        r["pos"]: r["window_sum"]
+        for r in windows.moving_agg_global(df, "sum", 9, num_partitions=7).collect()
+    }
+    for i in range(len(vals)):
+        expect = sum(vals[max(0, i - 8) : i + 1])
+        assert mov[i] == pytest.approx(expect), i
+    mv_min = {
+        r["pos"]: r["window_min"]
+        for r in windows.moving_agg_global(df, "min", 9, num_partitions=7).collect()
+    }
+    for i in range(len(vals)):
+        assert mv_min[i] == pytest.approx(min(vals[max(0, i - 8) : i + 1])), i
+
+
+def test_ema_global_matches_sequential(spark):
+    import random
+
+    from imcs_spark.operators import windows
+
+    rng = random.Random(11)
+    vals = [round(rng.uniform(-10, 10), 3) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, val double"
+    )
+    got = {
+        r["pos"]: r["ema"]
+        for r in windows.ema_global(df, 12, num_partitions=6).collect()
+    }
+    for i, e in enumerate(model_ema(vals, 12)):
+        assert got[i] == pytest.approx(e, rel=1e-9), i
