@@ -1182,3 +1182,59 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", _r6(F.col("pvalue")).alias("nearest_purchase_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# cs_union on real data: order-preserving multiset merge of two sorted
+# value sequences (click vs purchase values).
+# ---------------------------------------------------------------------------
+@query(
+    "union_merge",
+    oracle="""
+WITH u AS (
+  SELECT value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT value FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY value) - 1 AS BIGINT) AS pos,
+       ROUND(value, 6) AS val
+FROM u
+""",
+)
+def union_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select(F.col("value").alias("val"))
+    b = ev.filter(F.col("event_type") == "purchase").select(F.col("value").alias("val"))
+    out = joins.union_merge(a, b)
+    return out.select("pos", _r6(F.col("val")).alias("val"))
+
+
+# ---------------------------------------------------------------------------
+# Pivot — beyond the reference's surface (no relational reshaping there);
+# Spark-native: per-user event-type counts as columns.
+# ---------------------------------------------------------------------------
+@query(
+    "pivot",
+    oracle="""
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+""",
+)
+def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    cols = ["click", "error", "purchase", "signup", "view"]
+    return out.select(
+        "user_id", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cols]
+    )
