@@ -109,22 +109,48 @@ def _recurrence_apply(
     pandas pass. kernels: {out_col: fn(values: pd.Series) -> pd.Series}
     — multiple recurrences share the transfer and the sort."""
     keys = list(partition_by) if partition_by else []
-    if not keys:
-        # single global series: one group — the sequential fallback the
-        # reference also takes for non-context-free ops (imcs.c:1886-1908).
-        df = df.withColumn("_g", F.lit(0))
     schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
     schema = ", ".join(schema_parts + [f"{c} double" for c in kernels])
 
-    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        for out_col, kernel in kernels.items():
-            pdf[out_col] = kernel(pdf[val_col]).astype("float64")
-        return pdf
+    if not keys:
+        # single global series: one sequential group — the fallback the
+        # reference also takes for non-context-free ops (imcs.c:1886-1908);
+        # see ema_global for the scalable splitting alternative.
+        def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_col)
+            for out_col, kernel in kernels.items():
+                pdf[out_col] = kernel(pdf[val_col]).astype("float64")
+            return pdf
 
-    grouped = df.groupBy(*keys) if keys else df.groupBy("_g")
-    out = grouped.applyInPandas(apply_fn, schema=schema)
-    return out.drop("_g") if not keys else out
+        df = df.withColumn("_g", F.lit(0))
+        return (
+            df.groupBy("_g")
+            .applyInPandas(apply_fn, schema="_g int, " + schema)
+            .drop("_g")
+        )
+
+    # Keyed path: mapInPandas over hash-partitioned, (keys, order)-sorted
+    # partitions — ONE Arrow conversion per partition instead of one per
+    # group (groupBy().applyInPandas ships a batch per group, which is
+    # overhead-bound when series are small and numerous). Groups are
+    # contiguous and internally ordered after sortWithinPartitions, so
+    # the kernel loop runs inside pandas.
+    part = df.repartition(*keys).sortWithinPartitions(*keys, order_col)
+
+    def gen(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        outs = {c: pd.Series(index=pdf.index, dtype="float64") for c in kernels}
+        for _, g in pdf.groupby(keys, sort=False):
+            for out_col, kernel in kernels.items():
+                outs[out_col].loc[g.index] = kernel(g[val_col]).astype("float64")
+        for out_col in kernels:
+            pdf[out_col] = outs[out_col]
+        yield pdf
+
+    return part.mapInPandas(gen, schema=schema)
 
 
 def ema(
