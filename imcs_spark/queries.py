@@ -986,7 +986,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=2)
+    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=1)
 
 
 # ---------------------------------------------------------------------------
