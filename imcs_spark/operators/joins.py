@@ -132,11 +132,14 @@ def asof_join(
         and not (direction == "forward" and not strict),
     )
     # ordering: for backward-inclusive and forward-strict, right rows sort
-    # first at equal ts; for backward-strict and forward-inclusive, left first.
+    # first at equal ts; for backward-strict and forward-inclusive, left
+    # first. Payload columns break ties among equal-timestamp right rows
+    # so last()/first() are deterministic regardless of input order.
+    order_cols = ["_ts", "_side"] + [f"_r_{c}" for c in payload]
     if keys:
-        w = Window.partitionBy(*keys).orderBy("_ts", "_side")
+        w = Window.partitionBy(*keys).orderBy(*order_cols)
     else:
-        w = Window.orderBy("_ts", "_side")
+        w = Window.orderBy(*order_cols)
     wback = w.rowsBetween(Window.unboundedPreceding, 0)
     wfwd = w.rowsBetween(0, Window.unboundedFollowing)
 

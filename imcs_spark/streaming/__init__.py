@@ -14,7 +14,7 @@ reference cannot express (SURVEY §2.8: it has no watermarks).
 
 from __future__ import annotations
 
-from typing import Callable
+
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
