@@ -43,6 +43,7 @@ def join_pos(
     right: DataFrame,
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_join_pos (op `<->`): positions in sorted right whose value
     equals some element of sorted left. Sort-merge/broadcast semi-join;
@@ -51,7 +52,7 @@ def join_pos(
     probe = left.select(*keys, val_col).distinct()
     matched = right.join(probe, on=keys + [val_col], how="left_semi")
     out = matched.select(*keys, F.col(POS).cast("long").alias(VAL))
-    return renumber(out, keys or None, order_by=(VAL,))
+    return renumber(out, keys or None, order_by=(VAL,), bounded=bounded)
 
 
 def join_values(
@@ -60,11 +61,12 @@ def join_values(
     values: DataFrame,
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_join: values from `values` at the positions where right
     matches left (values is aligned to right by pos)."""
     keys = [*partition_by] if partition_by else []
-    pos_frame = join_pos(left, right, val_col, partition_by)
+    pos_frame = join_pos(left, right, val_col, partition_by, bounded=bounded)
     vals = values.select(*keys, POS, F.col(val_col).alias("_v"))
     out = pos_frame.join(
         vals.withColumnRenamed(POS, VAL), on=keys + [VAL], how="inner"
@@ -276,6 +278,7 @@ def stretch0(
     filler,
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_stretch0 (func.c:4393-4498): full ordered merge of the two
     timelines — right-side timestamps emit their value (consuming a
@@ -296,14 +299,20 @@ def stretch0(
         F.col("_ts").alias("_order_ts"),
         F.coalesce(F.col("_sval"), F.lit(filler)).alias(val_col),
     )
-    return renumber(out, keys or None, order_by=("_order_ts",)).drop("_order_ts")
+    return renumber(out, keys or None, order_by=("_order_ts",), bounded=bounded).drop("_order_ts")
 
 
 def union_merge(
-    a: DataFrame, b: DataFrame, val_col: str = VAL, partition_by: Sequence[str] | None = None
+    a: DataFrame,
+    b: DataFrame,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_union: order-preserving multiset merge of two sorted
-    sequences — distributed union + range-partitioned sort."""
+    sequences — distributed union + range-partitioned sort (the global
+    path renumbers through zip_with_global_pos: range shuffle +
+    broadcast offsets, never a single-partition window)."""
     keys = [*partition_by] if partition_by else []
     u = a.select(*keys, val_col).unionByName(b.select(*keys, val_col))
-    return renumber(u, keys or None, order_by=(val_col,))
+    return renumber(u, keys or None, order_by=(val_col,), bounded=bounded)

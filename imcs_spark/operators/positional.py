@@ -23,7 +23,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..series import POS, VAL
+from ..series import POS, VAL, zip_with_global_pos
 
 
 def _w(partition_by: Sequence[str] | None, order_by=(POS,)):
@@ -37,9 +37,30 @@ def renumber(
     partition_by: Sequence[str] | None = None,
     order_by: Sequence[str] = (POS,),
     pos_col: str = POS,
+    bounded: bool = False,
 ) -> DataFrame:
-    """Re-densify positions after a subsequence selection."""
-    return df.withColumn(pos_col, F.row_number().over(_w(partition_by, order_by)) - F.lit(1).cast("long"))
+    """Re-densify positions after a subsequence selection.
+
+    With ``partition_by`` this is a per-series window (parallel). For a
+    single global series the default is the distributed two-pass zip
+    (range-partitioned sort + broadcast offsets — no single-partition
+    window); pass ``bounded=True`` only for frames known to be small
+    (literal vectors, bounded slices), where one window over one
+    partition is cheaper than a second job.
+    """
+    if partition_by or bounded:
+        return df.withColumn(
+            pos_col, F.row_number().over(_w(partition_by, order_by)) - F.lit(1).cast("long")
+        )
+    return zip_with_global_pos(df, list(order_by), pos_col=pos_col)
+
+
+def _scalar_count(df: DataFrame, out_col: str = "_cnt") -> DataFrame:
+    """Attach the frame's total row count as a column WITHOUT a
+    single-partition window: broadcast the 1-row count aggregate. The
+    count is deterministic, so re-executing the source lineage on the
+    build side is safe (unlike range-partitioner-dependent schemes)."""
+    return df.crossJoin(F.broadcast(df.agg(F.count(F.lit(1)).cast("long").alias(out_col))))
 
 
 def filter_(
@@ -47,11 +68,12 @@ def filter_(
     cond: Column,
     partition_by: Sequence[str] | None = None,
     renum: bool = True,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_filter (SQL op `?`): keep rows where cond holds. Predicate is
     pushed into the scan by Catalyst when cond references base columns."""
     out = df.filter(cond)
-    return renumber(out, partition_by) if renum else out
+    return renumber(out, partition_by, bounded=bounded) if renum else out
 
 
 def filter_pos(
@@ -59,12 +81,13 @@ def filter_pos(
     cond: Column,
     partition_by: Sequence[str] | None = None,
     pos_col: str = POS,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_filter_pos: original positions where cond holds, as a new
     series (pos, val=original position)."""
     keep = ([*partition_by] if partition_by else []) + [pos_col]
     out = df.filter(cond).select(*keep).withColumnRenamed(pos_col, VAL)
-    return renumber(out, partition_by, order_by=(VAL,))
+    return renumber(out, partition_by, order_by=(VAL,), bounded=bounded)
 
 
 def filter_first_pos(
@@ -73,12 +96,13 @@ def filter_first_pos(
     n: int,
     partition_by: Sequence[str] | None = None,
     pos_col: str = POS,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_filter_first_pos: first n matching positions per series.
     The reference parallelizes this with a position-ordered merge
     (func.c:2931-2980); here row_number + filter — Catalyst executes it
     as a rank-limit per partition."""
-    out = filter_pos(df, cond, partition_by)
+    out = filter_pos(df, cond, partition_by, bounded=bounded)
     return out.filter(F.col(POS) < n)
 
 
@@ -88,10 +112,11 @@ def thin(
     step: int,
     partition_by: Sequence[str] | None = None,
     pos_col: str = POS,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_thin: every step-th element starting at origin."""
     out = df.filter(((F.col(pos_col) - origin) % step == 0) & (F.col(pos_col) >= origin))
-    return renumber(out, partition_by)
+    return renumber(out, partition_by, bounded=bounded)
 
 
 def unique(
@@ -99,15 +124,31 @@ def unique(
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
     pos_col: str = POS,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_unique: collapse *adjacent* duplicates (NOT distinct —
-    reference semantics, func.c:3737-3856)."""
-    w = _w(partition_by, (pos_col,))
-    prev = F.lag(F.col(val_col)).over(w)
-    out = df.withColumn("_prev", prev).filter(
-        F.col("_prev").isNull() | (F.col(val_col) != F.col("_prev"))
-    ).drop("_prev")
-    return renumber(out, partition_by)
+    reference semantics, func.c:3737-3856).
+
+    Per-series (partition_by) and bounded frames use a lag window. The
+    unbounded-global path exploits the dense-pos convention instead:
+    the previous element of row p is the row at p-1, so adjacent-lag is
+    a hash equi-join on pos — fully parallel, no global window."""
+    if partition_by or bounded:
+        w = _w(partition_by, (pos_col,))
+        prev = F.lag(F.col(val_col)).over(w)
+        out = df.withColumn("_prev", prev).filter(
+            F.col("_prev").isNull() | (F.col(val_col) != F.col("_prev"))
+        ).drop("_prev")
+        return renumber(out, partition_by, bounded=bounded)
+    prev_src = df.select(
+        (F.col(pos_col) + 1).alias(pos_col), F.col(val_col).alias("_prev")
+    )
+    out = (
+        df.join(prev_src, pos_col, "left")
+        .filter(F.col("_prev").isNull() | (F.col(val_col) != F.col("_prev")))
+        .drop("_prev")
+    )
+    return renumber(out, None)
 
 
 def reverse(
@@ -119,9 +160,11 @@ def reverse(
     ordering convention is logical)."""
     if partition_by:
         cnt = F.count(F.lit(1)).over(Window.partitionBy(*partition_by))
-    else:
-        cnt = F.count(F.lit(1)).over(Window.partitionBy())
-    return df.withColumn(pos_col, cnt - 1 - F.col(pos_col))
+        return df.withColumn(pos_col, cnt - 1 - F.col(pos_col))
+    # global: broadcast the 1-row count instead of a whole-frame window
+    # (Window.partitionBy() with no keys collapses to one partition).
+    out = _scalar_count(df)
+    return out.withColumn(pos_col, F.col("_cnt") - 1 - F.col(pos_col)).drop("_cnt")
 
 
 def repeat(
@@ -163,17 +206,18 @@ def limit(
     partition_by: Sequence[str] | None = None,
     pos_col: str = POS,
     total: int | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_limit / << / >>: positional subsequence, negatives from the
     end (imcs.c:3154-3175). Negative bounds need the series length —
-    resolved per-series via a window count, so multi-series limit stays
-    one pass."""
+    resolved per-series via a window count (one pass); globally via a
+    broadcast 1-row count, never a whole-frame window."""
     if (from_pos < 0 or (till_pos is not None and till_pos < 0)) and total is None:
         if partition_by:
             cnt = F.count(F.lit(1)).over(Window.partitionBy(*partition_by))
+            df = df.withColumn("_cnt", cnt)
         else:
-            cnt = F.count(F.lit(1)).over(Window.partitionBy())
-        df = df.withColumn("_cnt", cnt)
+            df = _scalar_count(df)
         lo = F.lit(from_pos) if from_pos >= 0 else F.col("_cnt") + from_pos
         hi = None if till_pos is None else (F.lit(till_pos) if till_pos >= 0 else F.col("_cnt") + till_pos)
     else:
@@ -185,23 +229,23 @@ def limit(
         out = out.filter(F.col(pos_col) <= hi)
     if "_cnt" in out.columns:
         out = out.drop("_cnt")
-    return renumber(out, partition_by)
+    return renumber(out, partition_by, bounded=bounded)
 
 
-def head(df: DataFrame, n: int, partition_by=None) -> DataFrame:
-    return limit(df, 0, n - 1, partition_by)
+def head(df: DataFrame, n: int, partition_by=None, bounded: bool = False) -> DataFrame:
+    return limit(df, 0, n - 1, partition_by, bounded=bounded)
 
 
-def tail(df: DataFrame, n: int, partition_by=None) -> DataFrame:
-    return limit(df, -n, None, partition_by)
+def tail(df: DataFrame, n: int, partition_by=None, bounded: bool = False) -> DataFrame:
+    return limit(df, -n, None, partition_by, bounded=bounded)
 
 
-def cut_head(df: DataFrame, n: int, partition_by=None) -> DataFrame:
-    return limit(df, n, None, partition_by)
+def cut_head(df: DataFrame, n: int, partition_by=None, bounded: bool = False) -> DataFrame:
+    return limit(df, n, None, partition_by, bounded=bounded)
 
 
-def cut_tail(df: DataFrame, n: int, partition_by=None) -> DataFrame:
-    return limit(df, 0, -n - 1, partition_by)
+def cut_tail(df: DataFrame, n: int, partition_by=None, bounded: bool = False) -> DataFrame:
+    return limit(df, 0, -n - 1, partition_by, bounded=bounded)
 
 
 def if_streams(
@@ -249,9 +293,10 @@ def concat(a: DataFrame, b: DataFrame, pos_col: str = POS) -> DataFrame:
     return a.unionByName(b.withColumn(pos_col, F.col(pos_col) + F.lit(n)))
 
 
-def union_sorted(a: DataFrame, b: DataFrame, val_col: str = VAL) -> DataFrame:
+def union_sorted(a: DataFrame, b: DataFrame, val_col: str = VAL, bounded: bool = False) -> DataFrame:
     """cs_union: merge two sorted sequences into one sorted sequence
     (multiset union, func.c:3857-3937). Spark: union + renumber by
-    value — a range-partitioned sort, not a single-node merge."""
+    value — a range-partitioned sort (zip path), not a single-node
+    merge."""
     u = a.select(val_col).unionByName(b.select(val_col))
-    return renumber(u, None, order_by=(val_col,))
+    return renumber(u, None, order_by=(val_col,), bounded=bounded)

@@ -234,7 +234,23 @@ def recurrences(
 # partition; these two-phase formulations keep every stage parallel, the
 # pattern the reference could not express (its fallback was running
 # non-context-free ops single-threaded, imcs.c:1886-1908).
+#
+# Every scheme here runs TWO actions over the same range-shuffled frame
+# (a tiny carry/count/tail pass, then the apply pass). RangePartitioner
+# seeds its reservoir sample from the RDD id, which differs per action,
+# so the frame MUST be persisted before the first action — otherwise the
+# two actions could pick different range boundaries and the carries
+# would be applied to the wrong rows. _range_by_pos centralizes that.
 # ---------------------------------------------------------------------------
+def _range_by_pos(df: DataFrame, pos_col: str, num_partitions: int | None) -> DataFrame:
+    part = (
+        df.repartitionByRange(num_partitions, pos_col)
+        if num_partitions
+        else df.repartitionByRange(pos_col)
+    ).sortWithinPartitions(pos_col)
+    return part.withColumn("_pid", F.spark_partition_id()).persist()
+
+
 def cum_agg_global(
     df: DataFrame,
     agg: str,
@@ -247,24 +263,23 @@ def cum_agg_global(
     window: range-partition by pos, cumulate within partitions (window
     partitioned by physical partition id — parallel), then combine the
     tiny per-partition totals on the driver into carry-in offsets and
-    broadcast them back. Supported: sum, count, min, max, avg
-    (sum/count composition). Exact, two jobs, no single-node stage."""
-    if agg not in ("sum", "count", "min", "max", "avg"):
+    broadcast them back. Supported: sum, count, min, max, avg, var, dev
+    (var/dev carry (Σx, Σx², n) — reference cs_cum_var/dev semantics,
+    func.c:1791-1897, population variance). Exact, two jobs, no
+    single-node stage."""
+    if agg not in ("sum", "count", "min", "max", "avg", "var", "dev"):
         raise ValueError(f"cum_agg_global: unsupported agg {agg!r}")
     out_name = out_col or f"cum_{agg}"
     spark = df.sparkSession
-    part = (
-        df.repartitionByRange(num_partitions, pos_col)
-        if num_partitions
-        else df.repartitionByRange(pos_col)
-    ).sortWithinPartitions(pos_col)
-    pid = part.withColumn("_pid", F.spark_partition_id())
+    pid = _range_by_pos(df, pos_col, num_partitions)
     w = Window.partitionBy("_pid").orderBy(pos_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     c = F.col(val_col)
+    c2 = c.cast("double") * c.cast("double")
     local = (
         pid.withColumn("_ls", F.sum(c).over(w))
+        .withColumn("_ls2", F.sum(c2).over(w))
         .withColumn("_ln", F.count(c).over(w))
         .withColumn("_lmin", F.min(c).over(w))
         .withColumn("_lmax", F.max(c).over(w))
@@ -273,6 +288,7 @@ def cum_agg_global(
         pid.groupBy("_pid")
         .agg(
             F.sum(c).alias("_s"),
+            F.sum(c2).alias("_s2"),
             F.count(c).alias("_n"),
             F.min(c).alias("_mn"),
             F.max(c).alias("_mx"),
@@ -280,26 +296,34 @@ def cum_agg_global(
         .orderBy("_pid")
         .collect()
     )
-    carry_rows, s_acc, n_acc, mn_acc, mx_acc = [], 0.0, 0, None, None
+    carry_rows, s_acc, s2_acc, n_acc, mn_acc, mx_acc = [], 0.0, 0.0, 0, None, None
     for r in totals:
-        carry_rows.append((r["_pid"], s_acc, n_acc, mn_acc, mx_acc))
+        carry_rows.append((r["_pid"], s_acc, s2_acc, n_acc, mn_acc, mx_acc))
         s_acc += r["_s"] or 0
+        s2_acc += r["_s2"] or 0
         n_acc += r["_n"]
         mn_acc = r["_mn"] if mn_acc is None else min(mn_acc, r["_mn"])
         mx_acc = r["_mx"] if mx_acc is None else max(mx_acc, r["_mx"])
     carries = spark.createDataFrame(
-        carry_rows, "_pid int, _cs double, _cn long, _cmn double, _cmx double"
+        [(p, float(s), float(s2), n, mn, mx) for p, s, s2, n, mn, mx in carry_rows],
+        "_pid int, _cs double, _cs2 double, _cn long, _cmn double, _cmx double",
     )
     joined = local.join(F.broadcast(carries), "_pid")
+    tot_s = F.col("_ls") + F.col("_cs")
+    tot_s2 = F.col("_ls2") + F.col("_cs2")
+    tot_n = F.col("_ln") + F.col("_cn")
+    var_expr = tot_s2 / tot_n - (tot_s / tot_n) * (tot_s / tot_n)
     expr = {
-        "sum": F.col("_ls") + F.col("_cs"),
-        "count": F.col("_ln") + F.col("_cn"),
-        "avg": (F.col("_ls") + F.col("_cs")) / (F.col("_ln") + F.col("_cn")),
+        "sum": tot_s,
+        "count": tot_n,
+        "avg": tot_s / tot_n,
         "min": F.least(F.col("_lmin"), F.coalesce(F.col("_cmn"), F.col("_lmin"))),
         "max": F.greatest(F.col("_lmax"), F.coalesce(F.col("_cmx"), F.col("_lmax"))),
+        "var": F.greatest(var_expr, F.lit(0.0)),
+        "dev": F.sqrt(F.greatest(var_expr, F.lit(0.0))),
     }[agg]
     return joined.withColumn(out_name, expr).drop(
-        "_pid", "_ls", "_ln", "_lmin", "_lmax", "_cs", "_cn", "_cmn", "_cmx"
+        "_pid", "_ls", "_ls2", "_ln", "_lmin", "_lmax", "_cs", "_cs2", "_cn", "_cmn", "_cmx"
     )
 
 
@@ -315,51 +339,65 @@ def moving_agg_global(
     """Moving-window aggregate over ONE giant series without a global
     window: range-partition by pos; interior rows use a per-physical-
     partition window (parallel); only each partition's first n-1 rows
-    need the previous partition's tail, which is shipped as a broadcast
-    of P×(n-1) boundary rows and combined per-row with array
-    aggregation. Exact for sum/avg/min/max/count."""
-    if agg not in _MOVING or agg in ("var", "dev"):
-        if agg not in ("sum", "avg", "min", "max", "count"):
-            raise ValueError(f"moving_agg_global: unsupported agg {agg!r}")
+    need boundary context. That context is the *cumulative* tail — the
+    last n-1 rows of ALL preceding partitions combined (any needed row
+    is within the last n-1 rows of whichever partition holds it, so the
+    union of per-partition tails suffices even when some partitions
+    hold fewer than n-1 rows or are empty). Per-partition tails
+    (≤ P×(n-1) rows — driver memory is bounded by partitions×window,
+    the same order as the broadcast itself) are collected, chained into
+    cumulative tails on the driver, and broadcast back. Exact for
+    sum/avg/min/max/count/var/dev."""
+    if agg not in ("sum", "avg", "min", "max", "count", "var", "dev"):
+        raise ValueError(f"moving_agg_global: unsupported agg {agg!r}")
     out_name = out_col or f"window_{agg}"
     spark = df.sparkSession
-    part = (
-        df.repartitionByRange(num_partitions, pos_col)
-        if num_partitions
-        else df.repartitionByRange(pos_col)
-    ).sortWithinPartitions(pos_col)
-    pid = part.withColumn("_pid", F.spark_partition_id())
+    pid = _range_by_pos(df, pos_col, num_partitions)
     w = Window.partitionBy("_pid").orderBy(pos_col)
     wn = w.rowsBetween(-(n - 1), 0)
     fn = _MOVING[agg]
     local = pid.withColumn("_local", fn(F.col(val_col)).over(wn)).withColumn(
         "_lrn", F.row_number().over(w) - 1
     )
-    # previous-partition tails: last n-1 values per partition, as arrays
+    # per-partition tails: last ≤ n-1 (pos, val) rows of each partition
     wdesc = Window.partitionBy("_pid").orderBy(F.col(pos_col).desc())
-    tails = (
+    tail_rows = (
         pid.withColumn("_rrn", F.row_number().over(wdesc))
         .filter(F.col("_rrn") <= n - 1)
-        .groupBy("_pid")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(pos_col).alias("p"), F.col(val_col).alias("v")))
-            ).alias("_tail")
-        )
-        .select((F.col("_pid") + 1).alias("_pid"), F.col("_tail"))
+        .select("_pid", F.col(pos_col).alias("p"), F.col(val_col).cast("double").alias("v"))
+        .collect()
     )
+    by_pid: dict[int, list] = {}
+    for r in tail_rows:
+        by_pid.setdefault(r["_pid"], []).append((r["p"], r["v"]))
+    # cumulative tail entering partition j = last n-1 rows of the chain
+    # of all preceding partitions' tails (ordered by pos)
+    max_pid = max(by_pid) if by_pid else -1
+    ctails, chain = [], []
+    for j in range(max_pid + 2):
+        if chain:
+            ctails.append((j, list(chain[-(n - 1):] if n > 1 else [])))
+        part_tail = sorted(by_pid.get(j, []))
+        chain.extend(part_tail)
+        chain = chain[-(n - 1):] if n > 1 else []
+    if ctails:
+        ctail_df = spark.createDataFrame(
+            ctails, "_pid int, _tail array<struct<p: long, v: double>>"
+        )
+    else:
+        ctail_df = spark.createDataFrame([], "_pid int, _tail array<struct<p: long, v: double>>")
     head = local.filter(F.col("_lrn") < n - 1).join(
-        F.broadcast(tails), "_pid", "left"
+        F.broadcast(ctail_df), "_pid", "left"
     )
-    # needed = last (n-1-_lrn) of prev tail; combine with own window rows
+    # needed = last (n-1-_lrn) of the cumulative tail; combine with own rows
     own_prefix = F.array_sort(
-        F.collect_list(F.struct(F.col(pos_col).alias("p"), F.col(val_col).alias("v"))).over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        )
+        F.collect_list(
+            F.struct(F.col(pos_col).alias("p"), F.col(val_col).cast("double").alias("v"))
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
     take = n - 1 - F.col("_lrn")
     prev_part = F.when(
-        F.col("_tail").isNull(), F.array().cast("array<struct<p:long,v:double>>")
+        F.col("_tail").isNull(), F.array().cast("array<struct<p:bigint,v:double>>")
     ).otherwise(
         F.slice(
             F.col("_tail"),
@@ -368,13 +406,19 @@ def moving_agg_global(
         )
     )
     head = head.withColumn("_win", F.concat(prev_part, own_prefix))
-    vals = F.transform(F.col("_win"), lambda s: s["v"].cast("double"))
+    vals = F.transform(F.col("_win"), lambda s: s["v"])
+    _sum = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    _sum2 = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x * x)
+    _cnt = F.size(vals)
+    _var = F.greatest(_sum2 / _cnt - (_sum / _cnt) * (_sum / _cnt), F.lit(0.0))
     combined = {
-        "sum": F.aggregate(vals, F.lit(0.0), lambda a, x: a + x),
-        "count": F.size(vals).cast("long"),
+        "sum": _sum,
+        "count": _cnt.cast("long"),
         "min": F.array_min(vals),
         "max": F.array_max(vals),
-        "avg": F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / F.size(vals),
+        "avg": _sum / _cnt,
+        "var": _var,
+        "dev": F.sqrt(_var),
     }[agg]
     head_fixed = head.withColumn("_local", combined).drop("_tail", "_win")
     interior = local.filter(F.col("_lrn") >= n - 1)
@@ -382,33 +426,32 @@ def moving_agg_global(
     return out.drop("_pid", "_lrn")
 
 
-def ema_global(
+def _ewm_global(
     df: DataFrame,
-    n: int,
-    val_col: str = VAL,
-    out_col: str = "ema",
-    pos_col: str = POS,
-    num_partitions: int | None = None,
+    alpha: float,
+    val_col: str,
+    out_col: str,
+    pos_col: str,
+    num_partitions: int | None,
+    carry0: float | None = None,
 ) -> DataFrame:
-    """EMA over ONE giant series without a sequential bottleneck —
-    linear-recurrence splitting. Each range partition computes a local
-    restart EMA (e restarts at its first element, the per-series
-    kernel); because e_i = a·e_{i-1} + p·x_i is linear with constant
-    a = 1-p, the true value is local plus an exponentially-decayed
-    correction: e_i = l_i + a^(k_i+1)·(carry_j − x_first_j), where
-    carry_j is the true EMA entering partition j. The carries are
-    combined sequentially on the driver over P partitions (not N rows)
-    and broadcast back. Exact to fp rounding; ATR admits the same
-    treatment once past its warm-up."""
-    a = 1.0 - 2.0 / (n + 1)
-    part = (
-        df.repartitionByRange(num_partitions, pos_col)
-        if num_partitions
-        else df.repartitionByRange(pos_col)
-    ).sortWithinPartitions(pos_col)
-    pid = part.withColumn("_pid", F.spark_partition_id())
-    keys = ["_pid"]
-    local = _recurrence_apply(pid, keys, val_col, {"_l": _ema_kernel(n)}, pos_col)
+    """Linear-recurrence splitting for e_i = (1-α)·e_{i-1} + α·x_i over
+    ONE giant series. Each range partition computes a local restart
+    recurrence (pandas ewm, restarting at its first element); because
+    the recurrence is linear with constant a = 1-α, the true value is
+    local plus an exponentially-decayed correction:
+    e_i = l_i + a^(k_i+1)·(carry_j − x_first_j), carry_j the true value
+    entering partition j. Carries are combined sequentially on the
+    driver over P partitions (not N rows) and broadcast back. carry0 is
+    the true value entering the FIRST partition (None = series starts
+    here, e_0 = x_0 — the EMA initialization). Exact to fp rounding."""
+    a = 1.0 - alpha
+
+    def kernel(s: pd.Series) -> pd.Series:
+        return s.astype("float64").ewm(alpha=alpha, adjust=False).mean()
+
+    pid = _range_by_pos(df, pos_col, num_partitions)
+    local = _recurrence_apply(pid, ["_pid"], val_col, {"_l": kernel}, pos_col)
     w = Window.partitionBy("_pid").orderBy(pos_col)
     local = local.withColumn("_k", F.row_number().over(w) - 1)
     stats = (
@@ -421,9 +464,9 @@ def ema_global(
         .orderBy("_pid")
         .collect()
     )
-    carries, carry = [], None
+    carries, carry = [], carry0
     for r in stats:
-        carries.append((r["_pid"], carry))
+        carries.append((r["_pid"], None if carry is None else float(carry)))
         if carry is None:
             carry = r["_ll"]
         else:
@@ -440,3 +483,51 @@ def ema_global(
         ))
     )
     return joined.withColumn(out_col, fixed).drop("_pid", "_l", "_k", "_carry")
+
+
+def ema_global(
+    df: DataFrame,
+    n: int,
+    val_col: str = VAL,
+    out_col: str = "ema",
+    pos_col: str = POS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EMA over ONE giant series without a sequential bottleneck —
+    see _ewm_global. α = 2/(n+1), e_0 = x_0 (func.c:1764-1778)."""
+    return _ewm_global(df, 2.0 / (n + 1), val_col, out_col, pos_col, num_partitions)
+
+
+def atr_global(
+    df: DataFrame,
+    n: int,
+    val_col: str = VAL,
+    out_col: str = "atr",
+    pos_col: str = POS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """ATR (Wilder smoothing, func.c:1779-1790) over ONE giant series.
+
+    Post-warm-up (i ≥ n-1) the recurrence r_i = (r_{i-1}·(n-1) + x_i)/n
+    is exactly the α = 1/n EWM, so it splits across partitions like EMA
+    (_ewm_global). The warm-up region is only the first n-1 elements —
+    bounded by the window parameter, not the data — and runs as one
+    sequential pandas group; its final value seeds the split region's
+    carry chain. Requires the dense-pos series convention."""
+    if n <= 1:
+        return df.withColumn(out_col, F.col(val_col).cast("double"))
+    warm_src = df.filter(F.col(pos_col) < n - 1)
+    rest_src = df.filter(F.col(pos_col) >= n - 1)
+    warm = _recurrence_apply(
+        warm_src, None, val_col, {out_col: _atr_kernel(n)}, pos_col
+    ).persist()
+    carry_row = warm.agg(F.max_by(out_col, pos_col).alias("_c")).collect()[0]
+    carry = carry_row["_c"]
+    if carry is None:
+        # fewer than 1 warm row (empty input or series starts past n-1):
+        # no warm-up contribution; treat the split region as a fresh EMA
+        return _ewm_global(rest_src, 1.0 / n, val_col, out_col, pos_col, num_partitions)
+    rest = _ewm_global(
+        rest_src, 1.0 / n, val_col, out_col, pos_col, num_partitions, carry0=float(carry)
+    )
+    return warm.unionByName(rest.select(*warm.columns))

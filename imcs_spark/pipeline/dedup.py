@@ -245,15 +245,31 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: pigeonhole — split the 64-bit sig
-    into `blocks` bands; any pair within Hamming ≤ max_hamming (<
-    blocks) shares at least one exact band. Join per band (shuffle of
-    (band, 16-bit chunk, id)), then verify with bit_count."""
+    into `blocks` disjoint bands; a pair within Hamming ≤ max_hamming
+    can have differing bits in at most max_hamming bands, so with
+    blocks > max_hamming it is GUARANTEED to share at least one exact
+    band. blocks defaults to max_hamming+1 (the tightest guaranteed
+    banding); fewer blocks would silently drop pairs, so it is
+    enforced. Join per band (shuffle of (band, chunk, id)), then verify
+    with bit_count. Note the bandwidth trade-off at scale: high
+    max_hamming → narrow bands → weaker per-band filters (a 6-bit band
+    collides at 1/64 for random sigs); prefer small max_hamming for
+    very large corpora."""
+    if blocks is None:
+        blocks = max_hamming + 1
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"simhash_near_pairs: blocks ({blocks}) must exceed max_hamming "
+            f"({max_hamming}) for the pigeonhole guarantee"
+        )
+    blocks = min(blocks, 64)
     sig = simhash(df, text_col, id_col)
-    width = 64 // blocks
-    mask = (1 << width) - 1
+    base, extra = divmod(64, blocks)
+    widths = [base + (1 if b < extra else 0) for b in range(blocks)]
+    offsets = [sum(widths[:b]) for b in range(blocks)]
     chunks = sig.select(
         id_col,
         "simhash",
@@ -262,8 +278,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * width)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftrightunsigned("simhash", offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
                         .alias("chunk"),
                     )
                     for b in range(blocks)
@@ -277,14 +293,17 @@ def simhash_near_pairs(
     r = chunks.select(
         F.col(id_col).alias("right_id"), F.col("simhash").alias("_rsig"), "band", "chunk"
     )
+    # bit_count BEFORE distinct: the Hamming filter is a cheap JVM
+    # expression on the joined stream, so the expensive dedup shuffle
+    # only sees surviving near-pairs (thousands), not every band
+    # collision (millions with narrow bands).
     pairs = (
         l.join(r, ["band", "chunk"])
         .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", "_lsig", "_rsig")
-        .distinct()
         .withColumn("hamming", F.bit_count(F.col("_lsig").bitwiseXOR(F.col("_rsig"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("left_id", "right_id", "hamming")
+        .distinct()
     )
     return pairs
 

@@ -81,18 +81,20 @@ def zip_with_global_pos_and_total(
     order_by: Sequence[str],
     pos_col: str = POS,
     num_partitions: int | None = None,
-    persist: bool = False,
+    persist: bool = True,
 ) -> tuple[DataFrame, int]:
     """zip_with_global_pos that also returns the total row count (known
     for free from the partition-count pass — saves callers a separate
     count job).
 
-    persist=True materializes the range-shuffled sort once (memory-
-    and-disk) so the counting job and the caller's job don't each
-    redo the range-partitioner sampling and shuffle — the equivalent
-    of a sort-based engine keeping its sorted run on disk. The cache
-    is left to Spark's LRU (caller may unpersist via the returned
-    frame's lineage)."""
+    persist defaults to True and must stay True for correctness, not
+    just speed: RangePartitioner seeds its reservoir sampling from the
+    RDD id, which changes per action, so re-executing the lineage in
+    the counting job and the caller's job could pick DIFFERENT range
+    boundaries — rows would silently land in different partitions than
+    the ones the offsets were computed from. Persisting freezes one
+    materialization that both actions share. (persist=False exists only
+    for callers that immediately force and discard the result.)"""
     spark = df.sparkSession
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *order_by)

@@ -51,6 +51,51 @@ def test_simhash_near_pairs(docs):
     assert (0, 1) in got
 
 
+def test_simhash_banding_recall_equals_bruteforce(spark):
+    """The pigeonhole banding (blocks = max_hamming+1) must find EVERY
+    pair within the Hamming budget — including pairs whose differing
+    bits land in 4+ distinct 16-bit quarters, which the old fixed
+    blocks=4 banding silently dropped at max_hamming > 3."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    ).split()
+    import random
+
+    rng = random.Random(5)
+    rows = [(0, " ".join(base))]
+    for i in range(1, 40):
+        words = list(base)
+        for _ in range(rng.randint(1, 6)):
+            words[rng.randrange(len(words))] = rng.choice(
+                ["red", "blue", "green", "cyan", "teal", "plum"]
+            )
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    truth = set()
+    ids = sorted(sigs)
+    for i in ids:
+        for j in ids:
+            if i < j and bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1") <= 10:
+                truth.add((i, j))
+    got = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.simhash_near_pairs(df, max_hamming=10).collect()
+    }
+    # at least one hard pair (Hamming in 4..10) must exist for the test
+    # to mean anything
+    hard = [
+        (i, j)
+        for (i, j) in truth
+        if 4 <= bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1") <= 10
+    ]
+    assert hard, "fixture produced no Hamming-4..10 pairs"
+    assert got == truth
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(df, max_hamming=10, blocks=4)
+
+
 def test_embedding_near_dups(spark):
     rows = [
         (0, [1.0, 0.0, 0.0]),

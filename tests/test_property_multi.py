@@ -303,3 +303,95 @@ def test_ema_global_matches_sequential(spark):
     }
     for i, e in enumerate(model_ema(vals, 12)):
         assert got[i] == pytest.approx(e, rel=1e-9), i
+
+
+def test_global_var_dev(spark):
+    """(Σx, Σx², n)-carry var/dev in the global cum/moving paths —
+    reference cs_cum_var/dev, cs_window_var/dev (func.c:1632-1897,
+    population variance)."""
+    import random
+
+    from imcs_spark.operators import windows
+
+    rng = random.Random(23)
+    vals = [round(rng.uniform(-20, 20), 3) for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, val double"
+    )
+
+    def pvar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    got_cv = {
+        r["pos"]: (r["cum_var"], r["cum_dev"])
+        for r in windows.cum_agg_global(
+            windows.cum_agg_global(df, "var", num_partitions=7),
+            "dev",
+            num_partitions=7,
+        ).collect()
+    }
+    for i in range(len(vals)):
+        v = pvar(vals[: i + 1])
+        assert got_cv[i][0] == pytest.approx(v, abs=1e-7), i
+        assert got_cv[i][1] == pytest.approx(v ** 0.5, abs=1e-7), i
+
+    got_mv = {
+        r["pos"]: r["window_var"]
+        for r in windows.moving_agg_global(df, "var", 9, num_partitions=7).collect()
+    }
+    for i in range(len(vals)):
+        assert got_mv[i] == pytest.approx(pvar(vals[max(0, i - 8) : i + 1]), abs=1e-7), i
+
+
+def test_moving_global_tiny_partitions(spark):
+    """Windows spanning MULTIPLE partitions back: 100 rows split over
+    ~25 range partitions (≈4 rows each) with n=30 — every head row's
+    window crosses several partitions, exercising the cumulative-tail
+    chain (not just the immediately previous partition)."""
+    import random
+
+    from imcs_spark.operators import windows
+
+    rng = random.Random(31)
+    vals = [round(rng.uniform(0, 10), 3) for _ in range(100)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, val double"
+    )
+    got = {
+        r["pos"]: r["window_sum"]
+        for r in windows.moving_agg_global(df, "sum", 30, num_partitions=25).collect()
+    }
+    assert len(got) == len(vals)
+    for i in range(len(vals)):
+        assert got[i] == pytest.approx(sum(vals[max(0, i - 29) : i + 1])), i
+    got_min = {
+        r["pos"]: r["window_min"]
+        for r in windows.moving_agg_global(df, "min", 30, num_partitions=25).collect()
+    }
+    for i in range(len(vals)):
+        assert got_min[i] == pytest.approx(min(vals[max(0, i - 29) : i + 1])), i
+
+
+def test_atr_global_matches_sequential(spark):
+    """ATR splitting: warm-up (first n-1 rows) sequential, the rest via
+    the α=1/n EWM carry chain — must equal the row-by-row Wilder model
+    (func.c:1779-1790), including across tiny partitions."""
+    import random
+
+    from imcs_spark.operators import windows
+
+    rng = random.Random(37)
+    vals = [round(rng.uniform(0, 100), 3) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, val double"
+    )
+    for n, parts in ((14, 6), (5, 25)):
+        got = {
+            r["pos"]: r["atr"]
+            for r in windows.atr_global(df, n, num_partitions=parts).collect()
+        }
+        model = model_atr(vals, n)
+        assert len(got) == len(vals)
+        for i, e in enumerate(model):
+            assert got[i] == pytest.approx(e, rel=1e-9), (n, i)

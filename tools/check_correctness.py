@@ -25,10 +25,14 @@ TABLES = [
 
 
 def norm_cell(v):
+    import decimal
+
     if v is None:
         return None
     if isinstance(v, bool):
         return int(v)
+    if isinstance(v, decimal.Decimal):
+        return float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -48,7 +52,15 @@ def rows_to_multiset(rows, colnames):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
+EXACT = os.environ.get("EXACT", "") == "1"
+
+
 def values_close(a, b):
+    if EXACT:
+        # simulate the driver's value-hash: exact equality post-round
+        if type(a) is float and type(b) is float:
+            return a == b or (math.isnan(a) and math.isnan(b))
+        return a == b
     if type(a) is float or type(b) is float:
         try:
             af, bf = float(a), float(b)
