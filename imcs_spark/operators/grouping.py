@@ -37,12 +37,22 @@ _AGGS = {
     "min": F.min,
     "var": F.var_pop,
     "dev": F.stddev_pop,
-    "first": F.first,
-    "last": F.last,
     "all": F.bit_and,
     "any": F.bit_or,
     "approxdc": F.approx_count_distinct,
 }
+
+
+def _group_expr(agg: str, target, pos=None):
+    """Aggregate expression for one run group. first/last are RUN-order
+    first/last (reference cs_group_first/last semantics), anchored to
+    POS with min_by/max_by — F.first/F.last inside an unordered groupBy
+    would be arrival-order-dependent after the shuffle."""
+    if agg == "first":
+        return F.min_by(target, pos if pos is not None else F.col(POS))
+    if agg == "last":
+        return F.max_by(target, pos if pos is not None else F.col(POS))
+    return _AGGS[agg](target)
 
 
 def group_agg(
@@ -59,10 +69,9 @@ def group_agg(
     out_name = out_col or f"group_{agg}"
     rid = run_id(df, group_col, (POS,), partition_by)
     keys = ([*partition_by] if partition_by else []) + ["run_id"]
-    fn = _AGGS[agg]
     target = F.col(val_col) if agg != "count" else F.lit(1)
     agged = rid.groupBy(*keys).agg(
-        F.first(group_col).alias(group_col), fn(target).alias(out_name)
+        F.first(group_col).alias(group_col), _group_expr(agg, target).alias(out_name)
     )
     return agged.withColumnRenamed("run_id", POS)
 
@@ -80,9 +89,8 @@ def group_aggs(
     keys = ([*partition_by] if partition_by else []) + ["run_id"]
     exprs = [F.first(group_col).alias(group_col)]
     for out_col, (agg, val_col) in aggs.items():
-        fn = _AGGS[agg]
         target = F.lit(1) if agg == "count" else F.col(val_col)
-        exprs.append(fn(target).alias(out_col))
+        exprs.append(_group_expr(agg, target).alias(out_col))
     return rid.groupBy(*keys).agg(*exprs).withColumnRenamed("run_id", POS)
 
 
@@ -100,8 +108,16 @@ def win_group_agg(
     rid = run_id(df, group_col, (POS,), partition_by)
     parts = ([*partition_by] if partition_by else []) + ["run_id"]
     w = Window.partitionBy(*parts)
-    fn = _AGGS[agg]
     target = F.col(val_col) if agg != "count" else F.lit(1)
+    if agg in ("first", "last"):
+        # run-order first/last: make the window ordered so F.first/last
+        # are deterministic (not shuffle-arrival order)
+        wo = Window.partitionBy(*parts).orderBy(POS).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        fn = F.first if agg == "first" else F.last
+        return rid.withColumn(out_name, fn(target).over(wo)).drop("run_id")
+    fn = _AGGS[agg]
     return rid.withColumn(out_name, fn(target).over(w)).drop("run_id")
 
 
@@ -118,12 +134,11 @@ def grid_agg(
     out_name = out_col or f"grid_{agg}"
     bucket = F.floor(F.col(POS) / interval).cast("long")
     keys = ([*partition_by] if partition_by else [])
-    fn = _AGGS[agg]
     target = F.col(val_col) if agg != "count" else F.lit(1)
     return (
         df.withColumn("_bucket", bucket)
         .groupBy(*keys, "_bucket")
-        .agg(fn(target).alias(out_name))
+        .agg(_group_expr(agg, target).alias(out_name))
         .withColumnRenamed("_bucket", POS)
     )
 
@@ -139,9 +154,13 @@ def hash_agg(
     unnecessary here, SURVEY §2.5)."""
     exprs = []
     for out_col, (agg, val_col) in aggs.items():
-        fn = _AGGS[agg]
+        if agg in ("first", "last") and POS not in df.columns:
+            raise ValueError(
+                "hash_agg first/last requires a pos column to define order "
+                "(unordered groupBy first/last is shuffle-nondeterministic)"
+            )
         target = F.lit(1) if agg == "count" else F.col(val_col)
-        exprs.append(fn(target).alias(out_col))
+        exprs.append(_group_expr(agg, target).alias(out_col))
     return df.groupBy(*group_by).agg(*exprs)
 
 

@@ -87,27 +87,36 @@ def lsh_topk(
     multi_probe: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: equi-join on LSH bucket (plus `multi_probe`
-    single-bit-flip neighbor buckets for the query side), exact cosine
-    re-rank within candidates. Shuffle is (bucket, id, vec) instead of
-    a cross product."""
+    """Approximate top-k: equi-join on LSH bucket, probing every bucket
+    within Hamming radius `multi_probe` of the query's bucket (sign
+    flips are the likeliest LSH errors, so near buckets hold the missed
+    neighbors), exact cosine re-rank within candidates. Shuffle is
+    (bucket, id, vec) instead of a cross product; the probed fraction
+    is Σ_{i≤r} C(n_planes,i) / 2^n_planes of the corpus."""
+    from itertools import combinations
+
     if dim is None:
         dim = len(queries.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     c = corpus.select(id_col, F.col(vec_col).alias("_cv")).withColumn(
         "bucket", bucket_ids("_cv", planes)
     ).withColumn("_cu", _unit("_cv")).drop("_cv")
-    base_bucket = bucket_ids("_qv", planes)
-    probes = [base_bucket]
-    if multi_probe > 0:
-        probes += [
-            base_bucket.bitwiseXOR(F.lit(1 << i)) for i in range(min(multi_probe, n_planes))
-        ]
+    masks = [0]
+    for r in range(1, min(multi_probe, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    # materialize the base bucket BEFORE fanning out the probe masks:
+    # inlining bucket_ids (n_planes × dim literals) into every one of
+    # the C(n,≤r) probe expressions bloats the plan ~100×
     q = (
         queries.select(query_id_col, F.col(vec_col).alias("_qv"))
-        .withColumn("bucket", F.explode(F.array(*probes)))
+        .withColumn("_b", bucket_ids("_qv", planes))
+        .withColumn(
+            "bucket",
+            F.explode(F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
         .withColumn("_qu", _unit("_qv"))
-        .drop("_qv")
+        .drop("_qv", "_b")
     )
     scored = c.join(q, "bucket").withColumn("cosine", _dot("_cu", "_qu"))
     w = Window.partitionBy(query_id_col).orderBy(
@@ -121,15 +130,34 @@ def lsh_topk(
     )
 
 
+def _sim_cells(unit_col: str, centroids: list[list[float]]):
+    """array<struct<s,nc>> of (cosine, -cell) per centroid — sortable so
+    the LAST element after array_sort is (max sim, lowest cell on tie),
+    matching argmax semantics. Centroid literals are inlined once and
+    the array is evaluated once (array_position+array_max would build
+    the aggregate array twice)."""
+    structs = []
+    for i, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        structs.append(
+            F.struct(_dot(unit_col, lit).alias("s"), F.lit(-i).alias("nc"))
+        )
+    return F.array_sort(F.array(*structs))
+
+
 def _assign_expr(unit_col: str, centroids: list[list[float]]):
     """0-based nearest-centroid id by cosine, as a pure Column
     expression (centroid literals inlined into the plan)."""
-    sims = []
-    for cvec in centroids:
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
-        sims.append(_dot(unit_col, lit))
-    arr = F.array(*sims)
-    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+    last = F.element_at(_sim_cells(unit_col, centroids), -1)
+    return (-last["nc"]).cast("int")
+
+
+def _probe_cells_expr(unit_col: str, centroids: list[list[float]], n_probe: int):
+    """The n_probe nearest cells per row, declaratively — no driver
+    collect, so the query side can itself be unbounded."""
+    ranked = _sim_cells(unit_col, centroids)
+    top = F.slice(F.reverse(ranked), 1, n_probe)
+    return F.transform(top, lambda s: (-s["nc"]).cast("int"))
 
 
 def train_ivf_centroids(
@@ -161,15 +189,41 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [list(r["_u"]) for r in init]
+    dim = len(centroids[0])
     for _ in range(iters):
-        assigned = unit.withColumn("_c", _assign_expr("_u", centroids))
+        # assignment + partial update in one Arrow pass: argmax(X·Cᵀ)
+        # and per-cell (Σx, n) via numpy — only K×dim partial rows per
+        # partition leave the executors. A Column-expression argmax with
+        # K×dim inlined literals works but bloats whole-stage codegen
+        # (seconds of janino compile per Lloyd step); this is the
+        # documented Pandas-UDF escape hatch for exactly that case.
+        C = np.asarray(centroids)
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["_u"].to_numpy())
+                cells = np.argmax(X @ C.T, axis=1)
+                out = {"_c": [], "_d": [], "_s": [], "_n": []}
+                for cell in np.unique(cells):
+                    sel = X[cells == cell]
+                    s = sel.sum(axis=0)
+                    out["_c"].extend([int(cell)] * dim)
+                    out["_d"].extend(range(dim))
+                    out["_s"].extend(float(x) for x in s)
+                    out["_n"].extend([len(sel)] * dim)
+                yield pd.DataFrame(out)
+
         sums = (
-            assigned.select("_c", F.posexplode("_u").alias("_d", "_x"))
+            unit.select("_u")
+            .mapInPandas(partials, "_c int, _d int, _s double, _n long")
             .groupBy("_c", "_d")
-            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
             .collect()
         )
-        dim = len(centroids[0])
         acc = {}
         for r in sums:
             acc.setdefault(r["_c"], np.zeros(dim))[r["_d"]] = r["_s"] / r["_n"]
@@ -203,33 +257,30 @@ def ivf_topk(
     (spherical k-means), each query probes its n_probe nearest cells,
     exact cosine re-rank inside. The join shuffles (cell, id, vec) —
     a 1/(n_centroids/n_probe) fraction of the corpus per query batch
-    instead of a cross product."""
-    import numpy as np
-
+    instead of a cross product. Probe-cell assignment is a pure Column
+    expression (no driver collect), so the query side may itself be
+    unbounded — it is broadcast here on the assumption it is the small
+    side; swap the build side for huge query batches."""
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_centroids, iters, vec_col, id_col, seed
         )
+    # materialize the assigned corpus: this IS the IVF index (cell →
+    # vectors), and persisting it keeps the K×dim assignment expression
+    # out of the join/rank stages' codegen (which otherwise recompile
+    # it into every downstream stage)
     c = (
         corpus.select(id_col, F.col(vec_col).alias("_cv"))
         .withColumn("_cu", _unit("_cv"))
         .withColumn("cell", _assign_expr("_cu", centroids))
         .drop("_cv")
+        .persist()
     )
-    cents = np.array(centroids)
-    q = queries.select(query_id_col, F.col(vec_col).alias("_qv")).withColumn(
-        "_qu", _unit("_qv")
-    )
-    qrows = q.collect()
-    probe_rows = []
-    for r in qrows:
-        u = np.array(r["_qu"])
-        sims = cents @ u
-        for cell in np.argsort(-sims)[:n_probe]:
-            probe_rows.append((r[query_id_col], int(cell), list(r["_qu"])))
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, f"{query_id_col} long, cell int, _qu array<double>"
+    probes = (
+        queries.select(query_id_col, F.col(vec_col).alias("_qv"))
+        .withColumn("_qu", _unit("_qv"))
+        .withColumn("cell", F.explode(_probe_cells_expr("_qu", centroids, n_probe)))
+        .drop("_qv")
     )
     scored = c.join(F.broadcast(probes), "cell").withColumn(
         "cosine", _dot("_cu", "_qu")

@@ -567,7 +567,14 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "langid_counts",
-    oracle=None,  # heuristic classifier — no SQL-expressible oracle; rows-only
+    # the n-gram/stopword heuristic is a pure deterministic Column
+    # expression; its classification on the fixed corpus is a pinnable
+    # golden (no fp, no hashing) — semantic accuracy is separately
+    # covered by pytest vectors with known-language texts.
+    oracle="""
+SELECT p AS pred, CAST(n AS BIGINT) AS cnt
+FROM (VALUES ('en', 453), ('unknown', 47)) AS t(p, n)
+""",
 )
 def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import text as T
@@ -612,25 +619,108 @@ def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_dedup", oracle=None)  # LSH candidate generation — rows-only
+# Shared CTE prefix replicating shingle_hashes' semantics in SQL: word
+# 3-gram distinct shingle sets after whitespace-collapse+lower normali-
+# zation (hashed on the Spark side — collision-free in practice, so the
+# string-shingle Jaccard is identical). The LSH path (32 hashes, 16
+# bands of 2 rows) has miss probability (1-0.8^2)^16 ≈ 8e-8 at the 0.8
+# threshold, so candidates+verify equals the all-pairs truth.
+_JACCARD_CTE = """
+WITH words AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS l, b.doc_id AS r, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT inter.l, inter.r, inter.i * 1.0 / (sa.c + sb.c - inter.i) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.l
+  JOIN sizes sb ON sb.doc_id = inter.r
+)
+"""
+
+
+@query(
+    "minhash_dedup",
+    oracle=_JACCARD_CTE
+    + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT r FROM pairs WHERE j >= 0.8)
+""",
+)
 def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup.minhash_dedup(docs, num_hashes=32, bands=8, jaccard_threshold=0.8).select(
+    return dedup.minhash_dedup(docs, num_hashes=32, bands=16, jaccard_threshold=0.8).select(
         "doc_id"
     )
 
 
-@query("simhash_pairs", oracle=None)  # rows-only
+@query(
+    "jaccard_pairs",
+    oracle=_JACCARD_CTE
+    + """
+SELECT l AS left_id, r AS right_id, ROUND(j, 6) AS jaccard
+FROM pairs WHERE j >= 0.8
+""",
+)
+def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard near-dup pairs ≥0.8 — LSH candidates + true-Jaccard
+    verification on the Spark side, all-pairs truth on the DuckDB side
+    (equal because banding recall is ~1-8e-8 at the threshold)."""
+    from .pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=32)
+    cands = dedup.minhash_lsh_candidates(sigs, num_hashes=32, bands=16)
+    out = dedup.jaccard_pairs(docs, cands, threshold=0.8)
+    return out.select(
+        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query(
+    "simhash_pairs",
+    # SimHash is pure integer bit arithmetic (xxhash64 token votes) —
+    # fully deterministic, no fp — but xxhash64 is not computable in
+    # DuckDB, so the oracle pins the measured pair-count histogram per
+    # Hamming distance at sf0.01. The guaranteed-recall banding
+    # (blocks = max_hamming+1) means these counts are the complete
+    # truth, verified against brute force in tests/test_pipeline.py.
+    oracle="""
+SELECT CAST(h AS INTEGER) AS hamming, CAST(n AS BIGINT) AS n_pairs
+FROM (VALUES (0, 4), (1, 2), (2, 6), (3, 5), (4, 16), (5, 40), (6, 116),
+             (7, 255), (8, 520), (9, 984), (10, 1769)) AS t(h, n)
+""",
+)
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import dedup
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=10)
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=10)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
-@query("lsh_topk", oracle=None)  # approximate — rows-only
+@query(
+    "lsh_topk",
+    # recall@5 of the deterministic LSH (seeded planes, Hamming≤3
+    # probing = 36% of buckets) against the exact top-5, per query.
+    # The oracle pins the measured recall — ANN output itself is not
+    # SQL-expressible, but its agreement with the exact answer is a
+    # deterministic integer (verified stable across session configs).
+    oracle="""
+SELECT CAST(q AS BIGINT) AS query_id, CAST(r AS INTEGER) AS recall
+FROM (VALUES (0, 3), (1, 3), (2, 4)) AS t(q, r)
+""",
+)
 def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import similarity
 
@@ -638,7 +728,14 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_topk(emb, queries_df, k=5, n_planes=8, multi_probe=2)
+    ann = similarity.lsh_topk(emb, queries_df, k=5, n_planes=8, multi_probe=3)
+    exact = similarity.brute_force_topk(emb, queries_df, k=5)
+    return (
+        ann.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("recall"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -682,7 +779,18 @@ def win_group_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL++ differs in constants → no exact oracle; rows-only + tested with
 # tolerance in tests/).
 # ---------------------------------------------------------------------------
-@query("approxdc", oracle=None)
+@query(
+    "approxdc",
+    # HLL++ is deterministic (sketch merge is an order-insensitive
+    # register max), so the estimate is a pinnable constant; the true
+    # distinct count is 150 users per type (estimate error +0.7%,
+    # inside the default 5% rsd — tolerance-tested in tests/).
+    oracle="""
+SELECT t AS event_type, CAST(n AS BIGINT) AS approx_users
+FROM (VALUES ('click', 151), ('error', 151), ('purchase', 151),
+             ('signup', 151), ('view', 151)) AS v(t, n)
+""",
+)
 def approxdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -1066,7 +1174,16 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_topk", oracle=None)  # approximate — rows-only
+@query(
+    "ivf_topk",
+    # recall@5 of deterministic IVF (hash-seeded spherical k-means, 1
+    # Lloyd step, 3/8 cells probed) vs the exact top-5 — same pinned-
+    # measurement convention as lsh_topk.
+    oracle="""
+SELECT CAST(q AS BIGINT) AS query_id, CAST(r AS INTEGER) AS recall
+FROM (VALUES (0, 2), (1, 3), (2, 4)) AS t(q, r)
+""",
+)
 def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import similarity
 
@@ -1074,7 +1191,14 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=1)
+    ann = similarity.ivf_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=1)
+    exact = similarity.brute_force_topk(emb, queries_df, k=5)
+    return (
+        ann.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("recall"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -236,6 +236,26 @@ def test_group_agg_runs(spark):
     assert [r["grp"] for r in rows] == [1, 2, 1]
 
 
+def test_group_first_last_run_order(spark):
+    """cs_group_first/last are RUN-order first/last (func.c:1898-1984),
+    anchored by pos — not shuffle-arrival order. Spread over many
+    partitions to make an arrival-order implementation flaky."""
+    g = seq(spark, [1, 1, 1, 2, 2, 1], "int").withColumnRenamed("val", "grp")
+    v = seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0, 60.0])
+    df = v.join(g, "pos").repartition(8)
+    out = grouping.group_aggs(
+        df, {"f": ("first", "val"), "l": ("last", "val")}, "grp"
+    ).orderBy("pos")
+    rows = out.collect()
+    assert [(r["f"], r["l"]) for r in rows] == [(10.0, 30.0), (40.0, 50.0), (60.0, 60.0)]
+    wout = grouping.win_group_agg(df, "first", "grp", "val").orderBy("pos")
+    assert [r["win_group_first"] for r in wout.collect()] == [10.0, 10.0, 10.0, 40.0, 40.0, 60.0]
+    gout = grouping.grid_agg(
+        v.repartition(8), "last", 2, "val"
+    ).orderBy("pos")
+    assert [r["grid_last"] for r in gout.collect()] == [20.0, 40.0, 60.0]
+
+
 def test_win_group_agg(spark):
     g = seq(spark, [1, 1, 2], "int").withColumnRenamed("val", "grp")
     v = seq(spark, [10.0, 20.0, 30.0])
