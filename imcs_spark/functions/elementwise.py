@@ -44,7 +44,19 @@ def mul(a, b) -> Column:
 
 
 def div(a, b) -> Column:
-    return _c(a) / _c(b)
+    """cs_div with the reference's C float semantics: x/0 → ±inf,
+    0/0 → NaN (expected/math.out's cs_isnan vector). Spark's ANSI mode
+    would otherwise raise DIVIDE_BY_ZERO for every zero divisor; the
+    CASE-WHEN short-circuits so the ANSI check never fires. (-0.0
+    divisors lose their sign — acceptable divergence.)"""
+    num, den = _c(a), _c(b)
+    inf = F.lit(float("inf"))
+    return (
+        F.when(den != 0, num / den)
+        .when(num.cast("double") > 0, inf)
+        .when(num.cast("double") < 0, -inf)
+        .otherwise(F.lit(float("nan")))
+    )
 
 
 def mod(a, b) -> Column:

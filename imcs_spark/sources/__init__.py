@@ -56,13 +56,28 @@ def parse(spark: SparkSession, literal: str) -> DataFrame:
     spark_type = _TYPE_MAP.get(type_name)
     if spark_type is None:
         raise ValueError(f"unknown element type {type_name!r}")
-    items = [s.strip() for s in body.split(",") if s.strip() != ""]
+    # split on commas NOT inside quotes (money literals like
+    # "$1,000,000" carry group separators — reference transform.sql:26)
+    items = [
+        s.strip()
+        for s in re.findall(r'"[^"]*"|\'[^\']*\'|[^,]+', body)
+        if s.strip() != ""
+    ]
     if spark_type in ("tinyint", "smallint", "int", "bigint"):
         vals = [int(x) for x in items]
     elif spark_type in ("float", "double"):
         vals = [float(x) for x in items]
     elif spark_type == "boolean":
         vals = [x.lower() in ("t", "true", "1") for x in items]
+    elif type_name == "money":
+        from decimal import Decimal
+
+        vals = [
+            Decimal(x.strip("'\"").replace("$", "").replace(",", "")).quantize(
+                Decimal("0.01")
+            )
+            for x in items
+        ]
     else:
         vals = [x.strip("'\"") for x in items]
     return seq(spark, vals, spark_type)

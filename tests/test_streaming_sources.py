@@ -57,6 +57,67 @@ def test_approxdc_tolerance(spark, sf_dir):
     assert abs(row["approx"] - row["exact"]) <= 0.15 * row["exact"]
 
 
+def test_windowed_agg_stream_watermark_drops_late_row(spark):
+    """Event-time tumbling windows with watermark (SURVEY §2.8): a row
+    arriving behind the watermark is silently dropped, and append mode
+    emits each window exactly once, finalized."""
+    import json
+    import time as _time
+
+    from imcs_spark.streaming import windowed_agg_stream
+
+    tmp = tempfile.mkdtemp(prefix="imcs_wstream_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    name = f"wagg_{int(_time.time() * 1000)}"
+
+    def feed(fname, rows):
+        p = os.path.join(src, fname)
+        with open(p + ".tmp", "w") as f:
+            for ts, v in rows:
+                f.write(json.dumps({"ts": ts, "v": v}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    try:
+        feed("b1.json", [("2024-01-01 10:00:10", 1.0), ("2024-01-01 10:00:50", 2.0),
+                         ("2024-01-01 10:01:40", 3.0)])
+        stream = (
+            spark.readStream.schema("ts timestamp, v double").json(src)
+        )
+        agged = windowed_agg_stream(
+            stream, "ts", "1 minute", "30 seconds",
+            agg_exprs=[F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")],
+        )
+        q = (
+            agged.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        # watermark is now 10:01:40 - 30s = 10:01:10, past the end of
+        # the [10:00,10:01) window — a row landing in that window is
+        # "too late" (window end <= watermark) and must be dropped.
+        feed("b2.json", [("2024-01-01 10:00:20", 100.0), ("2024-01-01 10:02:10", 4.0)])
+        q.processAllAvailable()
+        # advance far enough to flush [10:01,10:02) and [10:02,10:03)
+        feed("b3.json", [("2024-01-01 10:05:00", 5.0)])
+        q.processAllAvailable()
+        feed("b4.json", [("2024-01-01 10:08:00", 6.0)])
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            str(r["window"]["start"]): (r["s"], r["n"])
+            for r in spark.sql(f"select * from {name}").collect()
+        }
+        assert got["2024-01-01 10:00:00"] == (3.0, 2), got  # 1+2, late 100 dropped
+        assert got["2024-01-01 10:01:00"] == (3.0, 1), got
+        assert got["2024-01-01 10:02:00"] == (4.0, 1), got
+        assert got["2024-01-01 10:05:00"] == (5.0, 1), got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_ordered_append(spark):
     tmp = tempfile.mkdtemp(prefix="imcs_stream_")
     target = os.path.join(tmp, "table")
