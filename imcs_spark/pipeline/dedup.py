@@ -219,23 +219,37 @@ def simhash(
 ) -> DataFrame:
     """64-bit SimHash over word tokens — JVM-side only: explode tokens,
     per-bit ±1 votes, sign → bit. Near-duplicate docs have small
-    Hamming distance (use F.bit_count(a ^ b) to compare)."""
-    tok = df.select(
+    Hamming distance (use F.bit_count(a ^ b) to compare).
+
+    vote_i > 0 ⟺ 2·ones_i > total, so only the ones-count per bit is
+    aggregated (no ±1 CASE per bit), and the 64 counters are packed
+    into 16 longs of 4 sixteen-bit lanes each — whole-stage codegen
+    compile time scales with aggregate count (65 separate sums cost
+    ~2.5 s of janino alone). Lane capacity 65,535 tokens per doc —
+    far above real documents. One groupBy(id): a doc's exploded
+    tokens stay partition-local, so map-side partial aggregation
+    collapses them before the shuffle — only (id, 17 longs) per doc
+    moves, and no extra distinct-token pre-shuffle is needed."""
+    hashed = df.select(
         id_col, F.explode(F.split(_normalize(text_col), " ")).alias("_tok")
-    ).withColumn("_h", F.xxhash64("_tok"))
-    votes = [
-        F.sum(
-            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_b{i}")
-        for i in range(64)
-    ]
-    agg = tok.groupBy(id_col).agg(*votes)
+    ).select(id_col, F.xxhash64("_tok").alias("_h"))
+    packed = []
+    for g in range(16):
+        lanes = None
+        for k in range(4):
+            bit = F.shiftright("_h", 16 * k + g).bitwiseAND(F.lit(1))
+            lane = F.shiftleft(bit, 16 * k)
+            lanes = lane if lanes is None else lanes + lane
+        packed.append(F.sum(lanes).alias(f"_p{g}"))
+    agg = hashed.groupBy(id_col).agg(*packed, F.count(F.lit(1)).alias("_tot"))
     sig = None
     for i in range(64):
-        bit = F.when(F.col(f"_b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(
-            F.col("_b63") > 0, F.lit(-(1 << 63)).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        g, k = i % 16, i // 16
+        c = F.shiftrightunsigned(F.col(f"_p{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        pos = c * 2 > F.col("_tot")
+        term = F.when(pos, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         sig = term if sig is None else sig + term
     return agg.withColumn(out_col, sig).select(id_col, out_col)
 
@@ -293,17 +307,29 @@ def simhash_near_pairs(
     r = chunks.select(
         F.col(id_col).alias("right_id"), F.col("simhash").alias("_rsig"), "band", "chunk"
     )
-    # bit_count BEFORE distinct: the Hamming filter is a cheap JVM
-    # expression on the joined stream, so the expensive dedup shuffle
-    # only sees surviving near-pairs (thousands), not every band
-    # collision (millions with narrow bands).
+    # Dedup without a shuffle: a near-pair collides in EVERY band
+    # where its sig chunks agree (near-dups agree almost everywhere,
+    # so up to `blocks` copies each). Instead of distinct() over all
+    # surviving copies, keep only the copy joined on the FIRST
+    # agreeing band — computable as a cheap JVM filter from the XOR of
+    # the two sigs already present in the joined row. The Hamming
+    # filter is likewise a stream expression, so nothing after the
+    # band join shuffles more than the final output.
+    xor = F.col("_lsig").bitwiseXOR(F.col("_rsig"))
+    band_agrees = [
+        F.shiftrightunsigned(xor, offsets[b]).bitwiseAND(F.lit((1 << widths[b]) - 1)) == 0
+        for b in range(blocks)
+    ]
+    first_band = F.lit(blocks)
+    for b in range(blocks - 1, -1, -1):
+        first_band = F.when(band_agrees[b], F.lit(b)).otherwise(first_band)
     pairs = (
         l.join(r, ["band", "chunk"])
         .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("hamming", F.bit_count(F.col("_lsig").bitwiseXOR(F.col("_rsig"))))
+        .filter(F.col("band") == first_band)
+        .withColumn("hamming", F.bit_count(xor))
         .filter(F.col("hamming") <= max_hamming)
         .select("left_id", "right_id", "hamming")
-        .distinct()
     )
     return pairs
 
