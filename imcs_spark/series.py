@@ -131,10 +131,19 @@ def seq(
     val_col: str = VAL,
 ) -> DataFrame:
     """Literal series — the analog of cs_parse('int4:{1,2,3}')
-    (reference imcs.c:2433-2478, func.c:413-593). Returns (pos, val)."""
-    coerce = float if elem_type in ("double", "float") else (lambda v: v)
-    rows = [(i, coerce(v)) for i, v in enumerate(values)]
-    return spark.createDataFrame(rows, f"{POS} long, {val_col} {elem_type}")
+    (reference imcs.c:2433-2478, func.c:413-593). Returns (pos, val).
+
+    Built as posexplode of an array LITERAL over range(1), not
+    createDataFrame: createDataFrame yields a LogicalRDD whose
+    statistics are unknown (treated as EiB-huge), so every tiny join
+    over it plans as a 32-partition sort-merge join and every scan is
+    an RDD job. A literal plan carries exact tiny stats — Catalyst
+    broadcasts the joins and the scan is a 1-row Range."""
+    vals = list(values)
+    arr = F.array(*[F.lit(v).cast(elem_type) for v in vals])
+    return spark.range(1).select(F.posexplode(arr).alias("_p", val_col)).select(
+        F.col("_p").cast("long").alias(POS), val_col
+    )
 
 
 def const_series(spark: SparkSession, value, n: int, elem_type: str = "double") -> DataFrame:
