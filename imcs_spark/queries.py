@@ -394,12 +394,12 @@ def quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .series import zip_with_global_pos
 
     li = _t(spark, sf_dir, "lineitem")
-    # zip, not with_pos(None): the pos spine here is only a tie-breaker
-    # for the sorted index, and a single-partition window over all of
-    # lineitem would serialize the whole table through one task.
-    s = zip_with_global_pos(
-        li.select(F.col("l_extendedprice").alias("val")), ["val"]
-    )
+    # No pos spine at all: quantile's sorted index breaks ties by pos,
+    # but rows tied on val carry the same val — the value emitted at
+    # any target rank is identical under every tie permutation, so a
+    # constant pos column is enough and the whole query runs ONE
+    # global zip (inside sorting.quantile) instead of two.
+    s = li.select(F.col("l_extendedprice").alias("val"), F.lit(0).cast("long").alias("pos"))
     out = sorting.quantile(s, 4)
     return out.select("pos", _r6(F.col("val")).alias("val"))
 
