@@ -138,16 +138,40 @@ def _recurrence_apply(
     part = df.repartition(*keys).sortWithinPartitions(*keys, order_col)
 
     def gen(batches):
+        import numpy as np
+
         chunks = list(batches)
         if not chunks:
             return
-        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-        outs = {c: pd.Series(index=pdf.index, dtype="float64") for c in kernels}
-        for _, g in pdf.groupby(keys, sort=False):
-            for out_col, kernel in kernels.items():
-                outs[out_col].loc[g.index] = kernel(g[val_col]).astype("float64")
-        for out_col in kernels:
-            pdf[out_col] = outs[out_col]
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0].reset_index(drop=True)
+        )
+        n = len(pdf)
+        if n == 0:
+            yield pdf
+            return
+        # Groups are contiguous runs after the (keys, order) sort —
+        # find boundaries with one vector compare per key column and
+        # write kernel outputs by positional slice. (pandas groupby +
+        # index-aligned .loc writes cost ~ms per group, which dominates
+        # when series are small and numerous.)
+        change = np.zeros(n - 1, dtype=bool)
+        for k in keys:
+            a = pdf[k].to_numpy()
+            change |= a[1:] != a[:-1]
+        bounds = np.flatnonzero(change) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        vals = pdf[val_col].to_numpy(dtype="float64")
+        for out_col, kernel in kernels.items():
+            out = np.empty(n, dtype="float64")
+            for s0, e0 in zip(starts, ends):
+                out[s0:e0] = np.asarray(
+                    kernel(pd.Series(vals[s0:e0])), dtype="float64"
+                )
+            pdf[out_col] = out
         yield pdf
 
     return part.mapInPandas(gen, schema=schema)

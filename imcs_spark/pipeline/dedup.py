@@ -30,6 +30,20 @@ def _normalize(text_col) -> F.Column:
     return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
 
 
+def spread(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Ensure per-doc heavy work (shingling, token hashing, vote
+    aggregation) runs with at least the session's default parallelism.
+    A 100 TB corpus scans as thousands of partitions — no-op there; a
+    small/benchmark corpus may scan as ONE partition, serializing all
+    downstream narrow transforms through a single core. Repartitions
+    only in that case, hashed by `key` (or round-robin), shuffling raw
+    rows once before the explode multiplies them."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min(target, 16):
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -157,6 +171,12 @@ def jaccard_pairs(
     (semi-join pushdown before the heavy join)."""
     src = df.select(id_col, text_col)
     if candidates is not None:
+        # candidates is referenced twice below (doc semi-join + pair
+        # semi-join); without a persist its whole lineage — signatures
+        # plus the LSH band join — executes twice. The pair list is
+        # tiny relative to the corpus (bucket collisions only), so
+        # memory cost is negligible at any scale.
+        candidates = candidates.persist()
         # restrict to docs that appear in any candidate pair BEFORE
         # shingling — shingle cost and the inverted-index self-join
         # then scale with candidate count, not corpus size (without
@@ -230,7 +250,7 @@ def simhash(
     tokens stay partition-local, so map-side partial aggregation
     collapses them before the shuffle — only (id, 17 longs) per doc
     moves, and no extra distinct-token pre-shuffle is needed."""
-    hashed = df.select(
+    hashed = spread(df.select(id_col, text_col), id_col).select(
         id_col, F.explode(F.split(_normalize(text_col), " ")).alias("_tok")
     ).select(id_col, F.xxhash64("_tok").alias("_h"))
     packed = []
