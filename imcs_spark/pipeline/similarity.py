@@ -122,11 +122,13 @@ def lsh_topk(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
+    # no distinct needed: probe masks are distinct, so each corpus row
+    # (one bucket) matches at most one probe row per query — the rank
+    # output is already unique per (query, rank)
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(query_id_col, id_col, "cosine", F.col("_rn").alias("rank"))
-        .distinct()
     )
 
 

@@ -728,7 +728,7 @@ def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    ann = similarity.lsh_topk(emb, queries_df, k=5, n_planes=8, multi_probe=3)
+    ann = similarity.lsh_topk(emb, queries_df, k=5, n_planes=8, multi_probe=3, dim=64)
     exact = similarity.brute_force_topk(emb, queries_df, k=5)
     return (
         ann.select("query_id", "vec_id")
