@@ -112,6 +112,32 @@ def sample_frames(
     )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a media table from the documents corpus: the UTF-8 text
+    bytes stand in for opaque encoded content (the container has no
+    codecs), every metadata field is a deterministic function of
+    (doc_id, content) — so the full decode/extract/frame-sample
+    pipeline is reproducible in ANSI SQL for oracle checking."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("content"),
+        F.element_at(
+            F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("mime"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(64)).cast("int").alias("width"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(48)).cast("int").alias("height"),
+        F.when(
+            F.col("doc_id") % 3 != 0, ((F.col("doc_id") % 5) + 1) * 1000
+        ).cast("long").alias("duration_ms"),
+    )
+
+
 def fake_media_table(spark, n: int = 100) -> DataFrame:
     """Deterministic synthetic media table for tests."""
     rows = []

@@ -1450,3 +1450,57 @@ def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in cols]
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal pipeline — opaque binary content + typed metadata through the
+# Arrow decode/extract/frame-sample plumbing (pipeline.multimodal). The
+# decode itself is the documented deterministic stub, but every metric
+# emitted here is a pure function of (doc_id, text bytes), so the WHOLE
+# query — including that the mapInPandas pass produced a well-formed
+# FEATURE_DIM vector in [0,1) for every asset — is verified by a true
+# ANSI-SQL oracle, not a pinned golden.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_pipeline",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS nbytes,
+         CASE WHEN doc_id % 3 <> 0 THEN ((doc_id % 5) + 1) * 1000 END AS duration_ms
+  FROM documents
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN kind = 'video' THEN GREATEST(duration_ms // 1000, 1) ELSE 0 END) AS BIGINT) AS n_frames,
+       CAST(1 AS INTEGER) AS features_ok
+FROM m GROUP BY kind
+""",
+)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import multimodal as MM
+
+    docs = _t(spark, sf_dir, "documents")
+    media = MM.media_from_documents(docs)
+    feats = MM.extract_features(media)
+    ok = (
+        (F.size("features") == MM.FEATURE_DIM)
+        & F.forall("features", lambda x: (x >= 0) & (x < 1))
+    ).cast("int")
+    frames = (
+        MM.sample_frames(media, every_ms=1000)
+        .groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    agg = feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.min(ok).alias("features_ok"),
+    )
+    return (
+        agg.join(frames, "kind", "left")
+        .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)).cast("long"))
+        .select("kind", "n_assets", "total_bytes", "n_frames", "features_ok")
+    )
