@@ -145,3 +145,66 @@ def test_streaming_ordered_append(spark):
         assert final.count() == 5
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_stream_stateful(spark):
+    """applyInPandasWithState sessionizer: sessions survive across
+    micro-batches in keyed state, close on gap (mid-batch AND
+    cross-batch), and the event-time timeout flushes an idle open
+    session once the watermark passes."""
+    import json
+    import time as _time
+
+    from imcs_spark.streaming import sessionize_stream
+
+    tmp = tempfile.mkdtemp(prefix="imcs_sess_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    name = f"sess_{int(_time.time() * 1000)}"
+
+    def feed(fname, rows):
+        p = os.path.join(src, fname)
+        with open(p + ".tmp", "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    try:
+        # user 1: two events 10s apart (one session), then a mid-batch
+        # gap >60s opens a second session. user 2: one event.
+        feed("b1.json", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:10"),
+                         (1, "2024-01-01 10:02:00"), (2, "2024-01-01 10:00:30")])
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(src)
+        sess = sessionize_stream(stream, "ts", "user_id",
+                                 gap_seconds=60, watermark="0 seconds")
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        # batch 2: user 1 continues the OPEN session (state carried
+        # across batches); user 2's session stays open.
+        feed("b2.json", [(1, "2024-01-01 10:02:30")])
+        q.processAllAvailable()
+        # batch 3: advance event time far past every open session's
+        # last event + gap -> timeouts flush them.
+        feed("b3.json", [(3, "2024-01-01 11:00:00")])
+        q.processAllAvailable()
+        feed("b4.json", [(3, "2024-01-01 12:00:00")])
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(f"select * from {name}").collect()
+        got = {
+            (r["user_id"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+            for r in rows
+        }
+        # user 1 session A: closed by the mid-batch gap in b1
+        assert got[(1, "2024-01-01 10:00:00")] == ("2024-01-01 10:00:10", 2), got
+        # user 1 session B: extended in b2 (cross-batch state), closed by timeout
+        assert got[(1, "2024-01-01 10:02:00")] == ("2024-01-01 10:02:30", 2), got
+        # user 2: single-event session closed by timeout
+        assert got[(2, "2024-01-01 10:00:30")] == ("2024-01-01 10:00:30", 1), got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
