@@ -40,7 +40,7 @@ def main():
 
     spark.range(1000).select(_warm(F.col("id").cast("double"))).collect()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         best = None
