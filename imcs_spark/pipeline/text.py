@@ -53,8 +53,8 @@ def lang_scores(text_col: str = "text") -> dict[str, Column]:
     n = F.greatest(F.size(toks), F.lit(1))
     out = {}
     for lang, words in _STOPWORDS.items():
-        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
-        # array_intersect is set-wise; count multiplicity via filter
+        # set-wise array_intersect would miss multiplicity; filter counts
+        # every stopword occurrence
         multi = F.size(F.filter(toks, lambda t: t.isin(words)))
         out[lang] = multi / n
     return out

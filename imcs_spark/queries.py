@@ -1504,3 +1504,61 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)).cast("long"))
         .select("kind", "n_assets", "total_bytes", "n_frames", "features_ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring — the Gopher-rules-like declarative blend
+# (pipeline.text.quality_score), fully reproduced in ANSI SQL: per-doc
+# features AND the composite score are hash-compared, upgrading the
+# quality path from pytest-only to driver-verified.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_scores",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS _nc,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         length(regexp_replace(text, '[^\.,;:!\?"''\(\)]', '', 'g')) * 1.0
+             / greatest(_nc, 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) * 1.0
+             / greatest(len(toks), 1) AS stopword_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(_nc, 1) AS digit_ratio
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS INTEGER) AS n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       ROUND(digit_ratio, 6) AS digit_ratio,
+       ROUND(
+         (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+         + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.3 END) * 0.2
+         + LEAST(stopword_ratio * 5, 1.0) * 0.2
+         + GREATEST(0.0, 1.0 - digit_ratio * 2 - punct_ratio) * 0.3, 6) AS quality
+FROM f
+""",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    out = T.quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r6(F.col("digit_ratio")).alias("digit_ratio"),
+        _r6(F.col("quality")).alias("quality"),
+    )
