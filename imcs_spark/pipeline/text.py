@@ -124,8 +124,28 @@ def fingerprint(
 ) -> Column:
     """Document fingerprint: minimum of rolling window-gram hashes over
     the token stream (winnowing-style min-sampling, deterministic).
-    Equal fingerprints → high overlap candidates."""
+    Equal fingerprints → high overlap candidates.
+
+    Window-grams are built from literal-start shifted slices combined
+    with nested zip_with (a per-index `slice(toks, i+1, w)` inside a
+    transform lambda falls out of codegen into interpreted eval and is
+    ~10x slower). zip_with pads the shorter shifted arrays with null,
+    and concat propagates the null, so positions whose window would run
+    past the end drop out in the filter; documents shorter than one
+    window hash their whole token stream, matching the old
+    `slice` semantics (slice past the end truncates)."""
     toks = _tokens(text_col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
-    return F.array_min(grams)
+    size = F.size(toks)
+    grams = toks
+    for k in range(1, window):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, size),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    hashes = F.transform(
+        F.filter(grams, lambda g: g.isNotNull()), lambda g: F.xxhash64(g)
+    )
+    return F.when(size >= window, F.array_min(hashes)).otherwise(
+        F.xxhash64(F.concat_ws(" ", toks))
+    )
