@@ -75,6 +75,32 @@ def bucket_ids(vec_col: str, planes: list[list[float]]):
     return out.cast("long")
 
 
+def lsh_index(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    seed: int = 42,
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the LSH index: (planes, bucketed+normalized corpus,
+    persisted). The index is a built-once artifact — at any scale the
+    corpus is bucketed one time and then served many queries, so
+    callers should hold onto this rather than letting every query
+    batch re-bucket the corpus."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    c = (
+        corpus.select(id_col, F.col(vec_col).alias("_cv"))
+        .withColumn("bucket", bucket_ids("_cv", planes))
+        .withColumn("_cu", _unit("_cv"))
+        .drop("_cv")
+        .persist()
+    )
+    return planes, c
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -86,21 +112,21 @@ def lsh_topk(
     dim: int | None = None,
     multi_probe: int = 1,
     seed: int = 42,
+    index: tuple[list[list[float]], DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket, probing every bucket
     within Hamming radius `multi_probe` of the query's bucket (sign
     flips are the likeliest LSH errors, so near buckets hold the missed
     neighbors), exact cosine re-rank within candidates. Shuffle is
     (bucket, id, vec) instead of a cross product; the probed fraction
-    is Σ_{i≤r} C(n_planes,i) / 2^n_planes of the corpus."""
+    is Σ_{i≤r} C(n_planes,i) / 2^n_planes of the corpus. Pass a
+    prebuilt `index` (lsh_index) to reuse the bucketed corpus across
+    query batches instead of re-bucketing per batch."""
     from itertools import combinations
 
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(id_col, F.col(vec_col).alias("_cv")).withColumn(
-        "bucket", bucket_ids("_cv", planes)
-    ).withColumn("_cu", _unit("_cv")).drop("_cv")
+    if index is None:
+        index = lsh_index(corpus, n_planes, vec_col, id_col, dim, seed)
+    planes, c = index
     masks = [0]
     for r in range(1, min(multi_probe, n_planes) + 1):
         for bits in combinations(range(n_planes), r):
@@ -242,6 +268,31 @@ def train_ivf_centroids(
     return centroids
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the IVF index: (centroids, cell-assigned normalized
+    corpus, persisted). Training and assignment are the expensive
+    built-once phase; hold onto the returned index and serve many
+    query batches against it (ivf_topk(index=...))."""
+    if centroids is None:
+        centroids = train_ivf_centroids(corpus, n_centroids, iters, vec_col, id_col, seed)
+    c = (
+        corpus.select(id_col, F.col(vec_col).alias("_cv"))
+        .withColumn("_cu", _unit("_cv"))
+        .withColumn("cell", _assign_expr("_cu", centroids))
+        .drop("_cv")
+        .persist()
+    )
+    return centroids, c
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -254,6 +305,7 @@ def ivf_topk(
     query_id_col: str = "query_id",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    index: tuple[list[list[float]], DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into coarse cells
     (spherical k-means), each query probes its n_probe nearest cells,
@@ -262,22 +314,13 @@ def ivf_topk(
     instead of a cross product. Probe-cell assignment is a pure Column
     expression (no driver collect), so the query side may itself be
     unbounded — it is broadcast here on the assumption it is the small
-    side; swap the build side for huge query batches."""
-    if centroids is None:
-        centroids = train_ivf_centroids(
-            corpus, n_centroids, iters, vec_col, id_col, seed
-        )
-    # materialize the assigned corpus: this IS the IVF index (cell →
-    # vectors), and persisting it keeps the K×dim assignment expression
-    # out of the join/rank stages' codegen (which otherwise recompile
-    # it into every downstream stage)
-    c = (
-        corpus.select(id_col, F.col(vec_col).alias("_cv"))
-        .withColumn("_cu", _unit("_cv"))
-        .withColumn("cell", _assign_expr("_cu", centroids))
-        .drop("_cv")
-        .persist()
-    )
+    side; swap the build side for huge query batches. Pass a prebuilt
+    `index` (ivf_index) to serve against an existing materialized index
+    — the persisted assignment also keeps the K×dim argmax expression
+    out of the join/rank stages' codegen."""
+    if index is None:
+        index = ivf_index(corpus, n_centroids, iters, vec_col, id_col, seed, centroids)
+    centroids, c = index
     probes = (
         queries.select(query_id_col, F.col(vec_col).alias("_qv"))
         .withColumn("_qu", _unit("_qv"))

@@ -47,25 +47,51 @@ def token_count(text_col: str = "text", mode: str = "whitespace") -> Column:
     )
 
 
+def _lang_counts(text_col) -> Column:
+    """Struct of per-language stopword occurrence counts, computed in
+    ONE aggregate pass over the token array. One filter+size per
+    language reads fine but inlines the tokenization subtree per
+    language and allocates an intermediate array each — the bigger
+    expression tree also bloats generated code (compile time is a real
+    per-query cost). Counts multiplicity, like the filter formulation
+    (set-wise array_intersect would not)."""
+    toks = _tokens(text_col)
+    langs = list(_STOPWORDS)
+    init = F.struct(*[F.lit(0).alias(lang) for lang in langs])
+    counts = F.aggregate(
+        toks,
+        init,
+        lambda acc, t: F.struct(
+            *[
+                (acc[lang] + t.isin(_STOPWORDS[lang]).cast("int")).alias(lang)
+                for lang in langs
+            ]
+        ),
+    )
+    return counts
+
+
 def lang_scores(text_col: str = "text") -> dict[str, Column]:
     """Per-language stopword-hit ratio."""
     toks = _tokens(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
-    out = {}
-    for lang, words in _STOPWORDS.items():
-        # set-wise array_intersect would miss multiplicity; filter counts
-        # every stopword occurrence
-        multi = F.size(F.filter(toks, lambda t: t.isin(words)))
-        out[lang] = multi / n
-    return out
+    counts = _lang_counts(text_col)
+    return {lang: counts[lang] / n for lang in _STOPWORDS}
 
 
 def lang_id(text_col: str = "text", default: str = "unknown", min_score: float = 0.0) -> Column:
     """Argmax language over stopword-hit ratios; `default` when no
-    language scores above min_score."""
-    scores = lang_scores(text_col)
+    language scores above min_score. Ratios share one denominator, so
+    the argmax (score, then language string on ties) is identical to
+    the per-ratio formulation."""
+    toks = _tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    counts = _lang_counts(text_col)
     pairs = F.array(
-        *[F.struct(score.alias("s"), F.lit(lang).alias("l")) for lang, score in scores.items()]
+        *[
+            F.struct((counts[lang] / n).alias("s"), F.lit(lang).alias("l"))
+            for lang in _STOPWORDS
+        ]
     )
     best = F.array_max(pairs)
     return F.when(best["s"] > min_score, best["l"]).otherwise(F.lit(default))
