@@ -316,3 +316,85 @@ def union_merge(
     keys = [*partition_by] if partition_by else []
     u = a.select(*keys, val_col).unionByName(b.select(*keys, val_col))
     return renumber(u, keys or None, order_by=(val_col,), bounded=bounded)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to left-side key skew: each left row gets a
+    salt in [0, salt); the right side is replicated once per salt
+    value; the join key becomes (keys..., salt). A hot key's rows then
+    spread over `salt` shuffle partitions instead of forming one
+    straggler task. Use when the skewed side is too large to broadcast
+    and AQE's skew-join split isn't applicable (e.g. the downstream
+    needs a specific partitioning, or the join is shuffled-hash).
+    Replication costs salt x |right| - keep right the smaller side.
+
+    Allowed `how`: inner / left / left_semi / left_anti. Left-row
+    semantics survive salting (each left row joins exactly the one
+    salt replica set that is complete for its key); right/full outer
+    would duplicate unmatched right rows, so they are rejected."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(f"salted_join: unsupported how={how!r}")
+    keys = list(on)
+    l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int"),
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+    )
+    return l.join(r, keys + ["_salt"], how).drop("_salt")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join (point in [lo, hi]) as an equi-join on a time/value
+    bin plus a residual filter - the scale path for a theta join Spark
+    would otherwise execute as a nested-loop cross product.
+
+    Both sides bucket the domain into width-`bin_width` bins: a point
+    falls in exactly one bin, an interval is exploded over every bin it
+    overlaps. Matching pairs meet in exactly one bin (the point's), so
+    the result needs no dedup pass; the shuffle carries |left| +
+    sum(interval span / bin_width) rows instead of |left| x |right|.
+    Pick bin_width near the typical interval length: wider bins mean
+    fewer interval replicas but more same-bin non-matches discarded by
+    the residual filter. Columns must be numeric - cast timestamps to
+    epoch first (F.unix_micros). Degenerate very-long intervals
+    replicate over many bins; split those out and broadcast them
+    separately if they dominate."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"range_join: unsupported how={how!r}")
+    l = left.withColumn("_lbin", F.floor(F.col(point_col) / F.lit(bin_width)))
+    r = right.withColumn(
+        "_rbin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)),
+                F.floor(F.col(hi_col) / F.lit(bin_width)),
+            )
+        ),
+    )
+    # the equality on bins rides in the join condition so Catalyst
+    # extracts it as the shuffle key (hash/sort-merge, not nested
+    # loop); the range predicates are the residual filter. This form
+    # also keeps left_semi correct - a post-join filter could not.
+    cond = (
+        (l["_lbin"] == r["_rbin"])
+        & (l[point_col] >= r[lo_col])
+        & (l[point_col] <= r[hi_col])
+    )
+    out = l.join(r, cond, how)
+    return out.drop("_lbin", "_rbin")

@@ -1429,6 +1429,41 @@ def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cs_union on real data: order-preserving multiset merge of two sorted
 # value sequences (click vs purchase values).
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Interval containment join via bin bucketing (operators.joins.range_join)
+# — the equi-join-on-bin scale path for a theta join, verified against
+# DuckDB's true BETWEEN join. Overlapping intervals (width 7.5, stride
+# 5) prove the multi-match path; the join meets each pair in exactly
+# one bin so no distinct is needed.
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_count",
+    oracle="""
+WITH intervals AS (
+  SELECT i AS iid, i * 5.0 AS lo, i * 5.0 + 7.5 AS hi
+  FROM generate_series(0, 99) t(i)
+)
+SELECT iid, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS sum_value
+FROM events e JOIN intervals ON e.value BETWEEN lo AND hi
+GROUP BY iid
+""",
+)
+def range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events").select("value")
+    iv = spark.range(100).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 7.5).alias("hi"),
+    )
+    j = range_join(ev, iv, "value", "lo", "hi", bin_width=5.0)
+    return j.groupBy("iid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 @query(
     "union_merge",
     oracle="""

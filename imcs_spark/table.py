@@ -273,6 +273,33 @@ class Engine:
         for name, (ts, idc) in specs.items():
             self.create(name, os.path.join(sf_dir, f"{name}.parquet"), ts, idc)
 
+    def save_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: list[str],
+        buckets: int = 32,
+        sort_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Write `df` as a bucketed, sorted catalog table. Two tables
+        bucketed the same way (same keys, same bucket count) join with
+        a sort-merge and NO Exchange on either side, and aggregations
+        on the bucket keys skip their shuffle too — at 100 TB,
+        bucketing fact tables on their join keys once at ingest
+        removes the dominant shuffle from every subsequent query on
+        those keys. Bucket metadata lives in the catalog, so this uses
+        saveAsTable (a plain parquet path cannot carry it); pick
+        `buckets` so one bucket of the largest table fits an executor
+        (size / buckets ~ a few hundred MB)."""
+        (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(buckets, *keys)
+            .sortBy(*(sort_cols or keys))
+            .saveAsTable(name)
+        )
+        return self.spark.table(name)
+
     def drop(self, name: str) -> None:
         self.tables.pop(name, None)
 
