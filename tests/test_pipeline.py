@@ -188,3 +188,49 @@ def test_ivf_topk(spark, sf_dir):
     assert len(self_hits) == 3  # own cell is always probed
     for r in self_hits:
         assert r["rank"] == 1
+
+
+def test_real_decode_pnm_and_wav():
+    import numpy as np
+
+    # gradient image: decode must restore exact pixels
+    px = np.arange(48 * 64 * 3, dtype=np.uint8).reshape(48, 64, 3)
+    assert (multimodal.decode_pnm(multimodal.encode_ppm(px)) == px).all()
+    feats = multimodal.image_features(px)
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert feats[0] == 48 and feats[1] == 64 and feats[2] == 3
+
+    # pure tone: decoded samples round-trip, RMS ~ A/sqrt(2), and the
+    # FFT band holding 1 kHz dominates
+    t = np.arange(4000) / 8000.0
+    x = 0.5 * np.sin(2 * np.pi * 1000 * t)
+    y, sr = multimodal.decode_wav(multimodal.encode_wav(x, 8000))
+    assert sr == 8000 and len(y) == 4000
+    assert np.abs(y - x).max() < 1e-3
+    af = multimodal.audio_features(y, sr)
+    assert len(af) == multimodal.FEATURE_DIM
+    assert abs(af[4] - 0.5 / np.sqrt(2)) < 1e-3  # rms
+    bands = af[8:]
+    assert bands.tolist().index(max(bands)) == 2  # 1 kHz in band [1k,1.5k)
+
+
+def test_extract_features_real_decoder(spark):
+    media = multimodal.fake_media_table(spark, 30, decodable=True).filter(
+        F.col("kind") != "video"
+    )
+    rows = multimodal.extract_features(media, use_real_decoder=True).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["features"]) == multimodal.FEATURE_DIM
+        if r["kind"] == "image":
+            # 3x3 grid means of a mod-256 gradient stay within pixel range
+            assert r["features"][0] == 48.0 and r["features"][1] == 64.0
+        else:
+            assert r["features"][1] == 8000.0  # sample rate
+
+
+def test_real_decode_rejects_opaque_codecs():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"\x00\x01\x02\x03", "video/mp4")
