@@ -226,3 +226,29 @@ def _top(
     value = F.col(POS).cast("long").alias(VAL) if emit_pos else F.col(val_col)
     sel = out.select(*keys, F.col("_rn").alias(POS), value)
     return sel
+
+
+def quantile_approx(
+    df: DataFrame,
+    q: int,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Approximate quantile boundaries - the scale path for
+    cs_quantile. quantile() selects exact order statistics through a
+    global range shuffle; at very large counts a single aggregate pass
+    over a mergeable sketch is the right trade: percentile_approx
+    (Greenwald-Khanna) guarantees rank error <= count/accuracy with
+    O(accuracy) state per group and NO global sort or zip - partial
+    sketches merge map-side like any other aggregate. Emits the same
+    (pos 0..q, val) shape as quantile()."""
+    keys = [*partition_by] if partition_by else []
+    ps = [i / q for i in range(q)] + [1.0]
+    agg_expr = F.percentile_approx(
+        val_col, F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+    ).alias("_qs")
+    agg = df.groupBy(*keys).agg(agg_expr) if keys else df.agg(agg_expr)
+    return agg.select(
+        *keys, F.posexplode("_qs").alias(POS, val_col)
+    ).withColumn(POS, F.col(POS).cast("long"))

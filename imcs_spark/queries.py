@@ -420,6 +420,64 @@ def quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate quantiles (scale path): exact boundary values carry the
+# oracle hash; approx_ok asserts the Greenwald-Khanna sketch honors its
+# rank guarantee (the returned value's [rank_lt, rank_le] interval must
+# intersect target ± count/accuracy). Verifies the one-pass mergeable-
+# sketch path a 100 TB quantile would actually take.
+# ---------------------------------------------------------------------------
+@query(
+    "quantile_approx",
+    oracle="""
+WITH s AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS rn,
+         COUNT(*) OVER () AS c
+  FROM lineitem
+), idx AS (
+  SELECT i.i AS pos, CASE WHEN i.i < 4 THEN (t.c * i.i) // 4 ELSE t.c - 1 END AS target
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS i) i,
+       (SELECT COUNT(*) AS c FROM lineitem) t
+)
+SELECT CAST(idx.pos AS BIGINT) AS pos, ROUND(s.v, 6) AS val, 1 AS approx_ok
+FROM idx JOIN s ON s.rn = idx.target
+""",
+)
+def quantile_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sorting
+
+    accuracy = 1000
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(F.col("l_extendedprice").alias("val"), F.lit(0).cast("long").alias("pos"))
+    exact = sorting.quantile(s, 4).select("pos", "val")
+    approx = sorting.quantile_approx(s, 4, accuracy=accuracy).select(
+        "pos", F.col("val").alias("_av")
+    )
+    # rank-verify each sketch value against the full column: its
+    # [#rows < v, #rows <= v] interval must intersect target ± n/acc
+    ranks = (
+        s.select("val")
+        .crossJoin(F.broadcast(approx))
+        .groupBy("pos", "_av")
+        .agg(
+            F.sum((F.col("val") < F.col("_av")).cast("long")).alias("_lt"),
+            F.sum((F.col("val") <= F.col("_av")).cast("long")).alias("_le"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    target = F.when(F.col("pos") < 4, (F.col("_n") * F.col("pos") / 4).cast("long")).otherwise(
+        F.col("_n") - 1
+    )
+    eps = (F.col("_n") / accuracy).cast("long") + 1
+    ok = (
+        (F.col("_le") >= target - eps) & (F.col("_lt") <= target + eps)
+    ).cast("int")
+    return exact.join(ranks.select("pos", ok.alias("approx_ok")), "pos").select(
+        "pos", _r6(F.col("val")).alias("val"), "approx_ok"
+    )
+
+
+# ---------------------------------------------------------------------------
 # diff + trend (cs_diff, cs_trend) per series.
 # ---------------------------------------------------------------------------
 @query(

@@ -395,3 +395,27 @@ def test_atr_global_matches_sequential(spark):
         assert len(got) == len(vals)
         for i, e in enumerate(model):
             assert got[i] == pytest.approx(e, rel=1e-9), (n, i)
+
+
+def test_quantile_approx_rank_guarantee(floats, spark):
+    """percentile_approx boundaries must honor the GK rank guarantee
+    per group: each returned value's rank interval intersects
+    target ± ceil(n/accuracy)."""
+    from imcs_spark.operators import sorting
+
+    cases, df = floats
+    out = sorting.quantile_approx(df, 4, "val", ["case"], accuracy=100)
+    got = _collect(out.select("case", "pos", "val"), ["val"])
+    for c, vals in cases.items():
+        sv = sorted(vals)
+        n = len(sv)
+        eps = n // 100 + 1
+        approx = [t[0] for t in got[c]]
+        assert len(approx) == 5, f"case {c}"
+        for i, av in enumerate(approx):
+            target = (n * i) // 4 if i < 4 else n - 1
+            lt = sum(1 for v in sv if v < av)
+            le = sum(1 for v in sv if v <= av)
+            assert le >= target - eps and lt <= target + eps, (
+                f"case {c} pos {i}: value {av} rank [{lt},{le}] vs target {target}"
+            )
