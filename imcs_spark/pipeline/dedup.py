@@ -436,3 +436,92 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list by iterative
+    min-label propagation: every node starts labeled with its own id;
+    each round takes the min of its label and its neighbors' labels;
+    at fixpoint the label is the component's minimum node id. Returns
+    (node, component) for every node that appears in a pair —
+    singletons are trivially their own component and never enter the
+    edge list, so callers union them back if needed.
+
+    Scale shape: one equi-join + one groupBy per round, both shuffling
+    on node id; rounds = O(component diameter). Near-dup clusters are
+    dense and shallow (diameter 2-4), so plain propagation beats the
+    round-compressed large-star/small-star variants that pay double
+    joins per round to handle long chains. Each round's labels are
+    eagerly localCheckpoint()ed: iterative self-joins otherwise chain
+    every round's plan into the next (unpersisting round N-1 before
+    round N materializes re-executes the whole history — quadratic),
+    and checkpointing truncates the lineage so round N reads only
+    round N-1's cached blocks. On a real cluster swap localCheckpoint
+    for checkpoint(dir) — local blocks aren't fault-tolerant."""
+    e = pairs.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+    edges = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "comp")
+            .groupBy("node")
+            .agg(F.min("comp").alias("_nmin"))
+        )
+        merged = (
+            labels.withColumnRenamed("comp", "_old")
+            .join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("_old"), F.coalesce("_nmin", F.col("_old"))).alias("comp"),
+                "_old",
+            )
+            .localCheckpoint()  # eager: materializes + cuts lineage here
+        )
+        changed = merged.filter(F.col("comp") != F.col("_old")).count()
+        if prev is not None:
+            prev.unpersist()
+        prev = merged
+        labels = merged.select("node", "comp")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Transitive near-dedup: one surviving document per CONNECTED
+    COMPONENT of the verified-duplicate graph (minimum id wins) — the
+    complete answer where minhash_dedup's greedy pass is order-
+    dependent across chains (a~b, b~c, a!~c keeps {a, c} greedily but
+    only {a} here)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = minhash_lsh_candidates(sigs, id_col, num_hashes, bands)
+    dups = jaccard_pairs(df, cands, text_col, id_col, shingle_n, jaccard_threshold)
+    comp = connected_components(dups)
+    losers = comp.filter(F.col("node") != F.col("comp")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

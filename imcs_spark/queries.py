@@ -760,6 +760,42 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Transitive dedup: connected components of the verified-duplicate
+# graph via iterative min-label propagation (no SQL equivalent in one
+# pass — the oracle uses a recursive CTE for the transitive closure).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_components",
+    oracle=_JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """
+, edges AS (
+  SELECT l AS a, r AS b FROM pairs WHERE j >= 0.8
+  UNION
+  SELECT r, l FROM pairs WHERE j >= 0.8
+), reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, rc.label FROM edges e JOIN reach rc ON rc.node = e.b
+), comp AS (
+  SELECT node, MIN(label) AS component FROM reach GROUP BY node
+)
+SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+""",
+)
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, num_hashes=32)
+    cands = dedup.minhash_lsh_candidates(sigs, num_hashes=32, bands=16)
+    pairs = dedup.jaccard_pairs(docs, cands, threshold=0.8)
+    comp = dedup.connected_components(pairs)
+    return comp.groupBy(F.col("comp").alias("component")).agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+
+
 @query(
     "simhash_pairs",
     # SimHash is pure integer bit arithmetic (xxhash64 token votes) —

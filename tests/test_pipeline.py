@@ -234,3 +234,31 @@ def test_real_decode_rejects_opaque_codecs():
 
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x00\x01\x02\x03", "video/mp4")
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 2)], "left_id long, right_id long"
+    )
+    comp = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_minhash_dedup_cc_transitive(spark):
+    # chain a~b~c where a!~c: greedy keeps {a, c}; CC keeps only {a}
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b = base + " extra"
+    c = base + " extra words appended here"
+    docs = spark.createDataFrame(
+        [(0, base), (1, b), (2, c), (7, "completely different text about ships and harbors at dawn")],
+        "doc_id long, text string",
+    )
+    cc = sorted(
+        r["doc_id"]
+        for r in dedup.minhash_dedup_cc(docs, jaccard_threshold=0.5).collect()
+    )
+    greedy = sorted(
+        r["doc_id"] for r in dedup.minhash_dedup(docs, jaccard_threshold=0.5).collect()
+    )
+    assert cc[0] == 0 and 7 in cc and 1 not in cc and 2 not in cc
+    assert set(cc) <= set(greedy)
