@@ -152,26 +152,29 @@ def fingerprint(
     the token stream (winnowing-style min-sampling, deterministic).
     Equal fingerprints → high overlap candidates.
 
-    Window-grams are built from literal-start shifted slices combined
-    with nested zip_with (a per-index `slice(toks, i+1, w)` inside a
-    transform lambda falls out of codegen into interpreted eval and is
-    ~10x slower). zip_with pads the shorter shifted arrays with null,
-    and concat propagates the null, so positions whose window would run
-    past the end drop out in the filter; documents shorter than one
-    window hash their whole token stream, matching the old
-    `slice` semantics (slice past the end truncates)."""
+    Tokens are hashed ONCE and window-gram hashes are rotate-XOR
+    combinations of the token hashes built with aligned shifted slices
+    + zip_with — no window-gram strings are ever materialized (the
+    string-concat formulation spent its time building ~50-char strings
+    per position just to hash them; long bit-ops are ~4× cheaper, and
+    per-index `slice(toks, i+1, w)` lambdas fall out of codegen into
+    interpreted eval and are ~10× slower still). Bit ops propagate
+    null, so positions whose window would run past the end (null-padded
+    by zip_with) drop out in the filter; documents shorter than one
+    window hash their whole token stream."""
     toks = _tokens(text_col)
     size = F.size(toks)
-    grams = toks
+    tokh = F.transform(toks, lambda t: F.xxhash64(t))
+    grams = tokh
     for k in range(1, window):
         grams = F.zip_with(
             grams,
-            F.slice(toks, k + 1, size),
-            lambda x, y: F.concat(x, F.lit(" "), y),
+            F.slice(tokh, k + 1, size),
+            lambda h, nxt: F.shiftleft(h, 13)
+            .bitwiseOR(F.shiftrightunsigned(h, 51))
+            .bitwiseXOR(nxt),
         )
-    hashes = F.transform(
-        F.filter(grams, lambda g: g.isNotNull()), lambda g: F.xxhash64(g)
-    )
+    hashes = F.filter(grams, lambda g: g.isNotNull())
     return F.when(size >= window, F.array_min(hashes)).otherwise(
         F.xxhash64(F.concat_ws(" ", toks))
     )

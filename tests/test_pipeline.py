@@ -240,8 +240,30 @@ def test_connected_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (9, 2)], "left_id long, right_id long"
     )
+    expect = {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    # driver union-find fast path (default) and the distributed
+    # iterative path (driver_cutoff=0) must agree exactly
     comp = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    assert comp == expect
+    dist = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(pairs, driver_cutoff=0).collect()
+    }
+    assert dist == expect
+
+
+def test_connected_components_paths_agree_random(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    pairs = spark.createDataFrame(edges, "left_id long, right_id long")
+    fast = {r["node"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    dist = {
+        r["node"]: r["comp"]
+        for r in dedup.connected_components(pairs, driver_cutoff=0).collect()
+    }
+    assert fast == dist
 
 
 def test_minhash_dedup_cc_transitive(spark):
