@@ -21,10 +21,13 @@ per-series and fully parallel.
 Exactness note: cs_stretch's iterator advances its right cursor at most
 once per left element (func.c:4332-4352, a lockstep quirk observable
 only when the right series ticks more than once between two left
-elements); we implement the declarative form — value of the first right
-timestamp strictly greater than t, filler when none — which matches the
-reference on its documented use (right ⊆ left timeline, e.g. split
-adjustment) and all its published examples.
+elements). :func:`stretch` implements the declarative form — value of
+the first right timestamp strictly greater than t, filler when none —
+which matches the reference on its documented use (right ⊆ left
+timeline, e.g. split adjustment) and all its published examples, and
+scales as a pure window pass; :func:`stretch_exact` reproduces the
+lockstep state machine bit-for-bit as a per-series Arrow kernel for
+callers that need the corner case.
 """
 
 from __future__ import annotations
@@ -268,6 +271,88 @@ def stretch(
     )
     return out.select(
         *keys, POS, F.coalesce(F.col("_sval"), F.lit(filler)).alias(val_col)
+    )
+
+
+def stretch_exact(
+    ts1: DataFrame,
+    ts2: DataFrame,
+    values: DataFrame,
+    filler,
+    val_col: str = VAL,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """cs_stretch with the reference's EXACT lockstep cursor semantics
+    (func.c:4308-4392): walking the left timeline, the right cursor
+    advances AT MOST ONCE per left element — when the left timestamp
+    has reached the last-read right timestamp, the next (ts2, value)
+    pair is consumed and its value emitted from then on; when the right
+    side is exhausted the filler is emitted. Observable difference from
+    the declarative :func:`stretch` only when the right series ticks
+    more than once between two left elements (the cursor lags instead
+    of skipping): stretch([1,5], ts2=[2,3], v=[10,20]) → [10, filler]
+    declaratively but [10, 20] under lockstep.
+
+    Inherently sequential state machine → per-series Arrow kernel
+    (parallel across partition_by groups, the common case); without
+    keys it runs as one sequential group — the same fallback the
+    reference takes for every non-context-free op (imcs.c:1886-1908).
+    Emits val as double."""
+    import numpy as np
+    import pandas as pd
+
+    keys = [*partition_by] if partition_by else []
+    r = (
+        ts2.select(*keys, POS, F.col(val_col).alias("_t"))
+        .join(values.select(*keys, POS, F.col(val_col).alias("_v")), on=keys + [POS])
+        .select(
+            *keys,
+            F.lit(1).alias("_side"),
+            F.col(POS),
+            F.col("_t").cast("double"),
+            F.col("_v").cast("double"),
+        )
+    )
+    l = ts1.select(
+        *keys,
+        F.lit(0).alias("_side"),
+        F.col(POS),
+        F.col(val_col).cast("double").alias("_t"),
+        F.lit(None).cast("double").alias("_v"),
+    )
+    both = l.unionByName(r)
+    fill = float(filler)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["_side"] == 0].sort_values(POS)
+        right = pdf[pdf["_side"] == 1].sort_values(POS)
+        ts2v = right["_t"].to_numpy(dtype="float64")
+        vals = right["_v"].to_numpy(dtype="float64")
+        lt = left["_t"].to_numpy(dtype="float64")
+        out = np.empty(len(lt), dtype="float64")
+        k, end, cur, next_ts = 0, False, np.nan, -np.inf
+        for i, t in enumerate(lt):
+            if not end and t >= next_ts:
+                if k < len(ts2v):
+                    next_ts, cur = ts2v[k], vals[k]
+                    k += 1
+                else:
+                    end, cur = True, fill
+            out[i] = cur
+        res = left[[*keys, POS]].copy()
+        res[val_col] = out
+        return res
+
+    schema_keys = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in ts1.schema.fields if f.name in keys
+    )
+    schema = (schema_keys + ", " if schema_keys else "") + f"{POS} long, {val_col} double"
+    if keys:
+        return both.groupBy(*keys).applyInPandas(apply_fn, schema)
+    both = both.withColumn("_g", F.lit(0))
+    return (
+        both.groupBy("_g")
+        .applyInPandas(lambda pdf: apply_fn(pdf.drop(columns=["_g"])), schema)
     )
 
 

@@ -1792,3 +1792,149 @@ def fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n").alias("max_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (pipeline.curate.decontaminate): docs
+# sharing any word 8-gram with the "benchmark" slice (doc_id % 97 == 0
+# stands in for an eval suite) are flagged. Spark compares 64-bit gram
+# hashes (no gram strings move, benchmark grams broadcast); the oracle
+# compares the gram strings themselves — equal because 64-bit hash
+# collisions are negligible at this cardinality.
+# ---------------------------------------------------------------------------
+@query(
+    "decontaminate",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+GROUP BY d.source
+""",
+)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = curate.decontaminate(docs, bench, n=8, mode="flag")
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition metrics (pipeline.curate.repetition_profile)
+# — the Gopher-style duplicate-bigram filters, doc-level exact values.
+# ---------------------------------------------------------------------------
+@query(
+    "repetition_profile",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 1, 1))) AS t(i)
+), per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+)
+SELECT doc_id,
+       ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_gram_frac,
+       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_gram_frac,
+       CAST(SUM(c) AS BIGINT) AS n_grams
+FROM per_gram GROUP BY doc_id
+""",
+)
+def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate.repetition_profile(docs, n=2)
+    return out.select(
+        "doc_id",
+        _r6(F.col("dup_gram_frac")).alias("dup_gram_frac"),
+        _r6(F.col("top_gram_frac")).alias("top_gram_frac"),
+        "n_grams",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split (pipeline.curate.dataset_split): md5-hash
+# bucketing — bit-identical across engines, so the DuckDB oracle
+# reproduces the exact membership, not just the proportions.
+# ---------------------------------------------------------------------------
+@query(
+    "dataset_split",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bkt
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM b GROUP BY 1, 2
+""",
+)
+def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate.dataset_split(docs, key_col="doc_id", weights=(80, 10, 10))
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing (pipeline.curate.pack_sequences): documents
+# laid back-to-back per source and cut into 2048-token sequences; the
+# assignment is a prefix-sum window, parallel across sources.
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS ntok
+  FROM documents
+), packed AS (
+  SELECT source,
+         (SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          // 2048) AS seq_id,
+         ntok
+  FROM t
+)
+SELECT source, CAST(COALESCE(seq_id, 0) AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY 1, 2
+""",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curate.pack_sequences(docs, budget=2048, partition_by="source")
+    return out.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )

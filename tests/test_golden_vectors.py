@@ -315,3 +315,68 @@ def test_iif_vs_if(spark):
     df = cond.join(a, "pos").join(b, "pos")
     out = df.withColumn("val", E.iif(F.col("c"), F.col("a"), F.col("b")))
     assert_seq(out.select("pos", "val"), [1.0, 0.2, 3.0])
+
+
+def test_stretch_exact_matches_declarative_on_golden(spark):
+    ts1 = seq(spark, [1, 2, 3, 4, 5], "int")
+    ts2 = seq(spark, [2, 4], "int")
+    vals = seq(spark, [1.1, 2.2])
+    out = joins.stretch_exact(ts1, ts2, vals, 1.0).orderBy("pos")
+    assert [r["val"] for r in out.collect()] == [
+        pytest.approx(x) for x in [1.1, 2.2, 2.2, 1.0, 1.0]
+    ]
+
+
+def test_stretch_exact_lockstep_divergence(spark):
+    """The reference's cursor advances at most once per left element
+    (func.c:4332-4352): with right ticking twice between left elements
+    the cursor lags and emits the SECOND value where the declarative
+    form has already run past the end."""
+    ts1 = seq(spark, [1, 5], "int")
+    ts2 = seq(spark, [2, 3], "int")
+    vals = seq(spark, [10.0, 20.0])
+    lock = [r["val"] for r in joins.stretch_exact(ts1, ts2, vals, -1.0).orderBy("pos").collect()]
+    decl = [r["val"] for r in joins.stretch(ts1, ts2, vals, -1.0).orderBy("pos").collect()]
+    assert lock == [pytest.approx(10.0), pytest.approx(20.0)]
+    assert decl == [pytest.approx(10.0), pytest.approx(-1.0)]
+
+
+def test_stretch_exact_property_vs_model(spark):
+    """Randomized keyed series vs the sequential reference model."""
+    import random
+
+    rng = random.Random(11)
+    rows_l, rows_r = [], []
+    expect = {}
+    for key in ("a", "b", "c"):
+        lts = sorted(rng.sample(range(50), rng.randint(3, 10)))
+        rn = rng.randint(0, 6)
+        rts = sorted(rng.sample(range(50), rn))
+        rvs = [round(rng.uniform(0, 9), 3) for _ in range(rn)]
+        rows_l += [(key, i, float(t)) for i, t in enumerate(lts)]
+        rows_r += [(key, i, float(t), v) for i, (t, v) in enumerate(zip(rts, rvs))]
+        # sequential model (func.c:4308-4392)
+        k, end, cur, next_ts = 0, False, None, float("-inf")
+        out = []
+        for t in lts:
+            if not end and t >= next_ts:
+                if k < len(rts):
+                    next_ts, cur = rts[k], rvs[k]
+                    k += 1
+                else:
+                    end, cur = True, -1.0
+            out.append(cur)
+        expect[key] = out
+    l = spark.createDataFrame(rows_l, "k string, pos long, val double")
+    r_ts = spark.createDataFrame(
+        [(k, p, t) for k, p, t, _ in rows_r], "k string, pos long, val double"
+    )
+    r_v = spark.createDataFrame(
+        [(k, p, v) for k, p, _, v in rows_r], "k string, pos long, val double"
+    )
+    got = {}
+    for row in joins.stretch_exact(l, r_ts, r_v, -1.0, partition_by=["k"]).collect():
+        got.setdefault(row["k"], {})[row["pos"]] = row["val"]
+    for key, exp in expect.items():
+        vals = [got[key][i] for i in range(len(exp))]
+        assert vals == [pytest.approx(x) for x in exp], key

@@ -284,3 +284,95 @@ def test_minhash_dedup_cc_transitive(spark):
     )
     assert cc[0] == 0 and 7 in cc and 1 not in cc and 2 not in cc
     assert set(cc) <= set(greedy)
+
+
+# --------------------------------------------------------------------------
+# curate: decontamination, repetition, split, packing
+# --------------------------------------------------------------------------
+def test_decontaminate_flag_and_drop(spark):
+    from imcs_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "totally novel words nowhere else repeated in anything here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "x alpha beta gamma delta epsilon zeta eta theta y")],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"]: r["contaminated"] for r in
+               curate.decontaminate(docs, bench, n=8).collect()}
+    assert flagged == {0: True, 1: False, 2: False}
+    kept = {r["doc_id"] for r in
+            curate.decontaminate(docs, bench, n=8, mode="drop").collect()}
+    assert kept == {1, 2}
+
+
+def test_repetition_profile(spark):
+    from imcs_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),          # bigrams: 3x "spam spam"
+            (1, "all words are unique here"),    # 4 distinct bigrams
+            (2, "one"),                          # short doc: whole-stream gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curate.repetition_profile(docs, n=2).collect()}
+    assert out[0]["dup_gram_frac"] == pytest.approx(2 / 3)
+    assert out[0]["top_gram_frac"] == pytest.approx(1.0)
+    assert out[1]["dup_gram_frac"] == pytest.approx(0.0)
+    assert out[1]["top_gram_frac"] == pytest.approx(0.25)
+    assert out[2]["n_grams"] == 1
+
+
+def test_dataset_split_deterministic_and_weighted(spark):
+    import hashlib
+
+    from imcs_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["split"] for r in curate.dataset_split(docs).collect()}
+    # membership depends only on the key: recompute with hashlib
+    for i in (0, 1, 97, 499):
+        bkt = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        expect = "train" if bkt < 80 else ("val" if bkt < 90 else "test")
+        assert out[i] == expect
+    from collections import Counter
+
+    c = Counter(out.values())
+    assert 0.7 < c["train"] / 500 < 0.9  # weights hold roughly
+    # adding rows never reshuffles existing membership
+    more = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(600)], "doc_id long, text string"
+    )
+    out2 = {r["doc_id"]: r["split"] for r in curate.dataset_split(more).collect()}
+    assert all(out2[k] == v for k, v in out.items())
+
+
+def test_pack_sequences(spark):
+    from imcs_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "w " * 10),   # 11 tokens (trailing space -> extra split)
+            (1, "a", "x y z"),
+            (2, "a", "q r"),
+            (3, "b", "only doc in b"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           curate.pack_sequences(docs, budget=12, partition_by="source").collect()}
+    # source a: doc0 starts at 0 (cum_before=0), doc1 at cum 11 -> seq 0,
+    # doc2 at cum 14 -> seq 1; source b restarts at 0
+    assert out[0]["seq_id"] == 0 and out[1]["seq_id"] == 0
+    assert out[2]["seq_id"] == 1
+    assert out[3]["seq_id"] == 0
