@@ -413,8 +413,9 @@ def embedding_near_dups(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Exact cosine near-dup pairs above threshold. Normalizes, then
-    pairwise dot via join — quadratic; at scale gate behind
-    similarity.lsh_buckets and pass the bucketed frame here."""
+    pairwise dot via join — quadratic; at scale use
+    :func:`embedding_near_dups_lsh`, which gates the same exact filter
+    behind an LSH bucket join."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
     unit = df.select(
         id_col,
@@ -433,6 +434,66 @@ def embedding_near_dups(
                 lambda a, x: a + x,
             ),
         )
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    multi_probe: int = 2,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding cosine near-dup pairs gated behind random-hyperplane
+    LSH — the scale path :func:`embedding_near_dups` tells callers to
+    use. Both sides carry their sign-bit bucket; the probe side also
+    explodes into every bucket within Hamming radius ``multi_probe``,
+    the join is an equi-join on bucket, and the exact cosine filter
+    runs only inside colliding buckets. Shuffle is (bucket, id, vec) —
+    a vanishing fraction of the n² cross product. Each qualifying pair
+    matches through exactly ONE probe mask (the XOR of the two bucket
+    ids), so no distinct() pass is needed.
+
+    Recall: a pair is seen iff its buckets differ in ≤ multi_probe sign
+    bits; P[one plane separates] = angle/π ≈ 0.10 at cosine 0.95, so
+    missing >2 of 8 planes is rare (~3%); raise multi_probe or re-run
+    with another seed for provable-recall unions."""
+    from itertools import combinations
+
+    from .similarity import _dot, _unit, bucket_ids, hyperplanes
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes, seed)
+    unit = (
+        df.select(id_col, F.col(vec_col).alias("_v"))
+        .withColumn("_u", _unit("_v"))
+        .withColumn("_b", bucket_ids("_u", planes))
+        .drop("_v")
+    )
+    masks = [0]
+    for r in range(1, min(multi_probe, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
+    l = unit.select(
+        F.col(id_col).alias("left_id"),
+        F.col("_u").alias("_lu"),
+        F.explode(F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in masks])).alias(
+            "bucket"
+        ),
+    )
+    r = unit.select(
+        F.col(id_col).alias("right_id"), F.col("_u").alias("_ru"), F.col("_b").alias("bucket")
+    )
+    return (
+        l.join(r, "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", _dot("_lu", "_ru"))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )

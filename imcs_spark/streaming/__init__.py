@@ -170,3 +170,36 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+    digest_col: str = "_digest",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming face of
+    pipeline.dedup.exact_dedup: keep the first arrival of each
+    normalized-content digest, drop later duplicates across
+    micro-batches.
+
+    With ``ts_col`` the digest state is bounded by the watermark
+    (dropDuplicatesWithinWatermark): a duplicate arriving within the
+    watermark horizon of the first copy is dropped, and state for
+    digests older than the watermark is evicted — the only formulation
+    whose state does NOT grow with the full history, which is the one
+    that survives an unbounded 100 TB/day stream. Without ``ts_col``
+    it falls back to global dropDuplicates (state = one row per
+    distinct digest — bounded corpora only)."""
+    digest = F.md5(
+        F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    )
+    s = stream_df.withColumn(digest_col, digest)
+    if ts_col:
+        s = s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [digest_col]
+        )
+    else:
+        s = s.dropDuplicates([digest_col])
+    return s.drop(digest_col)

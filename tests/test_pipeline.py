@@ -376,3 +376,24 @@ def test_pack_sequences(spark):
     assert out[0]["seq_id"] == 0 and out[1]["seq_id"] == 0
     assert out[2]["seq_id"] == 1
     assert out[3]["seq_id"] == 0
+
+
+def test_embedding_near_dups_lsh_matches_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(300)
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.embedding_near_dups(emb, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["left_id"], r["right_id"])
+        for r in dedup.embedding_near_dups_lsh(
+            emb, threshold=0.9, n_planes=8, multi_probe=3
+        ).collect()
+    }
+    # LSH is a subset (no false positives: exact cosine inside buckets)
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8  # recall at radius 3
+    # and the plan must NOT contain a cartesian product
+    plan = dedup.embedding_near_dups_lsh(emb, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -208,3 +208,44 @@ def test_sessionize_stream_stateful(spark):
         assert got[(2, "2024-01-01 10:00:30")] == ("2024-01-01 10:00:30", 1), got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark):
+    """Streaming exact dedup: duplicate content arriving in a LATER
+    micro-batch (within the watermark) is dropped; novel content
+    passes."""
+    import json
+    import time as _time
+
+    from imcs_spark.streaming import dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="imcs_dstream_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    name = f"ddup_{int(_time.time() * 1000)}"
+
+    def feed(fname, rows):
+        p = os.path.join(src, fname)
+        with open(p + ".tmp", "w") as f:
+            for ts, i, t in rows:
+                f.write(json.dumps({"ts": ts, "doc_id": i, "text": t}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    try:
+        feed("b1.json", [("2024-01-01 10:00:00", 0, "hello world"),
+                         ("2024-01-01 10:00:01", 1, "Hello   world")])  # dup of 0 after normalize
+        stream = spark.readStream.schema("ts timestamp, doc_id long, text string").json(src)
+        out = dedup_stream(stream, "text", ts_col="ts", watermark="1 hour")
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").start()
+        )
+        q.processAllAvailable()
+        feed("b2.json", [("2024-01-01 10:00:05", 2, "hello world"),   # cross-batch dup
+                         ("2024-01-01 10:00:06", 3, "novel content")])
+        q.processAllAvailable()
+        q.stop()
+        ids = sorted(r["doc_id"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+        assert ids == [0, 3]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
