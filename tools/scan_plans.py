@@ -1,0 +1,90 @@
+"""Scale-audit: scan every registered query's physical plan for
+single-partition bottlenecks.
+
+A `Window.orderBy` without partition keys (or any sort forced global)
+plans as `Exchange SinglePartition` followed by Sort/Window — the one
+shape that cannot scale past one executor core. Two-phase aggregates
+legitimately end in a SinglePartition exchange of tiny PARTIAL states
+(one output row), so the audit flags only plans where a SinglePartition
+exchange feeds a Sort or Window over row-level data.
+
+Bounded literal-frame queries (spec/transform parity vectors, a few
+dozen rows by construction) are allow-listed — a single partition IS
+the right plan for them.
+
+Usage: python tools/scan_plans.py [sf_dir]
+Exit code 1 if an unexpected query has a flagged plan.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# bounded-by-construction queries where one partition is correct
+ALLOWED = {
+    "spec_literal_ops",
+    "transform_literal_ops",
+    "union_merge",  # literal series fixture (42+30 rows)
+}
+
+
+def flagged(plan: str) -> bool:
+    """True when an Exchange SinglePartition feeds a Sort or Window
+    (reads the physical-plan tree textually: the exchange's child
+    relationship is encoded by indentation above it)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        # walk upward to the nearest less-indented consumer
+        indent = len(ln) - len(ln.lstrip(" +-:"))
+        for j in range(i - 1, -1, -1):
+            up = lines[j]
+            up_indent = len(up) - len(up.lstrip(" +-:"))
+            if up.strip() and up_indent < indent:
+                if re.search(r"\b(Window|Sort)\b", up):
+                    return True
+                break
+    return False
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = []
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: {str(e)[:100]}")
+            bad.append(name)
+            continue
+        hit = flagged(plan)
+        status = "FLAG" if hit else "ok"
+        if hit and name not in ALLOWED:
+            bad.append(name)
+        if hit:
+            print(f"{status:4s} {name}{' (allowed: bounded literal frame)' if name in ALLOWED else ''}")
+    if bad:
+        print(f"\nUNEXPECTED single-partition Sort/Window in: {', '.join(bad)}")
+        return 1
+    print("\nall registered queries free of unexpected single-partition Sort/Window stages")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
