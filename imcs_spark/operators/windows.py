@@ -289,12 +289,15 @@ def cum_agg_global(
     tiny per-partition totals on the driver into carry-in offsets and
     broadcast them back. Supported: sum, count, min, max, avg, var, dev
     (var/dev carry (Σx, Σx², n) — reference cs_cum_var/dev semantics,
-    func.c:1791-1897, population variance). Exact, two jobs, no
-    single-node stage."""
-    if agg not in ("sum", "count", "min", "max", "avg", "var", "dev"):
+    func.c:1791-1897, population variance), prd (sign-aware log-space
+    carry, see _cum_prd_global). Exact, two jobs, no single-node
+    stage."""
+    if agg not in ("sum", "count", "min", "max", "avg", "var", "dev", "prd"):
         raise ValueError(f"cum_agg_global: unsupported agg {agg!r}")
     out_name = out_col or f"cum_{agg}"
     spark = df.sparkSession
+    if agg == "prd":
+        return _cum_prd_global(df, val_col, out_name, pos_col, num_partitions)
     pid = _range_by_pos(df, pos_col, num_partitions)
     w = Window.partitionBy("_pid").orderBy(pos_col).rowsBetween(
         Window.unboundedPreceding, 0
@@ -348,6 +351,64 @@ def cum_agg_global(
     }[agg]
     return joined.withColumn(out_name, expr).drop(
         "_pid", "_ls", "_ls2", "_ln", "_lmin", "_lmax", "_cs", "_cs2", "_cn", "_cmn", "_cmx"
+    )
+
+
+def _cum_prd_global(
+    df: DataFrame,
+    val_col: str,
+    out_name: str,
+    pos_col: str,
+    num_partitions: int | None,
+) -> DataFrame:
+    """cs_cum_prd over ONE giant series: the product state is
+    (Σ log|x| over nonzeros, #zeros, #negatives) — all additive, so the
+    same partition-carry scheme as cum_sum applies: cumulate the three
+    counters within range partitions, prefix-sum the per-partition
+    totals on the driver (P values), broadcast back. A zero anywhere in
+    the prefix pins the product at 0 from there on; the sign is parity
+    of the negative count."""
+    spark = df.sparkSession
+    pid = _range_by_pos(df, pos_col, num_partitions)
+    w = Window.partitionBy("_pid").orderBy(pos_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = F.col(val_col).cast("double")
+    log_abs = F.log(F.abs(F.nullif(c, F.lit(0.0))))
+    is_zero = F.when(c == 0, 1).otherwise(0)
+    is_neg = F.when(c < 0, 1).otherwise(0)
+    local = (
+        pid.withColumn("_lls", F.coalesce(F.sum(log_abs).over(w), F.lit(0.0)))
+        .withColumn("_lnz", F.sum(is_zero).over(w))
+        .withColumn("_lnn", F.sum(is_neg).over(w))
+    )
+    totals = (
+        pid.groupBy("_pid")
+        .agg(
+            F.coalesce(F.sum(log_abs), F.lit(0.0)).alias("_s"),
+            F.sum(is_zero).alias("_z"),
+            F.sum(is_neg).alias("_n"),
+        )
+        .orderBy("_pid")
+        .collect()
+    )
+    rows, s_acc, z_acc, n_acc = [], 0.0, 0, 0
+    for r in totals:
+        rows.append((r["_pid"], s_acc, z_acc, n_acc))
+        s_acc += r["_s"]
+        z_acc += r["_z"]
+        n_acc += r["_n"]
+    carries = spark.createDataFrame(
+        rows, "_pid int, _cs double, _cz long, _cn long"
+    )
+    joined = local.join(F.broadcast(carries), "_pid")
+    tot_log = F.col("_lls") + F.col("_cs")
+    tot_zero = F.col("_lnz") + F.col("_cz")
+    tot_neg = F.col("_lnn") + F.col("_cn")
+    sign = F.when(tot_neg % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    expr = F.when(tot_zero > 0, F.lit(0.0)).otherwise(sign * F.exp(tot_log))
+    return joined.withColumn(out_name, expr).drop(
+        "_pid", "_lls", "_lnz", "_lnn", "_cs", "_cz", "_cn"
     )
 
 

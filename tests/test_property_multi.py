@@ -419,3 +419,27 @@ def test_quantile_approx_rank_guarantee(floats, spark):
             assert le >= target - eps and lt <= target + eps, (
                 f"case {c} pos {i}: value {av} rank [{lt},{le}] vs target {target}"
             )
+
+
+def test_cum_prd_global_matches_sequential(spark):
+    """Global running product via the (Σlog|x|, #zeros, #negatives)
+    partition-carry must equal the sequential product, including a
+    zero pinning the suffix and sign flips across partitions."""
+    import random
+
+    from imcs_spark.operators import windows
+
+    rng = random.Random(13)
+    vals = [round(rng.uniform(-1.2, 1.2), 3) for _ in range(300)]
+    vals[120] = 0.0  # zero mid-series: everything after must be 0
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, val double"
+    )
+    got = {
+        r["pos"]: r["cum_prd"]
+        for r in windows.cum_agg_global(df, "prd", num_partitions=7).collect()
+    }
+    run = 1.0
+    for i, v in enumerate(vals):
+        run *= v
+        assert got[i] == pytest.approx(run, rel=1e-9, abs=1e-12), i
