@@ -2,14 +2,15 @@
 columns with typed metadata.
 
 Decoding is real for the formats numpy + the standard library can
-handle — binary PPM/PGM pixel rasters and PCM WAV samples — with
-genuine feature extraction (grayscale grid means, RMS / zero-crossing
-rate / FFT band energies). Codec formats (png/jpeg/mp4) need external
-libraries absent in this environment; those route through the
-deterministic `_fake_decode`, which preserves the identical Spark-side
-contract (schemas, Arrow batch shapes, mapInPandas signatures,
-partition sizing) — swap in PIL/ffmpeg inside `real_decode` to extend
-coverage.
+handle — binary PPM/PGM rasters, 8-bit non-interlaced PNG (stdlib
+zlib inflate + full five-filter scanline reconstruction), and PCM WAV
+samples — with genuine feature extraction (grayscale grid means, RMS /
+zero-crossing rate / FFT band energies). Entropy-coded formats
+(jpeg/mp4) need external libraries absent in this environment; those
+route through the deterministic `_fake_decode`, which preserves the
+identical Spark-side contract (schemas, Arrow batch shapes,
+mapInPandas signatures, partition sizing) — swap in PIL/ffmpeg inside
+`real_decode` to extend coverage.
 """
 
 from __future__ import annotations
@@ -108,6 +109,137 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     return x, sr
 
 
+def decode_png(content: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / gray+alpha / RGB /
+    RGBA) to uint8 pixels — pure stdlib zlib + numpy, a REAL codec
+    decode: chunk walk, IDAT inflate, and full reconstruction of all
+    five scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    i, idat, hdr = 8, [], None
+    while i + 8 <= len(content):
+        (ln,), typ = struct.unpack(">I", content[i : i + 4]), content[i + 4 : i + 8]
+        data = content[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if hdr is None:
+        raise ValueError("not a PNG: no IHDR")
+    w, h, bit_depth, color, _comp, _filt, interlace = hdr
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {color} (palette) not supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up — vectorized
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry a left-neighbor dependency
+            cur = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + b) >> 1)
+                elif f == 4:
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = v & 0xFF
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, channels) if channels > 1 else out.reshape(h, w)
+    return px
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode uint8 gray/(h,w,ch) pixels as 8-bit PNG, applying the
+    given scanline filter to every row (the encoder-side transforms are
+    the exact inverses of decode_png's reconstruction — filter_type>0
+    exists so tests can round-trip every filter path)."""
+    import struct
+    import zlib
+
+    px = np.ascontiguousarray(pixels, np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        channels, color = 1, 0
+        flat = px.astype(np.int32)
+    else:
+        h, w, channels = px.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        flat = px.reshape(h, w * channels).astype(np.int32)
+    stride = w * channels
+    lines = []
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        else:
+            enc = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = prev[x]
+                if filter_type == 1:
+                    enc[x] = (cur[x] - a) & 0xFF
+                elif filter_type == 3:
+                    enc[x] = (cur[x] - ((a + b) >> 1)) & 0xFF
+                elif filter_type == 4:
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (cur[x] - pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {filter_type}")
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_ppm(pixels: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 array as binary PPM."""
     h, w = pixels.shape[:2]
@@ -176,13 +308,15 @@ def real_decode(content: bytes, mime: str) -> np.ndarray:
     Codec formats (png/jpeg/mp4/...) require external libraries absent
     in this environment and raise NotImplementedError — route those
     through decode_stub / _fake_decode, or swap in PIL/ffmpeg here."""
-    head = bytes(content[:4]) if content else b""
+    head = bytes(content[:8]) if content else b""
     if head[:2] in (b"P5", b"P6") or mime in (
         "image/x-portable-pixmap",
         "image/x-portable-graymap",
     ):
         return image_features(decode_pnm(bytes(content)))
-    if head == b"RIFF" or mime == "audio/x-wav":
+    if head == b"\x89PNG\r\n\x1a\n":
+        return image_features(decode_png(bytes(content)))
+    if head[:4] == b"RIFF" or mime == "audio/x-wav":
         return audio_features(*decode_wav(bytes(content)))
     raise NotImplementedError(
         f"decoding {mime or 'unknown'} requires codec libraries not "

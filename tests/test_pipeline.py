@@ -397,3 +397,25 @@ def test_embedding_near_dups_lsh_matches_exact(spark, sf_dir):
     # and the plan must NOT contain a cartesian product
     plan = dedup.embedding_near_dups_lsh(emb, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_png_roundtrip_all_filters():
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (21, 17, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (9, 13), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (7, 5, 4), dtype=np.uint8)
+    for f in range(5):
+        assert (multimodal.decode_png(multimodal.encode_png(rgb, f)) == rgb).all(), f
+        assert (multimodal.decode_png(multimodal.encode_png(gray, f)) == gray).all(), f
+        assert (multimodal.decode_png(multimodal.encode_png(rgba, f)) == rgba).all(), f
+
+
+def test_png_features_match_ppm():
+    import numpy as np
+
+    px = np.arange(48 * 64 * 3, dtype=np.uint8).reshape(48, 64, 3)
+    via_png = multimodal.real_decode(multimodal.encode_png(px, 4), "image/png")
+    via_ppm = multimodal.real_decode(multimodal.encode_ppm(px), "image/x-portable-pixmap")
+    assert (via_png == via_ppm).all()
