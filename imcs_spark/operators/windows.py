@@ -291,7 +291,17 @@ def cum_agg_global(
     (var/dev carry (Σx, Σx², n) — reference cs_cum_var/dev semantics,
     func.c:1791-1897, population variance), prd (sign-aware log-space
     carry, see _cum_prd_global). Exact, two jobs, no single-node
-    stage."""
+    stage.
+
+    Numerical note: the var/dev carry is the textbook (Σx, Σx², n)
+    form — additive across partitions, which is what makes the carry
+    O(1) — at the cost of cancellation when |mean| ≫ stddev (relative
+    error ≈ n·mean²·ε/var; at double precision this needs mean/stddev
+    ratios beyond ~10⁶ at n=10⁹ before the first digit moves). Shift
+    the value column by any constant near the mean before calling if
+    the series lives that far from zero — variance is shift-invariant,
+    the reference's own cs_cum_var accumulates the same raw moments
+    (func.c:1791-1897)."""
     if agg not in ("sum", "count", "min", "max", "avg", "var", "dev", "prd"):
         raise ValueError(f"cum_agg_global: unsupported agg {agg!r}")
     out_name = out_col or f"cum_{agg}"
