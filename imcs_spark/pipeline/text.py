@@ -36,15 +36,7 @@ def token_count(text_col: str = "text", mode: str = "whitespace") -> Column:
     tokenizer cost accounting)."""
     if mode == "whitespace":
         return F.size(_tokens(text_col))
-    return F.size(
-        F.filter(
-            F.split(
-                F.regexp_replace(F.col(text_col), f"({_BPE_ISH})", "$1"),
-                "",
-            ),
-            lambda t: F.trim(t) != "",
-        )
-    )
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0))
 
 
 def _lang_counts(text_col) -> Column:

@@ -669,6 +669,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id,
        CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+'), t -> t <> '')) AS INT) AS tok_cnt,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INT) AS bpe_cnt,
        CAST(LENGTH(text) AS BIGINT) AS chars
 FROM documents
 """,
@@ -680,6 +681,7 @@ def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         T.token_count("text").cast("int").alias("tok_cnt"),
+        T.token_count("text", mode="bpe").cast("int").alias("bpe_cnt"),
         F.length("text").cast("long").alias("chars"),
     )
 

@@ -419,3 +419,10 @@ def test_png_features_match_ppm():
     via_png = multimodal.real_decode(multimodal.encode_png(px, 4), "image/png")
     via_ppm = multimodal.real_decode(multimodal.encode_ppm(px), "image/x-portable-pixmap")
     assert (via_png == via_ppm).all()
+
+
+def test_token_count_bpe(spark):
+    df = spark.createDataFrame([("Hello, wor4ld x2!",)], "text string")
+    n = df.select(text.token_count("text", mode="bpe").alias("n")).collect()[0]["n"]
+    # Hello , wor 4 ld x 2 !
+    assert n == 8
