@@ -94,8 +94,56 @@ def approxdc(a, rsd: float = 0.05) -> Column:
     """Approximate distinct count. Reference: HLL m=128 murmur3
     (func.c:4802-4936, mergeable across threads). Spark: HLL++ —
     mergeable across partitions the same way; constants differ so
-    values are close but not identical."""
+    values are close but not identical. For the reference's exact
+    register layout and estimator, see :func:`approxdc_hll128`."""
     return F.approx_count_distinct(_c(a), rsd)
+
+
+def approxdc_hll128(df, a, by=None, out_col: str = "approxdc"):
+    """The reference's own HLL, re-expressed declaratively
+    (func.c:4802-4936): m=128 registers indexed by the TOP 7 bits of a
+    32-bit hash, register value = trailing-zero count + 1 capped at 26,
+    classic Flajolet estimator with the small-range (linear counting)
+    and large-range (32-bit saturation) corrections, result truncated
+    to an integer. The hash itself is the one necessary divergence:
+    the reference uses murmur3_32(seed 0x5C1DB); here the low 32 bits
+    of xxhash64 — register statistics are identical in distribution,
+    so the estimator and its error bounds carry over exactly.
+
+    Two hash aggregates: (by?, register) → max rank, then (by?) →
+    the closed-form estimate. The shuffle carries at most 128 rows per
+    group — the same mergeable-sketch shape as the reference's
+    per-thread merge (imcs_approxdc_merge), so it scales to any
+    corpus. Returns a DataFrame (by-keys + out_col)."""
+    m = 128
+    alpha_m = 0.7213 / (1 + 1.079 / m)
+    pow_2_32 = float(0xFFFFFFFF)
+    keys = list(by) if by else []
+    h32 = F.xxhash64(_c(a)).bitwiseAND(F.lit(0xFFFFFFFF))
+    j = F.shiftrightunsigned(h32, 25).alias("_j")
+    # trailing zeros via bit_count((h & -h) - 1); h=0 → 64, capped below
+    tz = F.bit_count((h32.bitwiseAND(-h32)) - 1)
+    rank = F.least(tz + 1, F.lit(26)).alias("_r")
+    regs = df.select(*keys, j, rank).groupBy(*keys, "_j").agg(
+        F.max("_r").alias("_mzb")
+    )
+    # registers never touched by any row are 0 ⇒ contribute 2^-0 = 1
+    # to the harmonic sum and count toward V (empty registers)
+    n_seen = F.count(F.lit(1))
+    c_sum = F.sum(F.pow(F.lit(2.0), -F.col("_mzb"))) + (m - n_seen)
+    v_empty = (m - n_seen) + F.sum(F.when(F.col("_mzb") == 0, 1).otherwise(0))
+    est = regs.groupBy(*keys).agg(
+        (F.lit(alpha_m * m * m) / c_sum).alias("_e"), v_empty.alias("_v")
+    )
+    e = F.col("_e")
+    small = (e <= 2.5 * m) & (F.col("_v") > 0)
+    large = e > pow_2_32 / 30.0
+    corrected = (
+        F.when(small, m * F.log(F.lit(float(m)) / F.col("_v")))
+        .when(large, -pow_2_32 * F.log(1 - e / pow_2_32))
+        .otherwise(e)
+    )
+    return est.select(*keys, corrected.cast("long").alias(out_col))
 
 
 # --- binary grand aggregates (func.c:1502-1631) ---

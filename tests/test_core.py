@@ -138,3 +138,43 @@ def test_versioned_save_open(quote, spark, tmp_path):
     ).save(base)
     assert type(quote).open(spark, "quote", base).count("IBM") == 6
     assert saved.count("IBM") == 5  # old snapshot untouched
+
+
+def test_approxdc_hll128_matches_python_model(spark, sf_dir):
+    """The declarative m=128 HLL must equal a literal Python
+    transcription of the reference estimator (func.c:4865-4924) fed
+    the same 32-bit hashes — exact equality, not tolerance."""
+    import math
+
+    from imcs_spark.functions import aggregates as A
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    got = A.approxdc_hll128(li, "l_orderkey").collect()[0]["approxdc"]
+
+    hashes = [
+        r["h"]
+        for r in li.select(
+            (F.xxhash64("l_orderkey").bitwiseAND(F.lit(0xFFFFFFFF))).alias("h")
+        ).collect()
+    ]
+    m, regs = 128, [0] * 128
+    for h in hashes:
+        j = h >> 25
+        zb = 1
+        while (h & 1) == 0 and zb <= 25:
+            h >>= 1
+            zb += 1
+        regs[j] = max(regs[j], zb)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    c = sum(2.0 ** -r for r in regs)
+    e = alpha * m * m / c
+    if e <= 2.5 * m:
+        v = regs.count(0)
+        if v > 0:
+            e = m * math.log(m / v)
+    elif e > (2**32 - 1) / 30.0:
+        e = -(2**32 - 1) * math.log(1 - e / (2**32 - 1))
+    assert got == int(e)
+
+    exact = li.distinct().count()
+    assert abs(got - exact) <= 0.25 * exact  # m=128 → rse ~9.2%
