@@ -28,7 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOWED = {
     "spec_literal_ops",
     "transform_literal_ops",
-    "union_merge",  # literal series fixture (42+30 rows)
 }
 
 
