@@ -53,17 +53,33 @@ def main():
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "imcs_spark_headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "imcs_spark_headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Same-scale section: BASELINE.md's numbers were measured at 6M/10M
+    # rows — 10-60x sf0.1 — so per-query wall ratios at sf0.1 measure
+    # Spark's fixed floor, not throughput. Generate reference-scale
+    # tables (once, cached under benchdata/) and run the exact baseline
+    # query set; see imcs_spark/bench_scale.py and BENCH_SCALE.md.
+    # Never allowed to break the bench line: failures are reported
+    # inline instead.
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        try:
+            from imcs_spark.bench_scale import run_scale
+
+            data_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "benchdata"
+            )
+            payload["scale"] = run_scale(spark, data_dir, runs=runs)
+        except Exception as e:  # pragma: no cover - safety net
+            payload["scale"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,301 @@
+"""Same-scale benchmark against the reference's published numbers.
+
+BASELINE.md's figures were measured on ~6M-row NYSE daily quotes
+(`Quote(Symbol, Day, Open, High, Low, Close, Volume)`) and a ~10M-row
+`DbItem` table — 10-60x more data than /root/testdata/sf0.1. Wall-clock
+ratios at sf0.1 therefore mostly measure Spark's fixed per-query floor,
+not throughput. This module generates deterministic tables AT THE
+REFERENCE'S OWN SCALE and runs the exact queries BASELINE.md lists, so
+the bench emits an apples-to-apples comparison:
+
+  reference row (user_guide.html perf section)        -> bench key
+  -------------------------------------------------------------------
+  Quote_load() 6M rows -> columnar store   (7.5-15 s) -> load_quotes
+  VWAP all symbols, IMCS                   (386.5 ms) -> vwap_all
+  VWAP one symbol 3-year slice, IMCS          (10 ms) -> vwap_one
+  filter+project 1 symbol 1 quarter, IMCS     (12 ms) -> filter_project
+  filtered count over 6M series, IMCS      (6.274 ms) -> filtered_count
+  cs_sum(Close) over all-symbol concat     (76.2 ms)  -> sum_close
+  3-key hash group-by weighted avg, 10M      (144 ms) -> dbitem_hash_agg
+  DbItem load                                    n/a  -> load_dbitem
+
+Both sides measure queries against an ALREADY-LOADED in-memory columnar
+store (the reference loads into IMCS pages via Quote_load; we persist
+the DataFrame), timed min-of-N after load. Generated data is written
+once under <repo>/benchdata and reused across runs; generation is pure
+Column expressions seeded by xxhash64, so every run of every round
+produces bit-identical tables.
+
+Divergences from the reference setup, documented rather than hidden:
+- Synthetic OHLCV (hash-uniform), not the actual 2003-2013 NYSE file;
+  row count, symbol count (2200) and per-symbol series length (2728)
+  match the published dataset's shape.
+- DbItem is generated with the 3 key columns + 2 measure columns the
+  query touches (not 40 columns); both engines are columnar, so
+  untouched columns are never read either way — only load time would
+  differ.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_SYMBOLS = 2200
+N_DAYS = 2728  # ~11 years of trading days, per the published dataset
+QUOTE_ROWS = N_SYMBOLS * N_DAYS  # 6,001,600
+DBITEM_ROWS = 10_000_000
+
+
+def _u(col: str, seed: int) -> F.Column:
+    """Deterministic uniform double in [0, 1) from xxhash64(col, seed).
+
+    shiftrightunsigned keeps the top 53 bits, which xxhash64 mixes
+    well (the low 32 bits under-mix — same finding as the HLL register
+    layout in functions/aggregates.py)."""
+    return F.expr(
+        f"shiftrightunsigned(xxhash64({col}, {seed}), 11) / 9007199254740992.0"
+    )
+
+
+def gen_quotes(spark: SparkSession, path: str, parallelism: int = 32) -> None:
+    """6M-row NYSE-shaped Quote table: 2200 symbols x 2728 trading days,
+    symbol-contiguous layout (the natural order of a per-symbol series
+    store, reference imcs.c TABLE_load ordering)."""
+    df = (
+        spark.range(0, QUOTE_ROWS, 1, parallelism)
+        .withColumn("sid", F.expr(f"id div {N_DAYS}"))
+        .withColumn("d", F.expr(f"id % {N_DAYS}"))
+        .select(
+            F.format_string("S%04d", F.col("sid")).alias("symbol"),
+            # spread the 2728 samples over 2003-2013 calendar dates
+            F.date_add(
+                F.lit("2003-01-01").cast("date"),
+                F.expr(f"cast(d * 4015 div {N_DAYS} as int)"),
+            ).alias("day"),
+            F.col("id"),
+        )
+        .withColumn("open", (F.lit(10.0) + F.lit(490.0) * _u("id", 1)).cast("float"))
+        .withColumn(
+            "close",
+            (F.col("open") * (F.lit(0.9) + F.lit(0.2) * _u("id", 2))).cast("float"),
+        )
+        .withColumn(
+            "high",
+            (
+                F.greatest("open", "close") * (F.lit(1.0) + F.lit(0.05) * _u("id", 3))
+            ).cast("float"),
+        )
+        .withColumn(
+            "low",
+            (
+                F.least("open", "close") * (F.lit(1.0) - F.lit(0.05) * _u("id", 4))
+            ).cast("float"),
+        )
+        .withColumn(
+            "volume", (F.lit(1000.0) + F.lit(999000.0) * _u("id", 5)).cast("int")
+        )
+        .drop("id")
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def gen_dbitem(spark: SparkSession, path: str, parallelism: int = 32) -> None:
+    """10M-row DbItem-shaped table for the 3-key hash-aggregate row:
+    trader (100) x desk (20) x office (10) independent keys -> 20k
+    observed groups — a trading-floor-realistic cardinality at which
+    map-side partial aggregation is effective (each 312k-row partition
+    collapses to <=20k partial rows before the shuffle). At 500k+
+    groups partial agg stops reducing and the whole table shuffles;
+    that regime is exercised by run_group_agg/hash_agg_vwap instead."""
+    key = lambda seed, n: F.expr(  # noqa: E731
+        f"shiftrightunsigned(xxhash64(id, {seed}), 33) % {n}"
+    )
+    df = (
+        spark.range(0, DBITEM_ROWS, 1, parallelism)
+        .select(
+            F.format_string("T%03d", key(11, 100)).alias("trader"),
+            F.format_string("D%02d", key(12, 20)).alias("desk"),
+            F.format_string("O%01d", key(13, 10)).alias("office"),
+            (F.lit(1.0) + F.lit(99.0) * _u("id", 14)).alias("price"),
+            (F.lit(1.0) + F.lit(9.0) * _u("id", 15)).alias("volume"),
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def _ensure(spark: SparkSession, path: str, gen) -> bool:
+    """Generate the table once; reuse the on-disk copy afterwards.
+    Returns True if generation ran (so callers can report it)."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    gen(spark, path)
+    return True
+
+
+def _best(fn, runs: int) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 4)
+
+
+def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
+    """Generate (first run only), load, and time the BASELINE.md query
+    set at the reference's own data scale. Returns one flat dict of
+    seconds, plus row counts for context.
+
+    Set SPARK_GRAFT_SCALE_BIG=1 to additionally run the 60M-row (10x
+    reference scale) throughput variant reported in BENCH_SCALE.md."""
+    os.makedirs(data_dir, exist_ok=True)
+    # Larger cached batches amortize per-batch scan overhead (~10-15%
+    # on full-scan aggregates at 60M rows); compression keeps the
+    # footprint bounded and costs nothing measurable on decode.
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "200000")
+    qpath = os.path.join(data_dir, "quotes_6m.parquet")
+    dpath = os.path.join(data_dir, "dbitem_10m.parquet")
+    _ensure(spark, qpath, gen_quotes)
+    _ensure(spark, dpath, gen_dbitem)
+
+    out: dict[str, float] = {}
+
+    # --- load: parquet -> in-memory columnar store (vs Quote_load 7.5-15 s)
+    t0 = time.time()
+    q = spark.read.parquet(qpath).persist()
+    q_rows = q.count()
+    out["load_quotes"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    d = spark.read.parquet(dpath).persist()
+    d_rows = d.count()
+    out["load_dbitem"] = round(time.time() - t0, 4)
+
+    # --- VWAP all symbols (vs IMCS 386.5 ms / SQL 2243 ms @ 6M)
+    out["vwap_all"] = _best(
+        lambda: q.groupBy("symbol")
+        .agg(
+            (
+                F.sum(F.col("close") * F.col("volume")) / F.sum("volume")
+            ).alias("vwap")
+        )
+        .collect(),
+        runs,
+    )
+
+    # --- VWAP one symbol, 3-year slice (vs IMCS 10 ms / SQL 750 ms)
+    out["vwap_one"] = _best(
+        lambda: q.filter(
+            (F.col("symbol") == "S0100")
+            & F.col("day").between("2010-01-01", "2012-12-31")
+        )
+        .agg(
+            (
+                F.sum(F.col("close") * F.col("volume")) / F.sum("volume")
+            ).alias("vwap")
+        )
+        .collect(),
+        runs,
+    )
+
+    # --- filter+project, 1 symbol 1 quarter, Close > Open*1.01
+    #     (vs IMCS 12 ms / SQL 640 ms)
+    out["filter_project"] = _best(
+        lambda: q.filter(
+            (F.col("symbol") == "S0042")
+            & F.col("day").between("2010-01-01", "2010-03-31")
+            & (F.col("close") > F.col("open") * 1.01)
+        )
+        .select("day", "close")
+        .collect(),
+        runs,
+    )
+
+    # --- filtered count over the whole 6M series
+    #     (vs IMCS 6.274 ms / SQL 768 ms)
+    out["filtered_count"] = _best(
+        lambda: q.filter(F.col("close") > F.col("open") * 1.1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),
+        runs,
+    )
+
+    # --- cs_sum(Close) over the concat of all symbols (vs 76.2 ms)
+    out["sum_close"] = _best(
+        lambda: q.agg(F.sum("close").alias("s")).collect(),
+        runs,
+    )
+
+    # --- 3-key hash group-by weighted avg over 10M rows
+    #     (vs IMCS 144 ms / SQL 7-320 s)
+    out["dbitem_hash_agg"] = _best(
+        lambda: d.groupBy("trader", "desk", "office")
+        .agg(
+            (
+                F.sum(F.col("price") * F.col("volume")) / F.sum("volume")
+            ).alias("wavg")
+        )
+        .collect(),
+        runs,
+    )
+
+    q.unpersist()
+    d.unpersist()
+    out["rows_quote"] = q_rows
+    out["rows_dbitem"] = d_rows
+
+    if os.environ.get("SPARK_GRAFT_SCALE_BIG", "0") == "1":
+        out.update(_run_big(spark, data_dir, runs))
+    return out
+
+
+def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
+    """10x-reference-scale (60M rows) throughput variant: same schema
+    and queries, 22000 symbols x 2728 days. At this size the fixed
+    ~60-150 ms job floor (task scheduling + py4j round-trip) stops
+    dominating and the numbers measure scan/aggregate throughput."""
+    global N_SYMBOLS, QUOTE_ROWS
+    path = os.path.join(data_dir, "quotes_60m.parquet")
+    saved = (N_SYMBOLS, QUOTE_ROWS)
+    N_SYMBOLS, QUOTE_ROWS = 22000, 22000 * N_DAYS
+    try:
+        _ensure(spark, path, gen_quotes)
+    finally:
+        N_SYMBOLS, QUOTE_ROWS = saved
+
+    out: dict[str, float] = {}
+    t0 = time.time()
+    q = spark.read.parquet(path).persist()
+    out["rows_quote_60m"] = q.count()
+    out["load_quotes_60m"] = round(time.time() - t0, 4)
+    out["vwap_all_60m"] = _best(
+        lambda: q.groupBy("symbol")
+        .agg((F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v"))
+        .collect(),
+        runs,
+    )
+    out["filtered_count_60m"] = _best(
+        lambda: q.filter(F.col("close") > F.col("open") * 1.1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),
+        runs,
+    )
+    out["sum_close_60m"] = _best(
+        lambda: q.agg(F.sum("close").alias("s")).collect(), runs
+    )
+    out["vwap_one_60m"] = _best(
+        lambda: q.filter(
+            (F.col("symbol") == "S0100")
+            & F.col("day").between("2010-01-01", "2012-12-31")
+        )
+        .agg((F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v"))
+        .collect(),
+        runs,
+    )
+    q.unpersist()
+    return out
