@@ -1,0 +1,65 @@
+"""bench_scale: deterministic generation + the run_scale contract.
+
+Runs the module at toy sizes (monkeypatched constants) so the test
+exercises generation, caching, and every timed query without paying
+6M-row generation in CI."""
+
+import json
+import os
+
+import pytest
+
+import imcs_spark.bench_scale as bs
+
+
+@pytest.fixture()
+def tiny(monkeypatch, tmp_path):
+    monkeypatch.setattr(bs, "N_SYMBOLS", 7)
+    monkeypatch.setattr(bs, "N_DAYS", 30)
+    monkeypatch.setattr(bs, "QUOTE_ROWS", 7 * 30)
+    monkeypatch.setattr(bs, "DBITEM_ROWS", 500)
+    return str(tmp_path)
+
+
+def test_gen_quotes_deterministic(spark, tiny):
+    p1, p2 = os.path.join(tiny, "a"), os.path.join(tiny, "b")
+    bs.gen_quotes(spark, p1, parallelism=3)
+    bs.gen_quotes(spark, p2, parallelism=5)  # layout-independent values
+    a = sorted(map(str, spark.read.parquet(p1).collect()))
+    b = sorted(map(str, spark.read.parquet(p2).collect()))
+    assert a == b
+    df = spark.read.parquet(p1)
+    assert df.count() == 210
+    assert set(df.columns) == {"symbol", "day", "open", "close", "high", "low", "volume"}
+    row = df.filter("symbol = 'S0003'").orderBy("day").first()
+    # OHLC invariants hold for every generated row
+    bad = df.filter(
+        "high < greatest(open, close) or low > least(open, close)"
+        " or volume < 1000 or open < 10 or open > 500"
+    ).count()
+    assert bad == 0 and row is not None
+
+
+def test_gen_dbitem_deterministic(spark, tiny):
+    p = os.path.join(tiny, "d")
+    bs.gen_dbitem(spark, p, parallelism=3)
+    df = spark.read.parquet(p)
+    assert df.count() == 500
+    keys = df.select("trader", "desk", "office").distinct().count()
+    assert 1 < keys <= 500
+    # regeneration into the same path is a no-op via _ensure
+    assert bs._ensure(spark, p, bs.gen_dbitem) is False
+
+
+def test_run_scale_contract(spark, tiny):
+    out = bs.run_scale(spark, tiny, runs=1)
+    expected = {
+        "load_quotes", "load_dbitem", "vwap_all", "vwap_one",
+        "filter_project", "filtered_count", "sum_close",
+        "dbitem_hash_agg", "rows_quote", "rows_dbitem",
+    }
+    assert expected <= set(out)
+    assert out["rows_quote"] == 210 and out["rows_dbitem"] == 500
+    for k in expected - {"rows_quote", "rows_dbitem"}:
+        assert isinstance(out[k], float) and out[k] >= 0
+    json.dumps(out)  # must be JSON-serializable for the bench line
