@@ -167,9 +167,13 @@ def asof_join(
             F.col("_fts").isNull()
             | (
                 F.col("_bts").isNotNull()
+                # Subtraction, not cast-to-double: numeric types yield a
+                # number, timestamps (incl. TIMESTAMP_NTZ, which forbids
+                # numeric casts) yield a comparable day-time interval —
+                # one expression covers both with no timezone assumption.
                 & (
-                    (F.col("_ts").cast("double") - F.col("_bts").cast("double"))
-                    <= (F.col("_fts").cast("double") - F.col("_ts").cast("double"))
+                    (F.col("_ts") - F.col("_bts"))
+                    <= (F.col("_fts") - F.col("_ts"))
                 )
             )
         )

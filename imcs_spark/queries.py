@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions import aggregates as agg
 
@@ -40,16 +41,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     def build():
         if name == "events":
-            # events.parquet stores TIMESTAMP(NANOS), which Spark's reader
-            # rejects unless nanos are read as long. Set per-session (the
-            # driver hands us its own SparkSession), then convert to
-            # microsecond TimestampType — matching DuckDB's CAST(ts AS TIMESTAMP).
+            # events.parquet has stored ts as TIMESTAMP(NANOS) in some
+            # testdata generations (read as long via nanosAsLong) and as
+            # TIMESTAMP(MICROS) in others. Detect which and normalize to
+            # microsecond TimestampType — matching DuckDB's view of the
+            # same file.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            # Integer division, not /1000-and-cast: at ~1.7e18 ns the
-            # long->double rounding is +/-128 ns, which truncates ~12% of
-            # rows to a different microsecond than DuckDB's exact ts//1000.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            if isinstance(df.schema["ts"].dataType, T.LongType):
+                # Integer division, not /1000-and-cast: at ~1.7e18 ns the
+                # long->double rounding is +/-128 ns, which truncates ~12%
+                # of rows to a different microsecond than exact ts//1000.
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df = df.persist()
