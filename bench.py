@@ -42,15 +42,24 @@ def main():
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # Smoke gate: one broken query must never zero out the whole bench
+    # (round 2 lost its entire bench to a single AnalysisException).
+    # Each query is wrapped; a failure is recorded per-query and the
+    # run continues.
     for name, fn in entry_mod.queries().items():
         best = None
-        for _ in range(runs):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.collect()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(runs):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.collect()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            timings[name] = round(best, 4)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"[bench] query {name} FAILED: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -60,6 +69,8 @@ def main():
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        payload["errors"] = errors
 
     # Same-scale section: BASELINE.md's numbers were measured at 6M/10M
     # rows — 10-60x sf0.1 — so per-query wall ratios at sf0.1 measure

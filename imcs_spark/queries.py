@@ -31,6 +31,42 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Nanosecond epoch range we accept for an INT64 ts column: 1973..2096.
+# Outside this, the column is NOT nanoseconds (plain micros/seconds would
+# be silently shifted 1000x by the div-1000 below) — fail loudly instead.
+_NANOS_LO = 10**17
+_NANOS_HI = 4 * 10**18
+
+
+def _normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize the events ts column to microsecond TimestampType across
+    every parquet encoding the testdata generator has produced:
+
+    - TIMESTAMP(NANOS)  -> LongType under nanosAsLong: integer-div by
+      1000 (not /1000-and-cast: at ~1.7e18 ns the long->double rounding
+      is +/-128 ns, truncating ~12% of rows to a different microsecond
+      than exact ts//1000), with a magnitude sanity guard so a plain
+      INT64-micros generation can't be silently divided by 1000.
+    - TIMESTAMP_NTZ (MICROS, isAdjustedToUTC=false, inferTimestampNTZ
+      on) -> cast to TIMESTAMP: allowed and value-preserving under the
+      session's UTC timezone.
+    - TIMESTAMP (UTC-adjusted) -> already the target type; no-op cast.
+    """
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, T.LongType):
+        lo, hi = df.select(F.min(ts_col), F.max(ts_col)).first()
+        if lo is not None and not (_NANOS_LO < lo and hi < _NANOS_HI):
+            raise ValueError(
+                f"events.{ts_col} is INT64 but min/max ({lo}, {hi}) is outside "
+                "the nanosecond epoch range — refusing to guess the unit; "
+                "inspect the parquet logical type of the new testdata."
+            )
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    if isinstance(dt, (T.TimestampNTZType, T.TimestampType)):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    raise ValueError(f"events.{ts_col} has unsupported type {dt}")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table AS A LOADED STORE: the frame is persisted
     per application on first touch (see _artifact below) — the engine's
@@ -42,19 +78,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     def build():
         if name == "events":
             # events.parquet has stored ts as TIMESTAMP(NANOS) in some
-            # testdata generations (read as long via nanosAsLong) and as
-            # TIMESTAMP(MICROS) in others. Detect which and normalize to
-            # microsecond TimestampType — matching DuckDB's view of the
-            # same file.
+            # testdata generations (read as long via nanosAsLong), as
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) in others (read
+            # as TIMESTAMP_NTZ under inferTimestampNTZ), and could be
+            # UTC-adjusted TIMESTAMP in a future one. Normalize all
+            # three to microsecond TimestampType — matching DuckDB's
+            # view of the same file.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            if isinstance(df.schema["ts"].dataType, T.LongType):
-                # Integer division, not /1000-and-cast: at ~1.7e18 ns the
-                # long->double rounding is +/-128 ns, which truncates ~12%
-                # of rows to a different microsecond than exact ts//1000.
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+            df = _normalize_event_ts(df)
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         df = df.persist()
@@ -1001,43 +1033,45 @@ def approxdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_math",
     oracle="""
-SELECT ROUND(SUM(SIN(l_discount)), 4)            AS s_sin,
-       ROUND(SUM(COS(l_discount)), 4)            AS s_cos,
-       ROUND(SUM(SQRT(l_quantity)), 4)           AS s_sqrt,
-       ROUND(SUM(LN(l_extendedprice)), 4)        AS s_log,
-       ROUND(SUM(EXP(l_discount)), 4)            AS s_exp,
-       ROUND(SUM(POW(l_tax, 2)), 4)              AS s_pow,
-       ROUND(SUM(ABS(l_quantity - 25)), 4)       AS s_abs,
-       ROUND(SUM(FLOOR(l_extendedprice / 1000)), 4) AS s_floor,
-       ROUND(SUM(CEIL(l_quantity / 7.0)), 4)     AS s_ceil,
-       ROUND(SUM(GREATEST(l_discount, l_tax)), 4) AS s_maxof,
-       ROUND(SUM(LEAST(l_discount, l_tax)), 4)   AS s_minof
+SELECT ROUND(AVG(SIN(l_discount)), 4)            AS m_sin,
+       ROUND(AVG(COS(l_discount)), 4)            AS m_cos,
+       ROUND(AVG(SQRT(l_quantity)), 4)           AS m_sqrt,
+       ROUND(AVG(LN(l_extendedprice)), 4)        AS m_log,
+       ROUND(AVG(EXP(l_discount)), 4)            AS m_exp,
+       ROUND(AVG(POW(l_tax, 2)), 4)              AS m_pow,
+       ROUND(AVG(ABS(l_quantity - 25)), 4)       AS m_abs,
+       ROUND(AVG(FLOOR(l_extendedprice / 1000)), 4) AS m_floor,
+       ROUND(AVG(CEIL(l_quantity / 7.0)), 4)     AS m_ceil,
+       ROUND(AVG(GREATEST(l_discount, l_tax)), 4) AS m_maxof,
+       ROUND(AVG(LEAST(l_discount, l_tax)), 4)   AS m_minof
 FROM lineitem
 """,
 )
 def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Sums reach ~1e5-1e6 magnitude; rounding those at 6 decimals demands
-    # ~2^-51 relative reproducibility — below what different partial-sum
-    # orders (Spark 32-way vs DuckDB) guarantee for doubles. 4 decimals
-    # is the grand_aggs convention for large-magnitude float sums.
+    # Compare magnitude-normalized MEANS, not sums: raw sums reach
+    # ~1e5-1e6 magnitude, where double summation-order noise between
+    # Spark's 32-way partials and DuckDB (~1e-11 relative) can flip the
+    # 4th decimal — this hash-failed two rounds. Means are magnitude
+    # ~0.05-40, so 4-decimal rounding tolerates ~5e-5 absolute noise vs
+    # ~1e-9 actual — orders of magnitude of headroom.
     from .functions import elementwise as E
 
-    def _r4(c):
-        return F.round(c, 4)
+    def _m4(c):
+        return F.round(F.avg(c), 4)
 
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
-        _r4(F.sum(E.sin("l_discount"))).alias("s_sin"),
-        _r4(F.sum(E.cos("l_discount"))).alias("s_cos"),
-        _r4(F.sum(E.sqrt("l_quantity"))).alias("s_sqrt"),
-        _r4(F.sum(E.log("l_extendedprice"))).alias("s_log"),
-        _r4(F.sum(E.exp("l_discount"))).alias("s_exp"),
-        _r4(F.sum(E.pow("l_tax", F.lit(2)))).alias("s_pow"),
-        _r4(F.sum(E.abs(F.col("l_quantity") - 25))).alias("s_abs"),
-        _r4(F.sum(E.floor(F.col("l_extendedprice") / 1000))).alias("s_floor"),
-        _r4(F.sum(E.ceil(F.col("l_quantity") / 7.0))).alias("s_ceil"),
-        _r4(F.sum(E.maxof("l_discount", "l_tax"))).alias("s_maxof"),
-        _r4(F.sum(E.minof("l_discount", "l_tax"))).alias("s_minof"),
+        _m4(E.sin("l_discount")).alias("m_sin"),
+        _m4(E.cos("l_discount")).alias("m_cos"),
+        _m4(E.sqrt("l_quantity")).alias("m_sqrt"),
+        _m4(E.log("l_extendedprice")).alias("m_log"),
+        _m4(E.exp("l_discount")).alias("m_exp"),
+        _m4(E.pow("l_tax", F.lit(2))).alias("m_pow"),
+        _m4(E.abs(F.col("l_quantity") - 25)).alias("m_abs"),
+        _m4(E.floor(F.col("l_extendedprice") / 1000)).alias("m_floor"),
+        _m4(E.ceil(F.col("l_quantity") / 7.0)).alias("m_ceil"),
+        _m4(E.maxof("l_discount", "l_tax")).alias("m_maxof"),
+        _m4(E.minof("l_discount", "l_tax")).alias("m_minof"),
     )
 
 

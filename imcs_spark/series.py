@@ -28,6 +28,7 @@ from typing import Iterable, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 POS = "pos"
 VAL = "val"
@@ -197,10 +198,25 @@ def sessionize(
         w = Window.partitionBy(*partition_by).orderBy(ts_col)
     else:
         w = Window.orderBy(ts_col)
-    prev = F.lag(F.col(ts_col)).over(w)
+    # Type-aware gap arithmetic: TIMESTAMP / TIMESTAMP_NTZ forbid numeric
+    # casts (Spark 4); normalize both to epoch seconds via unix_micros
+    # (NTZ -> TIMESTAMP cast is allowed and value-preserving under the
+    # session timezone). Numeric ts columns pass through as double, so
+    # `gap` keeps its "same units as ts differences" contract: seconds
+    # for timestamps, raw units otherwise.
+    dt = df.schema[ts_col].dataType
+    tsn = F.col(ts_col)
+    if isinstance(dt, T.TimestampNTZType):
+        tsn = tsn.cast("timestamp")
+        dt = T.TimestampType()
+    if isinstance(dt, T.TimestampType):
+        tsn = F.unix_micros(tsn) / F.lit(1000000.0)
+    else:
+        tsn = tsn.cast("double")
+    prev = F.lag(tsn).over(w)
     gap_expr = gap if isinstance(gap, Column) else F.lit(gap)
     new_session = F.when(
-        prev.isNull() | (F.col(ts_col).cast("double") - prev.cast("double") > gap_expr),
+        prev.isNull() | (tsn - prev > gap_expr),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn(out_col, F.sum(new_session).over(w) - F.lit(1))
