@@ -136,6 +136,13 @@ class TsTable:
         """Ordered append. The reference rejects timestamps below the
         current maximum per series (imcs.c:4299-4300); we enforce the
         same check with one tiny aggregate + broadcast join, then union.
+
+        Cost note: strict_order runs one small Spark job per call (a
+        per-series max aggregate — bounded by the series count, never
+        the row count). For high-frequency ingest, batch appends or use
+        streaming.append_stream, which amortizes the ordering check
+        across each micro-batch instead of per call; pass
+        strict_order=False when the producer already guarantees order.
         """
         if strict_order:
             if self.id_col:
@@ -305,3 +312,40 @@ class Engine:
 
     def is_loaded(self, name: str) -> bool:
         return name in self.tables
+
+    def stats(self) -> dict:
+        """cs_used_memory / cs_profile analog (reference imcs.c:5275-5279
+        walks the shared-memory allocator; imcs.c:5716-5768 dumps per-
+        table page counts). Spark's equivalent truth lives in the
+        BlockManager: report cached-RDD memory/disk footprints plus the
+        registered-table catalog. Purely introspective — no jobs run."""
+        sc = self.spark.sparkContext
+        cached = []
+        mem_total = 0
+        disk_total = 0
+        for info in sc._jsc.sc().getRDDStorageInfo():
+            mem_total += info.memSize()
+            disk_total += info.diskSize()
+            cached.append(
+                {
+                    "rdd": info.name() or f"rdd_{info.id()}",
+                    "mem_bytes": info.memSize(),
+                    "disk_bytes": info.diskSize(),
+                    "cached_partitions": info.numCachedPartitions(),
+                    "total_partitions": info.numPartitions(),
+                }
+            )
+        return {
+            "used_memory_bytes": mem_total,
+            "used_disk_bytes": disk_total,
+            "cached_rdds": cached,
+            "tables": {
+                name: {
+                    "columns": len(t.df().columns),
+                    "ts_col": t.ts_col,
+                    "id_col": t.id_col,
+                    "path": t.path,
+                }
+                for name, t in self.tables.items()
+            },
+        }

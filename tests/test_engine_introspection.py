@@ -1,0 +1,66 @@
+"""Engine.stats() (cs_used_memory / cs_profile parity, reference
+imcs.c:5275-5279, 5716-5768) and the money load-boundary conversion
+(reference imcs.c:2064-2071: doubles enter as dollars, stored as
+cent-scaled int64; here DecimalType(19,2))."""
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from imcs_spark.functions import elementwise as E
+from imcs_spark.sources import parse
+from imcs_spark.table import Engine
+
+
+def test_engine_stats_reports_cached_memory(spark, sf_dir):
+    eng = Engine(spark)
+    t = eng.create("events", f"{sf_dir}/events.parquet", "ts", "user_id")
+    df = t.df().persist()
+    df.count()
+    try:
+        st = eng.stats()
+        assert st["used_memory_bytes"] > 0
+        assert any(c["cached_partitions"] > 0 for c in st["cached_rdds"])
+        assert st["tables"]["events"]["ts_col"] == "ts"
+        assert st["tables"]["events"]["id_col"] == "user_id"
+        assert st["tables"]["events"]["columns"] == len(df.columns)
+    finally:
+        df.unpersist()
+
+
+def test_money_load_conversion_golden(spark):
+    # Golden vectors for the dollars<->cents boundary: the reference
+    # multiplies by 100 and rounds-half-away on load (imcs_double2money).
+    df = spark.createDataFrame(
+        [(1.0,), (0.005,), (12.344,), (12.345,), (-3.125,)], "dollars double"
+    )
+    out = df.select(
+        E.to_money("dollars").alias("m"),
+        E.money_to_cents("dollars").alias("cents"),
+    ).collect()
+    got = [(r["m"], r["cents"]) for r in out]
+    assert got == [
+        (Decimal("1.00"), 100),
+        (Decimal("0.01"), 1),  # HALF_UP at the cent boundary
+        (Decimal("12.34"), 1234),
+        (Decimal("12.35"), 1235),
+        (Decimal("-3.13"), -313),
+    ]
+    back = df.select(
+        E.cents_to_money(E.money_to_cents("dollars")).alias("m2")
+    ).collect()
+    assert [r["m2"] for r in back] == [
+        Decimal("1.00"),
+        Decimal("0.01"),
+        Decimal("12.34"),
+        Decimal("12.35"),
+        Decimal("-3.13"),
+    ]
+
+
+def test_money_literal_parse(spark):
+    # cs_parse money literals keep group separators and $ (reference
+    # transform.sql money battery shapes).
+    df = parse(spark, "money:{\"$1,000,000.50\", '2.25', 0.1}")
+    vals = [r["val"] for r in df.orderBy("pos").collect()]
+    assert vals == [Decimal("1000000.50"), Decimal("2.25"), Decimal("0.10")]
