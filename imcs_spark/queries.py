@@ -11,6 +11,8 @@ the same operators against golden vectors from the reference suite.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -38,7 +40,7 @@ _NANOS_LO = 10**17
 _NANOS_HI = 4 * 10**18
 
 
-def _normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+def _normalize_event_ts(df: DataFrame, ts_col: str = "ts", guard: bool = True) -> DataFrame:
     """Normalize the events ts column to microsecond TimestampType across
     every parquet encoding the testdata generator has produced:
 
@@ -51,9 +53,17 @@ def _normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
       on) -> cast to TIMESTAMP: allowed and value-preserving under the
       session's UTC timezone.
     - TIMESTAMP (UTC-adjusted) -> already the target type; no-op cast.
+
+    Pass ``guard=False`` for streaming DataFrames (the min/max sanity
+    job cannot run on an unstarted stream; run the guard on a static
+    read of the same files first).
     """
     dt = df.schema[ts_col].dataType
     if isinstance(dt, T.LongType):
+        if not guard:
+            return df.withColumn(
+                ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+            )
         lo, hi = df.select(F.min(ts_col), F.max(ts_col)).first()
         if lo is not None and not (_NANOS_LO < lo and hi < _NANOS_HI):
             raise ValueError(
@@ -2034,3 +2044,159 @@ def approxdc_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.approxdc_hll128(
         li, "l_orderkey", by=["l_returnflag"], out_col="approx_orders"
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (pipeline.dedup.embedding_near_dups_lsh) —
+# the 100 TB scale path: random-hyperplane sign-bucket equi-join with
+# multi-probe, exact cosine verified only inside colliding buckets.
+# The corpus embeddings are near-orthogonal (no natural near-dups), so
+# the query plants 25 deterministic perturbed copies — the SAME
+# augmentation is expressed in the oracle SQL, whose verification is
+# the full n^2 cosine filter. Every planted pair sits at cosine ~0.998
+# copies (the corpus is unit-norm, so a +0.05 single-component nudge
+# lands at cosine ~0.9987) — every other pair sits below 0.6, so the
+# 0.95 threshold has no boundary-noise risk at 6-decimal rounding.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_neardup",
+    oracle="""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 10000, list_value(v[1] + 0.05) || v[2:] FROM base WHERE vec_id < 25
+)
+SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM aug a, aug b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.v, b.v) >= 0.95
+""",
+)
+def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pert = base.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)), F.slice("v", 2, 1 << 20)
+        ).alias("v"),
+    )
+    aug = base.unionByName(pert)
+    pairs = dedup.embedding_near_dups_lsh(
+        aug, "v", "vec_id", threshold=0.95, n_planes=8, multi_probe=2, dim=64
+    )
+    return pairs.select("left_id", "right_id", _r6(F.col("cosine")).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (§2.8 beyond the reference): event-time tumbling
+# window aggregate over the events table replayed as a file stream
+# (availableNow). Output mode complete -> the final state equals the
+# batch GROUP BY, giving streaming a TRUE SQL oracle. The file-stream
+# source requires a directory, so the single-file testdata parquet is
+# exposed through a per-sf symlink dir under the system temp dir.
+# ---------------------------------------------------------------------------
+import itertools as _it
+import tempfile as _tempfile
+
+_STREAM_SEQ = _it.count()
+
+
+def _stream_src_dir(sf_dir: str, name: str) -> str:
+    base = os.path.join(
+        _tempfile.gettempdir(),
+        "imcs_stream_src",
+        sf_dir.strip("/").replace("/", "_"),
+        name,
+    )
+    os.makedirs(base, exist_ok=True)
+    link = os.path.join(base, f"{name}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+    return base
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet replayed as a micro-batch file stream with the
+    ts column normalized exactly like the batch loader (the magnitude
+    guard runs on the batch read in _t, which every caller touches)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    src = spark.readStream.schema(raw_schema).parquet(_stream_src_dir(sf_dir, "events"))
+    return _normalize_event_ts(src, guard=False)
+
+
+def _run_stream(result: DataFrame, output_mode: str):
+    name = f"imcs_stream_{next(_STREAM_SEQ)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return name
+
+
+@query(
+    "streaming_window_agg",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def streaming_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import windowed_agg_stream
+
+    _t(spark, sf_dir, "events")  # runs the batch-side ts magnitude guard
+    agg_df = windowed_agg_stream(
+        _events_stream(spark, sf_dir),
+        "ts",
+        window_duration="1 hour",
+        watermark="1 hour",
+        agg_exprs=[
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+        ],
+        group_cols=["event_type"],
+    )
+    name = _run_stream(agg_df, "complete")
+    return spark.table(name).select(
+        F.col("window.start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionize (§2.8): custom stateful operator via
+# applyInPandasWithState — per-user gap sessions as keyed state across
+# micro-batches. Genuinely non-SQL-expressible (closed-session emission
+# depends on watermark progression), so no oracle: the driver records
+# the weaker rows-only check; batch sessionize (same semantics over the
+# same data) carries the full SQL-oracle hash.
+# ---------------------------------------------------------------------------
+@query("streaming_sessionize")
+def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import sessionize_stream
+
+    _t(spark, sf_dir, "events")
+    sess = sessionize_stream(
+        _events_stream(spark, sf_dir),
+        ts_col="ts",
+        user_col="user_id",
+        gap_seconds=3600,
+        watermark="1 hour",
+    )
+    name = _run_stream(sess, "append")
+    return spark.table(name)
