@@ -465,34 +465,53 @@ def embedding_near_dups_lsh(
     with another seed for provable-recall unions."""
     from itertools import combinations
 
-    from .similarity import _dot, _unit, bucket_ids, hyperplanes
+    from .similarity import dot_udf, hyperplanes, unit_bucket_udf
 
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
+    # Arrow-batched normalize+bucket (see similarity.unit_bucket_udf):
+    # one numpy matmul per batch instead of n_planes interpreted HOF
+    # chains per row and an n_planes×dim-literal plan.
+    ub = unit_bucket_udf(planes)
+    # Materialize (id, unit, bucket) ONCE: four downstream branches
+    # (probe fan-out, build side, two vector fetches) would otherwise
+    # each re-run the normalize+bucket pass over the full corpus. Same
+    # persist-the-index discipline as lsh_index/ivf_index; size is one
+    # vector + two longs per row.
     unit = (
-        df.select(id_col, F.col(vec_col).alias("_v"))
-        .withColumn("_u", _unit("_v"))
-        .withColumn("_b", bucket_ids("_u", planes))
-        .drop("_v")
+        df.select(id_col, ub(F.col(vec_col)).alias("_ub"))
+        .select(id_col, F.col("_ub.u").alias("_u"), F.col("_ub.b").alias("_b"))
+        .persist()
     )
+    _dot = dot_udf()
     masks = [0]
     for r in range(1, min(multi_probe, n_planes) + 1):
         for bits in combinations(range(n_planes), r):
             masks.append(sum(1 << b for b in bits))
-    l = unit.select(
+    # Candidate generation moves ONLY (id, bucket) — the probe fan-out
+    # would otherwise ship the vector ×(1 + Σ C(n_planes, ≤r)) copies
+    # through the shuffle. Vectors are re-attached to the (small)
+    # surviving candidate set afterwards; at scale the candidates are a
+    # vanishing fraction of corpus × probe width, so two id-joins are
+    # far cheaper than a 37×-wide vector explode.
+    lk = unit.select(
         F.col(id_col).alias("left_id"),
-        F.col("_u").alias("_lu"),
         F.explode(F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in masks])).alias(
             "bucket"
         ),
     )
-    r = unit.select(
-        F.col(id_col).alias("right_id"), F.col("_u").alias("_ru"), F.col("_b").alias("bucket")
-    )
-    return (
-        l.join(r, "bucket")
+    rk = unit.select(F.col(id_col).alias("right_id"), F.col("_b").alias("bucket"))
+    cand = (
+        lk.join(rk, "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+    )
+    lv = unit.select(F.col(id_col).alias("left_id"), F.col("_u").alias("_lu"))
+    rv = unit.select(F.col(id_col).alias("right_id"), F.col("_u").alias("_ru"))
+    return (
+        cand.join(lv, "left_id")
+        .join(rv, "right_id")
         .withColumn("cosine", _dot("_lu", "_ru"))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")

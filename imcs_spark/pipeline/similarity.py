@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563 strings)
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -73,6 +74,50 @@ def bucket_ids(vec_col: str, planes: list[list[float]]):
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def unit_bucket_udf(planes: list[list[float]]):
+    """Arrow-batched (unit vector, sign-bucket) computation: one numpy
+    matmul per batch replaces n_planes interpreted aggregate/zip_with
+    chains per row AND the n_planes×dim-literal expression tree that
+    Catalyst would otherwise carry through analysis/optimization (the
+    pure-Column bucket_ids costs ~1 s of driver time per query at
+    8×64 literals before a single row moves). Same documented
+    Pandas-UDF escape hatch as train_ivf_centroids — vector math at
+    width ≥ ~32 is where Arrow+BLAS beats interpreted HOFs ~100×."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim × n_planes
+    weights = (1 << np.arange(P.shape[1])).astype(np.int64)
+
+    @pandas_udf("struct<u: array<double>, b: bigint>")
+    def f(v: pd.Series) -> pd.DataFrame:
+        if not len(v):
+            return pd.DataFrame({"u": [], "b": []})
+        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        U = X / norms
+        b = ((U @ P >= 0) * weights).sum(axis=1)
+        return pd.DataFrame({"u": list(U), "b": b})
+
+    return f
+
+
+def dot_udf():
+    """Arrow-batched pairwise dot product (cosine of unit vectors) —
+    the re-rank sibling of unit_bucket_udf for candidate scoring."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def f(a: pd.Series, b: pd.Series) -> pd.Series:
+        if not len(a):
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return f
 
 
 def lsh_index(
