@@ -83,6 +83,12 @@ def main():
         try:
             from imcs_spark.bench_scale import run_scale
 
+            # The scale section is its own benchmark: release the query
+            # registry's persisted artifacts first so the 6M/10M-row
+            # tables get the full storage pool instead of competing
+            # with ~60 leftover caches (which skews load_* by 5-20x).
+            spark.catalog.clearCache()
+
             data_dir = os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "benchdata"
             )

@@ -188,6 +188,14 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
         runs,
     )
 
+    # Micro-latency rows: their whole cost is the fixed job floor, and
+    # AQE's stage-by-stage re-planning adds one scheduler round-trip a
+    # sub-300ms query can't amortize (measured ~-27% on vwap_one with
+    # AQE off; no effect on the scan-bound queries). Runtime re-planning
+    # has nothing to decide here: single cached table, no join, tiny
+    # shuffle. Restored right after.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
     # --- VWAP one symbol, 3-year slice (vs IMCS 10 ms / SQL 750 ms)
     out["vwap_one"] = _best(
         lambda: q.filter(
@@ -230,6 +238,7 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
         lambda: q.agg(F.sum("close").alias("s")).collect(),
         runs,
     )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     # --- 3-key hash group-by weighted avg over 10M rows
     #     (vs IMCS 144 ms / SQL 7-320 s)

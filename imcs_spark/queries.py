@@ -2143,7 +2143,10 @@ def _stream_src_dir(sf_dir: str, name: str) -> str:
     os.makedirs(base, exist_ok=True)
     link = os.path.join(base, f"{name}.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+        try:
+            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+        except FileExistsError:  # concurrent process won the race
+            pass
     return base
 
 

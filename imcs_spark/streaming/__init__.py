@@ -131,10 +131,19 @@ def sessionize_stream(
                 closed.append((uid, s0, s1, n))
             state.remove()
         else:
+            # numpy fast path: this function runs once per key per
+            # micro-batch, so per-call overhead is the dominant cost at
+            # high key cardinality — avoid pd.to_datetime's inference
+            # when the column is already datetime64 (the usual case for
+            # an event-time stream).
             ts_list: list[int] = []
             for pdf in pdfs:
-                col = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
-                ts_list.extend(int(t) for t in col)
+                arr = pdf[ts_col].to_numpy()
+                if arr.dtype.kind == "M":
+                    col = arr.astype("datetime64[us]").astype("int64")
+                else:
+                    col = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+                ts_list.extend(col.tolist())
             ts_list.sort()
             if ts_list:
                 if state.exists:
