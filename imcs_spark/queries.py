@@ -2261,3 +2261,161 @@ def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
         ).alias("digest")
     )
+
+
+# ---------------------------------------------------------------------------
+# Composite driver checks upgrading test-only §2 rows to oracle-verified:
+# cs_sort / cs_sort_pos (global distributed-zip paths, §2.6), the
+# TsTable verb surface (span/concat/first/last/count/delete/truncate/
+# empty, §2.1), and the literal-series function battery (cs_parse, prd,
+# bitwise all/any, elementwise bit ops, filter_first_pos, to_array/
+# from_array round trip, cs_call, cs_const, str2code — §2.1/2.3/2.5).
+# ---------------------------------------------------------------------------
+@query(
+    "sort_permute",
+    oracle="""
+WITH src AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS opos,
+         l_extendedprice AS v
+  FROM lineitem WHERE l_orderkey % 997 = 0
+), srt AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY v, opos) - 1 AS pos, v, opos FROM src
+)
+SELECT CAST(pos AS BIGINT) AS pos, ROUND(v, 6) AS sval, CAST(opos AS BIGINT) AS opos
+FROM srt
+""",
+)
+def sort_permute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sorting
+    from .series import with_pos
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
+    # bounded slice (~0.1% of lineitem): the single-partition with_pos
+    # fallback is fine here; the sort itself exercises the distributed
+    # global zip paths.
+    s = with_pos(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_orderkey", "l_linenumber"],
+    ).select("pos", F.col("l_extendedprice").alias("val"))
+    srt = sorting.sort(s)
+    perm = sorting.sort_pos(s)
+    return (
+        srt.join(perm.select("pos", F.col("val").alias("opos")), "pos")
+        .select("pos", _r6(F.col("val")).alias("sval"), F.col("opos").cast("long").alias("opos"))
+    )
+
+
+@query(
+    "table_ops",
+    oracle="""
+WITH u41 AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY ts) - 1 AS pos
+  FROM events WHERE user_id = 41
+)
+SELECT 'span_sum' AS op, ROUND(SUM(value), 6) AS val FROM u41 WHERE pos BETWEEN 10 AND 79
+UNION ALL SELECT 'concat_n', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id IN (41, 89)
+UNION ALL SELECT 'first_last_gap_s', ROUND(CAST(EPOCH(MAX(ts)) - EPOCH(MIN(ts)) AS DOUBLE), 6) FROM events WHERE user_id = 41
+UNION ALL SELECT 'del_remaining', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id <> 41
+UNION ALL SELECT 'count_41', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id = 41
+UNION ALL SELECT 'truncate_empty', 1.0
+""",
+)
+def table_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .table import Engine
+
+    ev = _t(spark, sf_dir, "events")
+    eng = Engine(spark)
+    t = eng.create("events_t", ev, "ts", "user_id")
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), F.col("val").cast("double").alias("val"))
+
+    span_sum = one("span_sum", t.span(41, 10, 79).agg(_r6(F.sum("value")).alias("val")))
+    concat_n = one("concat_n", t.concat([41, 89]).agg(F.count(F.lit(1)).alias("val")))
+    gap = one(
+        "first_last_gap_s",
+        t.first(41)
+        .crossJoin(t.last(41))
+        .select(
+            F.round(
+                (F.unix_micros("last") - F.unix_micros("first")) / F.lit(1e6), 6
+            ).alias("val")
+        ),
+    )
+    deleted = t.delete(41)
+    del_remaining = one(
+        "del_remaining", deleted.df().agg(F.count(F.lit(1)).alias("val"))
+    )
+    count_41 = one(
+        "count_41",
+        spark.range(1).select(F.lit(t.count(41)).alias("val")),
+    )
+    trunc_empty = one(
+        "truncate_empty",
+        spark.range(1).select(F.lit(1.0 if t.truncate().empty() else 0.0).alias("val")),
+    )
+    out = span_sum
+    for part in [concat_n, gap, del_remaining, count_41, trunc_empty]:
+        out = out.unionByName(part)
+    return out
+
+
+@query(
+    "series_ops",
+    oracle="""
+SELECT * FROM (VALUES
+  ('prd', 2430.0), ('all', 0.0), ('any', 15.0),
+  ('xor3_sum', 21.0), ('and1_sum', 4.0), ('or8_sum', 58.0), ('not_sum', -31.0),
+  ('ffp', 4.0), ('roundtrip_wsum', 58.0), ('call_sum', 57.0),
+  ('const_sum', 15.0), ('str2code_sum', 4.0)
+) AS t(op, val)
+""",
+)
+def series_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import sources as S
+    from .functions import aggregates as A
+    from .functions import elementwise as E
+    from .operators import positional
+    from .series import const_series
+
+    s = S.parse(spark, "int4:{6,3,5,3,9}")
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), _r6(F.col("val").cast("double")).alias("val"))
+
+    parts = [
+        one("prd", s.agg(A.prd("val").alias("val"))),
+        one("all", s.agg(A.all_("val").alias("val"))),
+        one("any", s.agg(A.any_("val").alias("val"))),
+        one("xor3_sum", s.agg(F.sum(E.bit_xor("val", F.lit(3))).alias("val"))),
+        one("and1_sum", s.agg(F.sum(E.bit_and("val", F.lit(1))).alias("val"))),
+        one("or8_sum", s.agg(F.sum(E.bit_or("val", F.lit(8))).alias("val"))),
+        one("not_sum", s.agg(F.sum(E.bit_not("val")).alias("val"))),
+        one(
+            "ffp",
+            positional.filter_first_pos(s, F.col("val") > 6, 1, bounded=True).select(
+                "val"
+            ),
+        ),
+        one(
+            "roundtrip_wsum",
+            S.from_array(s.agg(S.to_array(s).alias("arr")), "arr").agg(
+                F.sum(F.col("pos") * F.col("val")).alias("val")
+            ),
+        ),
+        one(
+            "call_sum",
+            S.call(s, lambda x: 2 * x + 1, "val", "c").agg(F.sum("c").alias("val")),
+        ),
+        one("const_sum", const_series(spark, 3.0, 5).agg(F.sum("val").alias("val"))),
+        one(
+            "str2code_sum",
+            S.str2code(
+                spark.createDataFrame([("b",), ("a",), ("b",), ("c",)], "s string"), "s"
+            ).agg(F.sum("code").alias("val")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -101,8 +101,10 @@ class TsTable:
         """TABLE_concat (imcs--1.1.sql:246-259): slices of several ids
         in the id-sequence order given, then ts order."""
         sliced = self.get(None, low, high).filter(F.col(self.id_col).isin(list(ids)))
+        # id type inferred from the values (ids are strings in the
+        # reference's Quote-style tables but plain ints elsewhere)
         order_map = self.spark.createDataFrame(
-            [(v, i) for i, v in enumerate(ids)], f"{self.id_col} string, _id_order int"
+            [(v, i) for i, v in enumerate(ids)], [self.id_col, "_id_order"]
         )
         return (
             sliced.join(F.broadcast(order_map), self.id_col)
