@@ -2419,3 +2419,68 @@ def series_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Composite №4: cs_join_pos / cs_join (value-mapped), positional
+# cs_concat, and the MURSIW-analog versioned store (save → atomic
+# _VERSION pointer → open) driver-verified end-to-end. Literal vectors
+# match the reference join battery shapes (sql/transform.sql); the
+# store leg persists a real events slice to a scratch dir and re-opens
+# it, so the count survives a full parquet round trip.
+# ---------------------------------------------------------------------------
+@query(
+    "join_concat_store",
+    oracle="""
+SELECT * FROM (VALUES
+  ('jp', 0, 1.0), ('jp', 1, 3.0),
+  ('jv', 0, 0.3), ('jv', 1, 1.0),
+  ('cc', 0, 1.0), ('cc', 1, 2.0), ('cc', 2, 7.0)
+) AS t(op, pos, val)
+UNION ALL
+SELECT 'store' AS op, 0 AS pos, CAST(COUNT(*) AS DOUBLE) AS val
+FROM events WHERE user_id = 41
+""",
+)
+def join_concat_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .operators import joins, positional
+    from .series import seq
+    from .table import TsTable
+
+    a = seq(spark, [0, 2, 3, 8, 10], "int")
+    b = seq(spark, [1, 3, 6, 10], "int")
+    v = seq(spark, [0.1, 0.3, 0.6, 1.0])
+
+    def tag(op: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("pos").cast("int").alias("pos"),
+            _r6(F.col("val").cast("double")).alias("val"),
+        )
+
+    jp = tag("jp", joins.join_pos(a, b, bounded=True))
+    jv = tag("jv", joins.join_values(a, b, v, bounded=True))
+    cc = tag("cc", positional.concat(seq(spark, [1.0, 2.0]), seq(spark, [7.0])))
+
+    def build_store():
+        ev = _t(spark, sf_dir, "events").filter(F.col("user_id") == 41)
+        base = tempfile.mkdtemp(prefix="imcs_store_")
+        t = TsTable(spark, "ev41", ev, "ts", "user_id")
+        saved = t.save(base)  # writes v=<version>, atomically points _VERSION
+        reopened = TsTable.open(spark, "ev41", base)
+        n = reopened.df().count()
+        assert n == saved.df().count()
+        return n
+
+    n = _artifact(spark, ("versioned_store_count", sf_dir), build_store)
+    store = spark.range(1).select(
+        F.lit("store").alias("op"),
+        F.lit(0).cast("int").alias("pos"),
+        F.lit(float(n)).alias("val"),
+    )
+    out = jp
+    for part in [jv, cc, store]:
+        out = out.unionByName(part)
+    return out

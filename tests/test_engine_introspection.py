@@ -64,3 +64,21 @@ def test_money_literal_parse(spark):
     df = parse(spark, "money:{\"$1,000,000.50\", '2.25', 0.1}")
     vals = [r["val"] for r in df.orderBy("pos").collect()]
     assert vals == [Decimal("1000000.50"), Decimal("2.25"), Decimal("0.10")]
+
+
+def test_concat_integer_series_ids(spark, sf_dir):
+    # Regression: concat's id-order map used a hardcoded string schema,
+    # which broke on integer series ids (driver query table_ops).
+    from imcs_spark.table import Engine
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = eng.create("ev", ev, "ts", "user_id")
+    ids = [r[0] for r in ev.select("user_id").distinct().limit(2).collect()]
+    out = t.concat(ids).select("user_id").collect()
+    seen = [r[0] for r in out]
+    # id-sequence order preserved: all of ids[0]'s rows before ids[1]'s
+    assert set(seen) == set(ids)
+    first_block = seen[: seen.index(ids[1])] if ids[1] in seen else seen
+    assert all(u == ids[0] for u in first_block)
