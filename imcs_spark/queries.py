@@ -2287,13 +2287,13 @@ FROM srt
 )
 def sort_permute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sorting
-    from .series import with_pos
+    from .series import zip_with_global_pos
 
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 997 == 0)
-    # bounded slice (~0.1% of lineitem): the single-partition with_pos
-    # fallback is fine here; the sort itself exercises the distributed
-    # global zip paths.
-    s = with_pos(
+    # The slice is PROPORTIONAL (1/997 of the table), not bounded — at
+    # 100 TB it is ~100 GB, so the pos spine must use the distributed
+    # zip, not the single-partition with_pos fallback.
+    s = zip_with_global_pos(
         li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
         ["l_orderkey", "l_linenumber"],
     ).select("pos", F.col("l_extendedprice").alias("val"))

@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOWED = {
     "spec_literal_ops",
     "transform_literal_ops",
+    # literal-vector composites: every series is a handful of elements
+    # by construction (cs_parse/seq literals), so a single partition IS
+    # the right plan; the table-backed legs (store round trip) don't
+    # sort/window.
+    "series_ops",
+    "join_concat_store",
 }
 
 
