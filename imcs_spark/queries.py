@@ -2383,14 +2383,28 @@ def series_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def one(op: str, df: DataFrame) -> DataFrame:
         return df.select(F.lit(op).alias("op"), _r6(F.col("val").cast("double")).alias("val"))
 
+    # The seven series aggregates run as ONE pass over the series (a
+    # single .agg with seven expressions, unpivoted to (op, val) rows)
+    # — both the right plan and ~7 fewer job floors than one agg each.
+    agg_row = s.agg(
+        A.prd("val").cast("double").alias("prd"),
+        A.all_("val").cast("double").alias("all"),
+        A.any_("val").cast("double").alias("any"),
+        F.sum(E.bit_xor("val", F.lit(3))).cast("double").alias("xor3_sum"),
+        F.sum(E.bit_and("val", F.lit(1))).cast("double").alias("and1_sum"),
+        F.sum(E.bit_or("val", F.lit(8))).cast("double").alias("or8_sum"),
+        F.sum(E.bit_not("val")).cast("double").alias("not_sum"),
+    )
+    stacked = agg_row.select(
+        F.expr(
+            "stack(7, 'prd', prd, 'all', all, 'any', any, "
+            "'xor3_sum', xor3_sum, 'and1_sum', and1_sum, "
+            "'or8_sum', or8_sum, 'not_sum', not_sum) AS (op, val)"
+        )
+    ).select("op", _r6(F.col("val")).alias("val"))
+
     parts = [
-        one("prd", s.agg(A.prd("val").alias("val"))),
-        one("all", s.agg(A.all_("val").alias("val"))),
-        one("any", s.agg(A.any_("val").alias("val"))),
-        one("xor3_sum", s.agg(F.sum(E.bit_xor("val", F.lit(3))).alias("val"))),
-        one("and1_sum", s.agg(F.sum(E.bit_and("val", F.lit(1))).alias("val"))),
-        one("or8_sum", s.agg(F.sum(E.bit_or("val", F.lit(8))).alias("val"))),
-        one("not_sum", s.agg(F.sum(E.bit_not("val")).alias("val"))),
+        stacked,
         one(
             "ffp",
             positional.filter_first_pos(s, F.col("val") > 6, 1, bounded=True).select(
