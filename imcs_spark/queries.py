@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563 strings)
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -2498,3 +2500,41 @@ def join_concat_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for part in [jv, cc, store]:
         out = out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# §2.9 UDAF surface: the reference has NO user-defined aggregate
+# mechanism ("extensibility is: write a C operator", SURVEY §2.9);
+# Spark's pandas_udf GROUPED_AGG is the strict superset claimed there.
+# Driver-verified with a weighted geometric mean — a real aggregate SQL
+# can only express through the exp/ln identity the oracle uses.
+# ---------------------------------------------------------------------------
+@query(
+    "udaf_wgeomean",
+    oracle="""
+SELECT event_type,
+       ROUND(EXP(SUM((user_id % 7 + 1) * LN(ABS(value) + 1))
+                 / SUM(user_id % 7 + 1)), 6) AS wgeo
+FROM events GROUP BY event_type
+""",
+)
+def udaf_wgeomean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wgeo(v: pd.Series, w: pd.Series) -> float:  # Series -> scalar = GROUPED_AGG
+        import numpy as np
+
+        vv = v.to_numpy(dtype="float64")
+        ww = w.to_numpy(dtype="float64")
+        return float(np.exp((np.log(vv) * ww).sum() / ww.sum()))
+
+    ev = _t(spark, sf_dir, "events")
+    prepared = ev.select(
+        "event_type",
+        (F.abs(F.col("value")) + 1).alias("_v"),
+        (F.col("user_id") % 7 + 1).cast("double").alias("_w"),
+    )
+    return prepared.groupBy("event_type").agg(
+        _r6(wgeo("_v", "_w")).alias("wgeo")
+    )
