@@ -8,6 +8,8 @@ zero shuffle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563 strings)
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -144,29 +146,41 @@ def fingerprint(
     the token stream (winnowing-style min-sampling, deterministic).
     Equal fingerprints → high overlap candidates.
 
-    Tokens are hashed ONCE and window-gram hashes are rotate-XOR
-    combinations of the token hashes built with aligned shifted slices
-    + zip_with — no window-gram strings are ever materialized (the
-    string-concat formulation spent its time building ~50-char strings
-    per position just to hash them; long bit-ops are ~4× cheaper, and
-    per-index `slice(toks, i+1, w)` lambdas fall out of codegen into
-    interpreted eval and are ~10× slower still). Bit ops propagate
-    null, so positions whose window would run past the end (null-padded
-    by zip_with) drop out in the filter; documents shorter than one
-    window hash their whole token stream."""
+    Tokens are hashed ONCE on the JVM (xxhash64 — no window-gram
+    strings are ever materialized); the rotate-XOR window combine and
+    the min run as ONE Arrow-batched numpy pass per document instead of
+    window-1 interpreted zip_with layers (higher-order functions never
+    enter whole-stage codegen, so at 8×~200 tokens the HOF tree spent
+    ~1M interpreted lambda evaluations per 5k docs). uint64 shifts in
+    numpy are bit-identical to the JVM's shiftleft /
+    shiftrightunsigned / XOR on long, and the min compares the int64
+    view, matching array_min over signed longs. Documents shorter than
+    one window hash their whole token stream (JVM branch, unchanged)."""
+    from pyspark.sql.functions import pandas_udf
+
     toks = _tokens(text_col)
     size = F.size(toks)
     tokh = F.transform(toks, lambda t: F.xxhash64(t))
-    grams = tokh
-    for k in range(1, window):
-        grams = F.zip_with(
-            grams,
-            F.slice(tokh, k + 1, size),
-            lambda h, nxt: F.shiftleft(h, 13)
-            .bitwiseOR(F.shiftrightunsigned(h, 51))
-            .bitwiseXOR(nxt),
-        )
-    hashes = F.filter(grams, lambda g: g.isNotNull())
-    return F.when(size >= window, F.array_min(hashes)).otherwise(
+
+    @pandas_udf("long")
+    def gram_min(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        w = window
+        out = np.zeros(len(hashes), dtype="int64")
+        for i, arr in enumerate(hashes):
+            if arr is None:
+                continue
+            h = np.asarray(arr, dtype="int64").view("uint64")
+            if h.size < w:  # short-doc rows use the JVM branch's value
+                continue
+            g = h
+            for k in range(1, w):
+                head = g[: h.size - k]
+                g = ((head << np.uint64(13)) | (head >> np.uint64(51))) ^ h[k:]
+            out[i] = g.view("int64").min()
+        return pd.Series(out)
+
+    return F.when(size >= window, gram_min(tokh)).otherwise(
         F.xxhash64(F.concat_ws(" ", toks))
     )
