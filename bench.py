@@ -70,7 +70,13 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # A failed query would make the partial sum silently SMALLER —
+        # i.e. look faster across rounds. Keep the per-query timings
+        # but mark the headline number invalid instead of emitting a
+        # misleading partial total.
         payload["errors"] = errors
+        payload["value"] = None
+        payload["failed"] = True
 
     # Same-scale section: BASELINE.md's numbers were measured at 6M/10M
     # rows — 10-60x sf0.1 — so per-query wall ratios at sf0.1 measure

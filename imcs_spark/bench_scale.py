@@ -184,8 +184,37 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     q_rows = q.count()
     out["load_quotes"] = round(time.time() - t0, 4)
 
+    # DbItem load = read + DICTIONARY-ENCODE the three varchar keys to
+    # int codes, exactly what the reference's columnar store does at
+    # load (imcs.c:2281-2309: varchar columns live as dictionary codes;
+    # its published 144 ms 3-key hash agg hashes int codes, never
+    # strings). Each column's dict is tiny (100/20/10 values) and
+    # broadcast; the encoded fact table is what gets cached. Grouping
+    # on int codes also unlocks Spark's fast fixed-width aggregate
+    # hash map, which string keys can't use. Queries decode the ~20k
+    # result rows back through the same broadcast dicts.
     t0 = time.time()
-    d = spark.read.parquet(dpath).persist()
+    d_raw = spark.read.parquet(dpath)
+    dicts: dict[str, DataFrame] = {}
+    enc = d_raw
+    for c in ("trader", "desk", "office"):
+        from pyspark.sql import Window as _W
+
+        dc = (
+            d_raw.select(c)
+            .distinct()
+            .select(
+                c,
+                (F.row_number().over(_W.orderBy(c)) - 1)
+                .cast("int")
+                .alias(f"{c}_code"),
+            )
+            .persist()
+        )
+        dc.count()
+        dicts[c] = dc
+        enc = enc.join(F.broadcast(dc), c).drop(c)
+    d = enc.persist()
     d_rows = d.count()
     out["load_dbitem"] = round(time.time() - t0, 4)
 
@@ -255,19 +284,23 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
 
     # --- 3-key hash group-by weighted avg over 10M rows
     #     (vs IMCS 144 ms / SQL 7-320 s)
-    out["dbitem_hash_agg"] = _best(
-        lambda: d.groupBy("trader", "desk", "office")
-        .agg(
-            (
-                F.sum(F.col("price") * F.col("volume")) / F.sum("volume")
-            ).alias("wavg")
+    # Groups on the int dictionary codes (what the reference hashes)
+    # and decodes the ~20k result rows through the broadcast dicts, so
+    # the output is the same (trader, desk, office, wavg) strings.
+    def _dbitem_query():
+        r = d.groupBy("trader_code", "desk_code", "office_code").agg(
+            (F.sum(F.col("price") * F.col("volume")) / F.sum("volume")).alias("wavg")
         )
-        .collect(),
-        runs,
-    )
+        for c in ("trader", "desk", "office"):
+            r = r.join(F.broadcast(dicts[c]), f"{c}_code").drop(f"{c}_code")
+        return r.select("trader", "desk", "office", "wavg").collect()
+
+    out["dbitem_hash_agg"] = _best(_dbitem_query, runs)
 
     q.unpersist()
     d.unpersist()
+    for dc in dicts.values():
+        dc.unpersist()
     out["rows_quote"] = q_rows
     out["rows_dbitem"] = d_rows
 

@@ -59,14 +59,22 @@ def _sorted_index(
         # descending stable index: elements in (val desc, pos asc) order.
         # For equal values the ascending index already orders by pos, so
         # the block of equal values keeps relative order after reversal
-        # only if we flip within-block offsets; do it with a per-value
-        # window (partitioned by value — parallel).
-        wv = Window.partitionBy(val_col)
-        blk_min = F.min("_aidx").over(wv)
-        blk_max = F.max("_aidx").over(wv)
-        return asc.withColumn(
-            idx_col, F.lit(total - 1) - blk_max - blk_min + F.col("_aidx")
-        ).drop("_aidx")
+        # only if we flip within-block offsets. Two-phase, not a
+        # per-value window: a Window.partitionBy(val) would concentrate
+        # a heavily-repeated value's whole block in ONE task (skew a
+        # low-cardinality column hits at 100x scale); groupBy is a
+        # partial-aggregated shuffle and the join back is AQE-skew-
+        # splittable (and broadcast when the distinct set is small).
+        blocks = asc.groupBy(val_col).agg(
+            F.min("_aidx").alias("_bmin"), F.max("_aidx").alias("_bmax")
+        )
+        return (
+            asc.join(blocks, val_col)
+            .withColumn(
+                idx_col, F.lit(total - 1) - F.col("_bmax") - F.col("_bmin") + F.col("_aidx")
+            )
+            .drop("_aidx", "_bmin", "_bmax")
+        )
     return zip_with_global_pos(df, [val_col, POS], pos_col=idx_col)
 
 
@@ -107,9 +115,18 @@ def rank(
     if keys:
         w = Window.partitionBy(*keys).orderBy(F.col(val_col).asc())
         return df.withColumn(out_col, F.rank().over(w).cast("long"))
+    # Two-phase min-rank instead of Window.partitionBy(val): the block
+    # minimum per value comes from a partial-aggregated groupBy shuffle
+    # and joins back (AQE-skew-splittable; broadcast when the distinct
+    # set is small) — a constant or low-cardinality series can no
+    # longer serialize one value's whole block through a single task.
     s = _sorted_index(df, val_col, None)
-    wv = Window.partitionBy(val_col)  # parallel: partitioned by value
-    return s.withColumn(out_col, (F.min("_sidx").over(wv) + 1).cast("long")).drop("_sidx")
+    mins = s.groupBy(val_col).agg(F.min("_sidx").alias("_blkmin"))
+    return (
+        s.join(mins, val_col)
+        .withColumn(out_col, (F.col("_blkmin") + 1).cast("long"))
+        .drop("_sidx", "_blkmin")
+    )
 
 
 def dense_rank(

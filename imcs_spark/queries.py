@@ -429,45 +429,88 @@ def run_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Grid (tumbling positional bucket) aggregates — cs_grid_avg.
+# Grid (tumbling positional bucket) aggregates — cs_grid_avg — plus
+# fixed-range histogram (cs_histogram) over l_extendedprice, one
+# composite with tagged legs: 'grid' rows keyed (user_id, pos_bucket),
+# 'hist' rows keyed (bucket, 0).
 # ---------------------------------------------------------------------------
 @query(
-    "grid_agg",
+    "hist_grid",
     oracle="""
 WITH posed AS (
   SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
   FROM events
+), counts AS (
+  SELECT CAST(FLOOR(l_extendedprice / 5500.0) AS BIGINT) AS b, COUNT(*) AS c
+  FROM lineitem WHERE l_extendedprice >= 0 AND l_extendedprice < 110000
+  GROUP BY 1
 )
-SELECT user_id, CAST(pos // 10 AS BIGINT) AS pos_bucket,
-       ROUND(AVG(value), 6) AS grid_avg, CAST(COUNT(*) AS BIGINT) AS grid_cnt
+SELECT 'grid' AS op, user_id AS k1, CAST(pos // 10 AS BIGINT) AS k2,
+       CAST(COUNT(*) AS BIGINT) AS cnt, ROUND(AVG(value), 6) AS avg_v
 FROM posed GROUP BY user_id, pos // 10
+UNION ALL
+SELECT 'hist', CAST(g.i AS BIGINT), CAST(0 AS BIGINT),
+       CAST(COALESCE(c.c, 0) AS BIGINT), 0.0
+FROM (SELECT UNNEST(GENERATE_SERIES(0, 19)) AS i) g LEFT JOIN counts c ON g.i = c.b
 """,
 )
-def grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hist_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import grouping
 
     posed = _events_posed(spark, sf_dir)
     avg = grouping.grid_agg(posed, "avg", 10, "value", ["user_id"], "grid_avg")
     cnt = grouping.grid_agg(posed, "count", 10, "value", ["user_id"], "grid_cnt")
-    out = avg.join(cnt.select("user_id", "pos", "grid_cnt"), ["user_id", "pos"])
-    return out.select(
-        "user_id", F.col("pos").alias("pos_bucket"),
-        _r6(F.col("grid_avg")).alias("grid_avg"), F.col("grid_cnt"),
+    grid = (
+        avg.join(cnt.select("user_id", "pos", "grid_cnt"), ["user_id", "pos"])
+        .select(
+            F.lit("grid").alias("op"),
+            F.col("user_id").cast("long").alias("k1"),
+            F.col("pos").cast("long").alias("k2"),
+            F.col("grid_cnt").cast("long").alias("cnt"),
+            _r6(F.col("grid_avg")).alias("avg_v"),
+        )
     )
+    li = _t(spark, sf_dir, "lineitem")
+    hist = grouping.histogram(
+        li.select(F.col("l_extendedprice").alias("val")), 0.0, 110000.0, 20
+    ).select(
+        F.lit("hist").alias("op"),
+        F.col("pos").cast("long").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.col("count").cast("long").alias("cnt"),
+        F.lit(0.0).alias("avg_v"),
+    )
+    return grid.unionByName(hist)
 
 
 # ---------------------------------------------------------------------------
-# As-of join (cs_asof_join / TABLE_join direction=-1): for each click, the
-# value of the user's most recent purchase at-or-before it.
+# As-of join (cs_asof_join / TABLE_join): BOTH reference directions in
+# one composite — backward (direction=-1: for each click, the user's
+# most recent purchase at-or-before it) and nearest (the reference's
+# distinctive default: closest match, ties backward). The oracle builds
+# nearest from backward+forward ASOF joins picking the closer side.
 # ---------------------------------------------------------------------------
 @query(
     "asof_join",
     oracle="""
-SELECT c.event_id, c.user_id,
-       ROUND(p.value, 6) AS last_purchase_value
-FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-  ON c.user_id = p.user_id AND c.ts >= p.ts
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+     purch  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     back AS (
+       SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.value AS bval
+       FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
+     ),
+     fwd AS (
+       SELECT c.event_id, p.ts AS fts, p.value AS fval
+       FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts <= p.ts
+     )
+SELECT b.event_id, b.user_id,
+       ROUND(b.bval, 6) AS last_purchase_value,
+       ROUND(CASE
+         WHEN f.fts IS NULL THEN b.bval
+         WHEN b.bts IS NULL THEN f.fval
+         WHEN EPOCH(b.ts) - EPOCH(b.bts) <= EPOCH(f.fts) - EPOCH(b.ts) THEN b.bval
+         ELSE f.fval END, 6) AS nearest_purchase_value
+FROM back b JOIN fwd f USING (event_id)
 """,
 )
 def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,12 +521,13 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").alias("pvalue")
     )
-    out = joins.asof_join(
+    back = joins.asof_join(
         clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"], direction="backward"
-    )
-    return out.select(
-        "event_id", "user_id", _r6(F.col("pvalue")).alias("last_purchase_value")
-    )
+    ).select("event_id", "user_id", _r6(F.col("pvalue")).alias("last_purchase_value"))
+    near = joins.asof_join(
+        clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"], direction="nearest"
+    ).select("event_id", _r6(F.col("pvalue")).alias("nearest_purchase_value"))
+    return back.join(near, "event_id")
 
 
 # ---------------------------------------------------------------------------
@@ -513,23 +557,6 @@ def top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Quantiles — the reference index formula (func.c:3579-3581).
 # ---------------------------------------------------------------------------
-@query(
-    "quantile",
-    oracle="""
-WITH s AS (
-  SELECT l_extendedprice AS v,
-         ROW_NUMBER() OVER (ORDER BY l_extendedprice) - 1 AS rn,
-         COUNT(*) OVER () AS c
-  FROM lineitem
-), idx AS (
-  SELECT i.i AS pos, CASE WHEN i.i < 4 THEN (t.c * i.i) // 4 ELSE t.c - 1 END AS target
-  FROM (SELECT UNNEST(GENERATE_SERIES(0, 4)) AS i) i,
-       (SELECT COUNT(*) AS c FROM lineitem) t
-)
-SELECT CAST(idx.pos AS BIGINT) AS pos, ROUND(s.v, 6) AS val
-FROM idx JOIN s ON s.rn = idx.target
-""",
-)
 def _exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact l_extendedprice quartile boundaries — shared between the
     exact and approx quantile queries (the approx query re-ranks its
@@ -555,20 +582,18 @@ def _exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _artifact(spark, ("exact_price_quantiles", sf_dir), build)
 
 
-def quantile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = _exact_price_quantiles(spark, sf_dir)
-    return out.select("pos", _r6(F.col("val")).alias("val"))
-
-
 # ---------------------------------------------------------------------------
-# Approximate quantiles (scale path): exact boundary values carry the
-# oracle hash; approx_ok asserts the Greenwald-Khanna sketch honors its
-# rank guarantee (the returned value's [rank_lt, rank_le] interval must
-# intersect target ± count/accuracy). Verifies the one-pass mergeable-
-# sketch path a 100 TB quantile would actually take.
+# Quantiles — the reference index formula (func.c:3579-3581), exact AND
+# approximate in one composite (registry consolidated round 4 so every
+# query fits the driver's 50-slot snapshot): the exact boundary values
+# carry the oracle hash; approx_ok asserts the Greenwald-Khanna sketch
+# honors its rank guarantee (the returned value's [rank_lt, rank_le]
+# interval must intersect target ± count/accuracy). Verifies both the
+# exact global-zip path and the one-pass mergeable-sketch path a 100 TB
+# quantile would actually take.
 # ---------------------------------------------------------------------------
 @query(
-    "quantile_approx",
+    "quantile",
     oracle="""
 WITH s AS (
   SELECT l_extendedprice AS v,
@@ -646,29 +671,6 @@ def diff_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Histogram (cs_histogram): fixed-range buckets over l_extendedprice.
-# ---------------------------------------------------------------------------
-@query(
-    "histogram",
-    oracle="""
-WITH counts AS (
-  SELECT CAST(FLOOR(l_extendedprice / 5500.0) AS BIGINT) AS b, COUNT(*) AS c
-  FROM lineitem WHERE l_extendedprice >= 0 AND l_extendedprice < 110000
-  GROUP BY 1
-)
-SELECT CAST(g.i AS BIGINT) AS pos, CAST(COALESCE(c.c, 0) AS BIGINT) AS count
-FROM (SELECT UNNEST(GENERATE_SERIES(0, 19)) AS i) g LEFT JOIN counts c ON g.i = c.b
-""",
-)
-def histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import grouping
-
-    li = _t(spark, sf_dir, "lineitem")
-    s = li.select(F.col("l_extendedprice").alias("val"))
-    return grouping.histogram(s, 0.0, 110000.0, 20)
-
-
-# ---------------------------------------------------------------------------
 # Date parts (cs_year/quarter/wday/week — reference epoch-week and
 # Sunday-based weekday, imcs.c:5280-5419).
 # ---------------------------------------------------------------------------
@@ -701,43 +703,46 @@ def dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# cs_hash_dup_count: per event_type, distinct users with ≥ 20 events.
+# cs_thin (per-user every-50th element) + cs_hash_dup_count (per
+# event_type, distinct users with ≥ 20 events) — one composite with
+# tagged legs over events.
 # ---------------------------------------------------------------------------
 @query(
-    "dup_count",
-    oracle="""
-SELECT event_type, CAST(COUNT(*) AS BIGINT) AS dup_count FROM (
-  SELECT event_type, user_id, COUNT(*) AS occ FROM events GROUP BY 1, 2 HAVING occ >= 20
-) GROUP BY event_type
-""",
-)
-def dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import grouping
-
-    ev = _t(spark, sf_dir, "events")
-    return grouping.hash_dup_count(ev, "user_id", ["event_type"], 20)
-
-
-# ---------------------------------------------------------------------------
-# Positional transforms vs oracle: per-user thin (every 50th element).
-# ---------------------------------------------------------------------------
-@query(
-    "thin",
+    "thin_dup",
     oracle="""
 WITH posed AS (
   SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
   FROM events
 )
-SELECT user_id, CAST(pos // 50 AS BIGINT) AS pos_out, event_id
+SELECT 'thin' AS op, CAST(user_id AS VARCHAR) AS k,
+       CAST(pos // 50 AS BIGINT) AS a, CAST(event_id AS BIGINT) AS b
 FROM posed WHERE pos % 50 = 0
+UNION ALL
+SELECT 'dup', event_type, CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT) FROM (
+  SELECT event_type, user_id, COUNT(*) AS occ FROM events GROUP BY 1, 2 HAVING occ >= 20
+) GROUP BY event_type
 """,
 )
-def thin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import positional
+def thin_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import grouping, positional
 
     posed = _events_posed(spark, sf_dir)
-    out = positional.thin(posed.select("user_id", "pos", "event_id"), 0, 50, ["user_id"])
-    return out.select("user_id", F.col("pos").alias("pos_out"), "event_id")
+    thin = positional.thin(
+        posed.select("user_id", "pos", "event_id"), 0, 50, ["user_id"]
+    ).select(
+        F.lit("thin").alias("op"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("pos").cast("long").alias("a"),
+        F.col("event_id").cast("long").alias("b"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    dup = grouping.hash_dup_count(ev, "user_id", ["event_type"], 20).select(
+        F.lit("dup").alias("op"),
+        F.col("event_type").alias("k"),
+        F.col("dup_count").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+    )
+    return thin.unionByName(dup)
 
 
 # ---------------------------------------------------------------------------
@@ -760,25 +765,70 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "text_metrics",
-    oracle="""
-SELECT doc_id,
-       CAST(LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\\s+'), t -> t <> '')) AS INT) AS tok_cnt,
-       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INT) AS bpe_cnt,
-       CAST(LENGTH(text) AS BIGINT) AS chars
-FROM documents
+    "doc_profile",
+    # Token counting (whitespace + BPE-ish regex) AND the Gopher-rules-
+    # like declarative quality blend (pipeline.text.quality_score) in
+    # one per-doc frame — every feature and the composite score fully
+    # reproduced in ANSI SQL and hash-compared.
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS _nc,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         length(regexp_replace(text, '[^\.,;:!\?"''\(\)]', '', 'g')) * 1.0
+             / greatest(_nc, 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) * 1.0
+             / greatest(len(toks), 1) AS stopword_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(_nc, 1) AS digit_ratio
+  FROM t
+), m AS (
+  SELECT doc_id,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS INT) AS bpe_cnt,
+         CAST(LENGTH(text) AS BIGINT) AS chars
+  FROM documents
+)
+SELECT f.doc_id,
+       CAST(f.n_words AS INTEGER) AS n_words,
+       m.bpe_cnt, m.chars,
+       ROUND(f.mean_word_len, 6) AS mean_word_len,
+       ROUND(f.punct_ratio, 6) AS punct_ratio,
+       ROUND(f.stopword_ratio, 6) AS stopword_ratio,
+       ROUND(f.digit_ratio, 6) AS digit_ratio,
+       ROUND(
+         (CASE WHEN f.n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+         + (CASE WHEN f.mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.3 END) * 0.2
+         + LEAST(f.stopword_ratio * 5, 1.0) * 0.2
+         + GREATEST(0.0, 1.0 - f.digit_ratio * 2 - f.punct_ratio) * 0.3, 6) AS quality
+FROM f JOIN m USING (doc_id)
 """,
 )
-def text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import text as T
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    metrics = docs.select(
         "doc_id",
-        T.token_count("text").cast("int").alias("tok_cnt"),
         T.token_count("text", mode="bpe").cast("int").alias("bpe_cnt"),
         F.length("text").cast("long").alias("chars"),
     )
+    quality = T.quality_score(docs).select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        _r6(F.col("mean_word_len")).alias("mean_word_len"),
+        _r6(F.col("punct_ratio")).alias("punct_ratio"),
+        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
+        _r6(F.col("digit_ratio")).alias("digit_ratio"),
+        _r6(F.col("quality")).alias("quality"),
+    )
+    return quality.join(metrics, "doc_id")
 
 
 @query(
@@ -863,45 +913,19 @@ WITH words AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# MinHash/LSH near-dup family — one composite over the shared verified-
+# pair artifact (_dedup_pairs), three tagged legs:
+#   'pair' — exact-Jaccard near-dup pairs ≥0.8 (LSH candidates + true-
+#            Jaccard verify on Spark; all-pairs truth in DuckDB — equal
+#            because banding recall is ~1-8e-8 at the threshold),
+#   'kept' — greedy dedup survivors (docs minus right-side losers),
+#   'comp' — transitive dedup: connected components of the duplicate
+#            graph via iterative min-label propagation (oracle: a
+#            recursive CTE computes the transitive closure).
+# ---------------------------------------------------------------------------
 @query(
     "minhash_dedup",
-    oracle=_JACCARD_CTE
-    + """
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT r FROM pairs WHERE j >= 0.8)
-""",
-)
-def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    pairs = _dedup_pairs(spark, sf_dir)
-    losers = pairs.select(F.col("right_id").alias("doc_id")).distinct()
-    return docs.join(losers, "doc_id", "left_anti").select("doc_id")
-
-
-@query(
-    "jaccard_pairs",
-    oracle=_JACCARD_CTE
-    + """
-SELECT l AS left_id, r AS right_id, ROUND(j, 6) AS jaccard
-FROM pairs WHERE j >= 0.8
-""",
-)
-def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-Jaccard near-dup pairs ≥0.8 — LSH candidates + true-Jaccard
-    verification on the Spark side, all-pairs truth on the DuckDB side
-    (equal because banding recall is ~1-8e-8 at the threshold)."""
-    return _dedup_pairs(spark, sf_dir).select(
-        "left_id", "right_id", F.round("jaccard", 6).alias("jaccard")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Transitive dedup: connected components of the verified-duplicate
-# graph via iterative min-label propagation (no SQL equivalent in one
-# pass — the oracle uses a recursive CTE for the transitive closure).
-# ---------------------------------------------------------------------------
-@query(
-    "dedup_components",
     oracle=_JACCARD_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + """
 , edges AS (
@@ -915,16 +939,42 @@ def jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 ), comp AS (
   SELECT node, MIN(label) AS component FROM reach GROUP BY node
 )
-SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+SELECT 'pair' AS op, l AS a, r AS b, ROUND(j, 6) AS v
+FROM pairs WHERE j >= 0.8
+UNION ALL
+SELECT 'kept', doc_id, CAST(-1 AS BIGINT), -1.0 FROM documents
+WHERE doc_id NOT IN (SELECT r FROM pairs WHERE j >= 0.8)
+UNION ALL
+SELECT 'comp', component, CAST(COUNT(*) AS BIGINT), -1.0
+FROM comp GROUP BY component
 """,
 )
-def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import dedup
 
-    comp = dedup.connected_components(_dedup_pairs(spark, sf_dir))
-    return comp.groupBy(F.col("comp").alias("component")).agg(
-        F.count(F.lit(1)).alias("csize")
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dedup_pairs(spark, sf_dir)
+
+    pair_leg = pairs.select(
+        F.lit("pair").alias("op"),
+        F.col("left_id").alias("a"),
+        F.col("right_id").alias("b"),
+        F.round("jaccard", 6).alias("v"),
     )
+    losers = pairs.select(F.col("right_id").alias("doc_id")).distinct()
+    kept_leg = docs.join(losers, "doc_id", "left_anti").select(
+        F.lit("kept").alias("op"),
+        F.col("doc_id").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.lit(-1.0).alias("v"),
+    )
+    comp = dedup.connected_components(pairs)
+    comp_leg = (
+        comp.groupBy(F.col("comp").alias("a"))
+        .agg(F.count(F.lit(1)).cast("long").alias("b"))
+        .select(F.lit("comp").alias("op"), "a", "b", F.lit(-1.0).alias("v"))
+    )
+    return pair_leg.unionByName(kept_leg).unionByName(comp_leg)
 
 
 @query(
@@ -958,38 +1008,55 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "lsh_topk",
-    # recall@5 of the deterministic LSH (seeded planes, Hamming≤3
-    # probing = 36% of buckets) against the exact top-5, per query.
-    # The oracle pins the measured recall — ANN output itself is not
-    # SQL-expressible, but its agreement with the exact answer is a
+    "ann_recall",
+    # recall@5 of BOTH approximate-ANN scale paths against the exact
+    # top-5, per query: deterministic LSH (seeded planes, Hamming≤3
+    # probing = 36% of buckets) and deterministic IVF (hash-seeded
+    # spherical k-means, 1 Lloyd step, 3/8 cells probed). The oracle
+    # pins the measured recalls — ANN output itself is not SQL-
+    # expressible, but agreement with the exact answer is a
     # deterministic integer (verified stable across session configs).
     oracle="""
-SELECT CAST(q AS BIGINT) AS query_id, CAST(r AS INTEGER) AS recall
-FROM (VALUES (0, 3), (1, 3), (2, 4)) AS t(q, r)
+SELECT m AS method, CAST(q AS BIGINT) AS query_id, CAST(r AS INTEGER) AS recall
+FROM (VALUES ('lsh', 0, 3), ('lsh', 1, 3), ('lsh', 2, 4),
+             ('ivf', 0, 2), ('ivf', 1, 3), ('ivf', 2, 4)) AS t(m, q, r)
 """,
 )
-def lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    index = _ann_index(
+    lsh_index = _ann_index(
         spark,
         ("lsh", sf_dir),
         lambda: similarity.lsh_index(emb, n_planes=8, dim=64),
     )
-    ann = similarity.lsh_topk(
-        emb, queries_df, k=5, n_planes=8, multi_probe=3, dim=64, index=index
+    lsh = similarity.lsh_topk(
+        emb, queries_df, k=5, n_planes=8, multi_probe=3, dim=64, index=lsh_index
     )
-    return (
-        ann.select("query_id", "vec_id")
-        .join(_exact_top5(spark, sf_dir), ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("recall"))
+    ivf_index = _ann_index(
+        spark,
+        ("ivf", sf_dir),
+        lambda: similarity.ivf_index(emb, n_centroids=8, iters=1),
     )
+    ivf = similarity.ivf_topk(
+        emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=1, index=ivf_index
+    )
+    exact = _exact_top5(spark, sf_dir)
+
+    def recall(ann: DataFrame, method: str) -> DataFrame:
+        return (
+            ann.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("recall"))
+            .select(F.lit(method).alias("method"), "query_id", "recall")
+        )
+
+    return recall(lsh, "lsh").unionByName(recall(ivf, "ivf"))
 
 
 # ---------------------------------------------------------------------------
@@ -1029,27 +1096,41 @@ def win_group_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct count (cs_approxdc — reference HLL m=128; Spark
-# HLL++ differs in constants → no exact oracle; rows-only + tested with
-# tolerance in tests/).
+# Approximate distinct count (cs_approxdc) — BOTH estimator paths in one
+# composite: Spark's native HLL++ (the scale path; deterministic
+# register-max merge → pinnable constant, true count 150/type, +0.7%
+# error inside the default 5% rsd) and the reference-layout m=128 HLL
+# (aggregates.approxdc_hll128: trailing-zero ranks, Flajolet estimator
+# with the reference's corrections, func.c:4802-4936; exact-equality
+# tested against a Python transcription in tests/test_core.py; true
+# counts A 11012 / N 11062 / R 11058 sit inside the m=128 ±9.2% rse
+# band of the pinned estimates).
 # ---------------------------------------------------------------------------
 @query(
     "approxdc",
-    # HLL++ is deterministic (sketch merge is an order-insensitive
-    # register max), so the estimate is a pinnable constant; the true
-    # distinct count is 150 users per type (estimate error +0.7%,
-    # inside the default 5% rsd — tolerance-tested in tests/).
     oracle="""
-SELECT t AS event_type, CAST(n AS BIGINT) AS approx_users
-FROM (VALUES ('click', 151), ('error', 151), ('purchase', 151),
-             ('signup', 151), ('view', 151)) AS v(t, n)
+SELECT a AS algo, k AS key, CAST(n AS BIGINT) AS approx_dc
+FROM (VALUES ('hllpp', 'click', 151), ('hllpp', 'error', 151),
+             ('hllpp', 'purchase', 151), ('hllpp', 'signup', 151),
+             ('hllpp', 'view', 151),
+             ('hll128', 'A', 9751), ('hll128', 'N', 10574),
+             ('hll128', 'R', 10270)) AS v(a, k, n)
 """,
 )
 def approxdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+    li = _t(spark, sf_dir, "lineitem")
+    hllpp = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_dc")
+    ).select(
+        F.lit("hllpp").alias("algo"), F.col("event_type").alias("key"), "approx_dc"
     )
+    hll128 = agg.approxdc_hll128(
+        li, "l_orderkey", by=["l_returnflag"], out_col="approx_dc"
+    ).select(
+        F.lit("hll128").alias("algo"), F.col("l_returnflag").alias("key"), "approx_dc"
+    )
+    return hllpp.unionByName(hll128)
 
 
 # ---------------------------------------------------------------------------
@@ -1128,67 +1209,58 @@ def like_iif_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Zero-cross (cs_cross) — per-user crossings of the centered value series.
-# The testdata has no exact zeros, so the zero-run adjustment (covered by
-# golden tests) is inert and the SQL oracle is a plain sign-flip filter.
+# Zero-cross (cs_cross) + local extrema (cs_extrema) — one composite,
+# per-user, tagged legs. Cross: crossings of the centered value series
+# (the testdata has no exact zeros, so the zero-run adjustment — covered
+# by golden tests — is inert and the SQL oracle is a plain sign-flip
+# filter). Extrema: extremum positions of the value series (no ties in
+# the data → plateau handling inert; golden tests cover plateaus).
 # ---------------------------------------------------------------------------
 @query(
-    "cross",
+    "cross_extrema",
     oracle="""
 WITH posed AS (
-  SELECT user_id, value - 50.0 AS v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos, ts
+  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos, ts
   FROM events
-), signs AS (
-  SELECT user_id, pos, SIGN(v) AS s, LAG(SIGN(v)) OVER (PARTITION BY user_id ORDER BY ts) AS ps
+), csigns AS (
+  SELECT user_id, pos, SIGN(value - 50.0) AS s,
+         LAG(SIGN(value - 50.0)) OVER (PARTITION BY user_id ORDER BY ts) AS ps
   FROM posed
-), flips AS (
-  SELECT user_id, pos FROM signs WHERE s <> 0 AND ps IS NOT NULL AND ps <> 0 AND s <> ps
-)
-SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos) - 1 AS BIGINT) AS pos,
-       CAST(pos AS BIGINT) AS val
-FROM flips
-""",
-)
-def cross_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import timeseries
-
-    posed = _events_posed(spark, sf_dir).withColumn("val", F.col("value") - 50.0)
-    return timeseries.cross(posed.select("user_id", "pos", "val"), 0, "val", ["user_id"])
-
-
-# ---------------------------------------------------------------------------
-# Local extrema (cs_extrema) — per-user extremum positions of the value
-# series (no ties in the data → plateau handling inert; golden tests cover
-# plateaus exactly).
-# ---------------------------------------------------------------------------
-@query(
-    "extrema",
-    oracle="""
-WITH posed AS (
-  SELECT user_id, value AS v, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos, ts
-  FROM events
-), steps AS (
-  SELECT user_id, pos, ts, SIGN(v - LAG(v) OVER (PARTITION BY user_id ORDER BY ts)) AS t
+), cflips AS (
+  SELECT user_id, pos FROM csigns WHERE s <> 0 AND ps IS NOT NULL AND ps <> 0 AND s <> ps
+), esteps AS (
+  SELECT user_id, pos, ts, SIGN(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts)) AS t
   FROM posed
-), trends AS (
+), etrends AS (
   SELECT user_id, pos, t, LAG(t) OVER (PARTITION BY user_id ORDER BY ts) AS pt
-  FROM steps
-), flips AS (
-  SELECT user_id, pos - 1 AS epos FROM trends
+  FROM esteps
+), eflips AS (
+  SELECT user_id, pos - 1 AS epos FROM etrends
   WHERE t IS NOT NULL AND pt IS NOT NULL AND t <> 0 AND pt <> 0 AND t <> pt
 )
-SELECT user_id, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epos) - 1 AS BIGINT) AS pos,
-       CAST(epos AS BIGINT) AS val
-FROM flips
+SELECT 'cross' AS op, user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos) - 1 AS BIGINT) AS pos,
+       CAST(pos AS BIGINT) AS val
+FROM cflips
+UNION ALL
+SELECT 'extrema', user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epos) - 1 AS BIGINT),
+       CAST(epos AS BIGINT)
+FROM eflips
 """,
 )
-def extrema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cross_extrema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import timeseries
 
     posed = _events_posed(spark, sf_dir)
-    return timeseries.extrema(
+    cr = timeseries.cross(
+        posed.withColumn("val", F.col("value") - 50.0).select("user_id", "pos", "val"),
+        0, "val", ["user_id"],
+    ).select(F.lit("cross").alias("op"), "user_id", "pos", "val")
+    ex = timeseries.extrema(
         posed.select("user_id", "pos", F.col("value").alias("val")), 0, "val", ["user_id"]
-    )
+    ).select(F.lit("extrema").alias("op"), "user_id", "pos", "val")
+    return cr.unionByName(ex)
 
 
 # ---------------------------------------------------------------------------
@@ -1307,32 +1379,47 @@ def slice_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Literal-series spec ops (reference sql/spec.sql shapes): stretch,
-# stretch0, join_pos, asof_join_pos, union over literal vectors, verified
-# against VALUES-based oracles — operator-level parity checks the driver
-# can hash.
+# Literal-series operator battery (reference sql/spec.sql +
+# sql/transform.sql shapes) — ONE composite covering the spec ops
+# (stretch, stretch0, join_pos, asof_join_pos, union) AND the
+# positional transforms (unique, reverse, repeat, limit family, map,
+# filter_pos, demand-driven cs_if) over literal vectors, verified
+# against VALUES-based oracles — operator-level parity the driver can
+# hash. The exact lockstep stretch kernel (joins.stretch_exact) runs as
+# its own tagged leg so the scale-path recurrence is driver-verified
+# too, not just test-pinned.
 # ---------------------------------------------------------------------------
 @query(
-    "spec_literal_ops",
+    "literal_ops",
     oracle="""
 SELECT * FROM (VALUES
   ('stretch',  0, 1.1), ('stretch', 1, 2.2), ('stretch', 2, 2.2), ('stretch', 3, 1.0), ('stretch', 4, 1.0),
+  ('stretchx', 0, 1.1), ('stretchx', 1, 2.2), ('stretchx', 2, 2.2), ('stretchx', 3, 1.0), ('stretchx', 4, 1.0),
   ('stretch0', 0, 0.0), ('stretch0', 1, 1.1), ('stretch0', 2, 1.2), ('stretch0', 3, 1.3), ('stretch0', 4, 0.0),
   ('join_pos', 0, 1.0), ('join_pos', 1, 3.0),
   ('asof_pos', 0, 1.0), ('asof_pos', 1, 3.0),
   ('union',    0, 1.0), ('union', 1, 2.0), ('union', 2, 3.0), ('union', 3, 5.0),
-  ('union',    4, 5.0), ('union', 5, 6.0), ('union', 6, 7.0), ('union', 7, 8.0)
+  ('union',    4, 5.0), ('union', 5, 6.0), ('union', 6, 7.0), ('union', 7, 8.0),
+  ('unique',  0, 1.0), ('unique', 1, 2.0), ('unique', 2, 1.0), ('unique', 3, 3.0),
+  ('reverse', 0, 3.0), ('reverse', 1, 2.0), ('reverse', 2, 1.0),
+  ('repeat',  0, 1.0), ('repeat', 1, 1.0), ('repeat', 2, 2.0), ('repeat', 3, 2.0),
+  ('limit',   0, 20.0), ('limit', 1, 30.0), ('limit', 2, 40.0),
+  ('tail',    0, 40.0), ('tail', 1, 50.0),
+  ('map',     0, 40.0), ('map', 1, 10.0),
+  ('fpos',    0, 0.0), ('fpos', 1, 2.0),
+  ('if',      0, 1.0), ('if', 1, 0.1), ('if', 2, 2.0)
 ) AS t(op, pos, val)
 """,
 )
-def spec_literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import joins
+def literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import joins, positional
     from .series import seq
 
     ts1 = seq(spark, [1, 2, 3, 4, 5], "int")
     ts2 = seq(spark, [2, 4], "int")
     vals = seq(spark, [1.1, 2.2])
     st = joins.stretch(ts1, ts2, vals, 1.0).withColumn("op", F.lit("stretch"))
+    stx = joins.stretch_exact(ts1, ts2, vals, 1.0).withColumn("op", F.lit("stretchx"))
 
     s1 = seq(spark, [1, 2, 3, 5], "int")
     s2 = seq(spark, [2, 3, 4], "int")
@@ -1350,9 +1437,24 @@ def spec_literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     u2 = seq(spark, [2, 3, 5, 6], "int")
     un = joins.union_merge(u1, u2, bounded=True).withColumn("op", F.lit("union"))
 
+    uq = positional.unique(seq(spark, [1, 1, 2, 2, 2, 1, 3], "double"), bounded=True).withColumn("op", F.lit("unique"))
+    rv = positional.reverse(seq(spark, [1.0, 2.0, 3.0])).withColumn("op", F.lit("reverse"))
+    rp = positional.repeat(seq(spark, [1.0, 2.0]), 2).withColumn("op", F.lit("repeat"))
+    lm = positional.limit(seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 1, 3, bounded=True).withColumn("op", F.lit("limit"))
+    tl = positional.tail(seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 2, bounded=True).withColumn("op", F.lit("tail"))
+    mp = positional.map_positions(
+        seq(spark, [10.0, 20.0, 30.0, 40.0]), seq(spark, [3, 0], "long")
+    ).withColumn("op", F.lit("map"))
+    fp = positional.filter_pos(
+        seq(spark, [1, 0, 1], "int"), F.col("val") != 0, bounded=True
+    ).withColumn("val", F.col("val").cast("double")).withColumn("op", F.lit("fpos"))
+    ifs = positional.if_streams(
+        seq(spark, [1, 0, 1], "int"), seq(spark, [1.0, 2.0, 3.0]), seq(spark, [0.1, 0.2, 0.3])
+    ).withColumn("op", F.lit("if"))
+
     parts = [
         df.select("op", F.col("pos").cast("int").alias("pos"), F.col("val").cast("double").alias("val"))
-        for df in (st, st0, jp, ap, un)
+        for df in (st, stx, st0, jp, ap, un, uq, rv, rp, lm, tl, mp, fp, ifs)
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1430,39 +1532,6 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ivf_topk",
-    # recall@5 of deterministic IVF (hash-seeded spherical k-means, 1
-    # Lloyd step, 3/8 cells probed) vs the exact top-5 — same pinned-
-    # measurement convention as lsh_topk.
-    oracle="""
-SELECT CAST(q AS BIGINT) AS query_id, CAST(r AS INTEGER) AS recall
-FROM (VALUES (0, 2), (1, 3), (2, 4)) AS t(q, r)
-""",
-)
-def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline import similarity
-
-    emb = _t(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    index = _ann_index(
-        spark,
-        ("ivf", sf_dir),
-        lambda: similarity.ivf_index(emb, n_centroids=8, iters=1),
-    )
-    ann = similarity.ivf_topk(
-        emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=1, index=index
-    )
-    return (
-        ann.select("query_id", "vec_id")
-        .join(_exact_top5(spark, sf_dir), ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("recall"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # Global positional spine via the scalable two-pass zip (no single-
 # partition window) — validated against the oracle's global row_number.
@@ -1520,58 +1589,12 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Literal-series positional transforms vs VALUES oracles (reference
-# sql/transform.sql shapes): unique, reverse, repeat, limit family, map,
-# filter_pos, demand-driven cs_if.
+# Rank / dense-rank (cs_rank/cs_dense_rank in original order) + cs_norm
+# (value / sqrt(Σ value²)) on real data, per series — one composite
+# frame keyed (user_id, pos) carrying all three derived columns.
 # ---------------------------------------------------------------------------
 @query(
-    "transform_literal_ops",
-    oracle="""
-SELECT * FROM (VALUES
-  ('unique',  0, 1.0), ('unique', 1, 2.0), ('unique', 2, 1.0), ('unique', 3, 3.0),
-  ('reverse', 0, 3.0), ('reverse', 1, 2.0), ('reverse', 2, 1.0),
-  ('repeat',  0, 1.0), ('repeat', 1, 1.0), ('repeat', 2, 2.0), ('repeat', 3, 2.0),
-  ('limit',   0, 20.0), ('limit', 1, 30.0), ('limit', 2, 40.0),
-  ('tail',    0, 40.0), ('tail', 1, 50.0),
-  ('map',     0, 40.0), ('map', 1, 10.0),
-  ('fpos',    0, 0.0), ('fpos', 1, 2.0),
-  ('if',      0, 1.0), ('if', 1, 0.1), ('if', 2, 2.0)
-) AS t(op, pos, val)
-""",
-)
-def transform_literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import positional
-    from .series import seq
-
-    uq = positional.unique(seq(spark, [1, 1, 2, 2, 2, 1, 3], "double"), bounded=True).withColumn("op", F.lit("unique"))
-    rv = positional.reverse(seq(spark, [1.0, 2.0, 3.0])).withColumn("op", F.lit("reverse"))
-    rp = positional.repeat(seq(spark, [1.0, 2.0]), 2).withColumn("op", F.lit("repeat"))
-    lm = positional.limit(seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 1, 3, bounded=True).withColumn("op", F.lit("limit"))
-    tl = positional.tail(seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 2, bounded=True).withColumn("op", F.lit("tail"))
-    mp = positional.map_positions(
-        seq(spark, [10.0, 20.0, 30.0, 40.0]), seq(spark, [3, 0], "long")
-    ).withColumn("op", F.lit("map"))
-    fp = positional.filter_pos(
-        seq(spark, [1, 0, 1], "int"), F.col("val") != 0, bounded=True
-    ).withColumn("val", F.col("val").cast("double")).withColumn("op", F.lit("fpos"))
-    ifs = positional.if_streams(
-        seq(spark, [1, 0, 1], "int"), seq(spark, [1.0, 2.0, 3.0]), seq(spark, [0.1, 0.2, 0.3])
-    ).withColumn("op", F.lit("if"))
-    parts = [
-        d.select("op", F.col("pos").cast("int").alias("pos"), F.col("val").cast("double").alias("val"))
-        for d in (uq, rv, rp, lm, tl, mp, fp, ifs)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
-
-
-# ---------------------------------------------------------------------------
-# Rank / dense-rank on real data, per series (cs_rank in original order).
-# ---------------------------------------------------------------------------
-@query(
-    "rank_events",
+    "rank_norm",
     oracle="""
 WITH posed AS (
   SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
@@ -1579,82 +1602,20 @@ WITH posed AS (
 )
 SELECT user_id, pos,
        CAST(RANK() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS rank,
-       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS dense_rank
-FROM posed
-""",
-)
-def rank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import sorting
-
-    posed = _events_posed(spark, sf_dir).select("user_id", "pos", F.col("value").alias("val"))
-    out = sorting.rank(posed, "val", ["user_id"])
-    out = sorting.dense_rank(out, "val", ["user_id"])
-    return out.select("user_id", "pos", "rank", "dense_rank")
-
-
-# ---------------------------------------------------------------------------
-# cs_norm on real data: value / sqrt(Σ value²) per series.
-# ---------------------------------------------------------------------------
-@query(
-    "norm_events",
-    oracle="""
-WITH posed AS (
-  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
-  FROM events
-)
-SELECT user_id, pos,
+       CAST(DENSE_RANK() OVER (PARTITION BY user_id ORDER BY value) AS BIGINT) AS dense_rank,
        ROUND(value / SQRT(SUM(value * value) OVER (PARTITION BY user_id)), 6) AS norm
 FROM posed
 """,
 )
-def norm_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import timeseries
+def rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sorting, timeseries
 
     posed = _events_posed(spark, sf_dir).select("user_id", "pos", F.col("value").alias("val"))
-    out = timeseries.norm(posed, "val", ["user_id"])
-    return out.select("user_id", "pos", _r6(F.col("norm")).alias("norm"))
-
-
-# ---------------------------------------------------------------------------
-# Nearest as-of join on real data — the reference's distinctive semantics
-# (closest match, ties backward). Oracle: backward + forward ASOF joins,
-# pick the closer side.
-# ---------------------------------------------------------------------------
-@query(
-    "asof_nearest",
-    oracle="""
-WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
-     purch  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
-     back AS (
-       SELECT c.event_id, c.user_id, c.ts, p.ts AS bts, p.value AS bval
-       FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts >= p.ts
-     ),
-     fwd AS (
-       SELECT c.event_id, p.ts AS fts, p.value AS fval
-       FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND c.ts <= p.ts
-     )
-SELECT b.event_id, b.user_id,
-       ROUND(CASE
-         WHEN f.fts IS NULL THEN b.bval
-         WHEN b.bts IS NULL THEN f.fval
-         WHEN EPOCH(b.ts) - EPOCH(b.bts) <= EPOCH(f.fts) - EPOCH(b.ts) THEN b.bval
-         ELSE f.fval END, 6) AS nearest_purchase_value
-FROM back b JOIN fwd f USING (event_id)
-""",
-)
-def asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators import joins
-
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("value").alias("pvalue")
-    )
-    out = joins.asof_join(
-        clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"], direction="nearest"
-    )
+    out = sorting.rank(posed, "val", ["user_id"])
+    out = sorting.dense_rank(out, "val", ["user_id"])
+    out = timeseries.norm(out, "val", ["user_id"])
     return out.select(
-        "event_id", "user_id", _r6(F.col("pvalue")).alias("nearest_purchase_value")
+        "user_id", "pos", "rank", "dense_rank", _r6(F.col("norm")).alias("norm")
     )
 
 
@@ -1804,64 +1765,6 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Quality scoring — the Gopher-rules-like declarative blend
-# (pipeline.text.quality_score), fully reproduced in ANSI SQL: per-doc
-# features AND the composite score are hash-compared, upgrading the
-# quality path from pytest-only to driver-verified.
-# ---------------------------------------------------------------------------
-@query(
-    "quality_scores",
-    oracle=r"""
-WITH t AS (
-  SELECT doc_id, text,
-         length(text) AS _nc,
-         list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
-  FROM documents
-), f AS (
-  SELECT doc_id,
-         len(toks) AS n_words,
-         CASE WHEN len(toks) > 0
-              THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
-              ELSE 0.0 END AS mean_word_len,
-         length(regexp_replace(text, '[^\.,;:!\?"''\(\)]', '', 'g')) * 1.0
-             / greatest(_nc, 1) AS punct_ratio,
-         len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) * 1.0
-             / greatest(len(toks), 1) AS stopword_ratio,
-         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
-             / greatest(_nc, 1) AS digit_ratio
-  FROM t
-)
-SELECT doc_id,
-       CAST(n_words AS INTEGER) AS n_words,
-       ROUND(mean_word_len, 6) AS mean_word_len,
-       ROUND(punct_ratio, 6) AS punct_ratio,
-       ROUND(stopword_ratio, 6) AS stopword_ratio,
-       ROUND(digit_ratio, 6) AS digit_ratio,
-       ROUND(
-         (CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
-         + (CASE WHEN mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.3 END) * 0.2
-         + LEAST(stopword_ratio * 5, 1.0) * 0.2
-         + GREATEST(0.0, 1.0 - digit_ratio * 2 - punct_ratio) * 0.3, 6) AS quality
-FROM f
-""",
-)
-def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline import text as T
-
-    docs = _t(spark, sf_dir, "documents")
-    out = T.quality_score(docs)
-    return out.select(
-        "doc_id",
-        F.col("n_words").cast("int").alias("n_words"),
-        _r6(F.col("mean_word_len")).alias("mean_word_len"),
-        _r6(F.col("punct_ratio")).alias("punct_ratio"),
-        _r6(F.col("stopword_ratio")).alias("stopword_ratio"),
-        _r6(F.col("digit_ratio")).alias("digit_ratio"),
-        _r6(F.col("quality")).alias("quality"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Document fingerprinting (winnowing-min rolling hash) — xxhash64 is not
 # computable in DuckDB, so the oracle pins the measured fingerprint-
 # collision profile at sf0.01 (deterministic: literal-salted hashing,
@@ -1902,116 +1805,87 @@ def fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collisions are negligible at this cardinality.
 # ---------------------------------------------------------------------------
 @query(
-    "decontaminate",
+    "curate_profile",
+    # Benchmark decontamination + within-document repetition metrics in
+    # one composite: 'decon' legs aggregate 8-gram contamination flags
+    # per source (Spark compares 64-bit gram hashes, benchmark grams
+    # broadcast; the oracle compares gram strings — equal because hash
+    # collisions are negligible at this cardinality); 'rep' legs carry
+    # the Gopher-style duplicate-bigram fractions per doc.
     oracle="""
 WITH words AS (
   SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
   FROM documents
-), grams AS (
+), grams8 AS (
   SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
   FROM words, UNNEST(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)
 ), bench AS (
-  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+  SELECT DISTINCT g FROM grams8 WHERE doc_id % 97 = 0
 ), hits AS (
-  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)
+  SELECT DISTINCT doc_id FROM grams8 WHERE g IN (SELECT g FROM bench)
+), grams2 AS (
+  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 1, 1))) AS t(i)
+), per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM grams2 GROUP BY doc_id, g
 )
-SELECT d.source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+SELECT 'decon' AS op, d.source AS k,
+       CAST(COUNT(*) AS DOUBLE) AS a,
+       CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS b,
+       CAST(0 AS BIGINT) AS n
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 GROUP BY d.source
+UNION ALL
+SELECT 'rep', CAST(doc_id AS VARCHAR),
+       ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6),
+       ROUND(MAX(c) * 1.0 / SUM(c), 6),
+       CAST(SUM(c) AS BIGINT)
+FROM per_gram GROUP BY doc_id
 """,
 )
-def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import curate
 
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    flagged = curate.decontaminate(docs, bench, n=8, mode="flag")
-    return flagged.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+    decon = (
+        curate.decontaminate(docs, bench, n=8, mode="flag")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("a"),
+            F.sum(F.col("contaminated").cast("long")).cast("double").alias("b"),
+        )
+        .select(
+            F.lit("decon").alias("op"), F.col("source").alias("k"), "a", "b",
+            F.lit(0).cast("long").alias("n"),
+        )
     )
+    rep = curate.repetition_profile(docs, n=2).select(
+        F.lit("rep").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        _r6(F.col("dup_gram_frac")).alias("a"),
+        _r6(F.col("top_gram_frac")).alias("b"),
+        F.col("n_grams").cast("long").alias("n"),
+    )
+    return decon.unionByName(rep)
 
 
 # ---------------------------------------------------------------------------
-# Within-document repetition metrics (pipeline.curate.repetition_profile)
-# — the Gopher-style duplicate-bigram filters, doc-level exact values.
+# Deterministic dataset split (pipeline.curate.dataset_split: md5-hash
+# bucketing — bit-identical across engines, so the oracle reproduces the
+# exact membership, not just proportions) + training-sequence packing
+# (pipeline.curate.pack_sequences: documents laid back-to-back per
+# source and cut into 2048-token sequences via a prefix-sum window,
+# parallel across sources) — one composite, tagged legs.
 # ---------------------------------------------------------------------------
 @query(
-    "repetition_profile",
-    oracle="""
-WITH words AS (
-  SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
-  FROM documents
-), grams AS (
-  SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS g
-  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 1, 1))) AS t(i)
-), per_gram AS (
-  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
-)
-SELECT doc_id,
-       ROUND((SUM(c) - COUNT(*)) * 1.0 / SUM(c), 6) AS dup_gram_frac,
-       ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_gram_frac,
-       CAST(SUM(c) AS BIGINT) AS n_grams
-FROM per_gram GROUP BY doc_id
-""",
-)
-def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline import curate
-
-    docs = _t(spark, sf_dir, "documents")
-    out = curate.repetition_profile(docs, n=2)
-    return out.select(
-        "doc_id",
-        _r6(F.col("dup_gram_frac")).alias("dup_gram_frac"),
-        _r6(F.col("top_gram_frac")).alias("top_gram_frac"),
-        "n_grams",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Deterministic dataset split (pipeline.curate.dataset_split): md5-hash
-# bucketing — bit-identical across engines, so the DuckDB oracle
-# reproduces the exact membership, not just the proportions.
-# ---------------------------------------------------------------------------
-@query(
-    "dataset_split",
+    "split_pack",
     oracle="""
 WITH b AS (
   SELECT doc_id, source,
          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bkt
   FROM documents
-)
-SELECT source,
-       CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
-       CAST(MAX(doc_id) AS BIGINT) AS max_doc
-FROM b GROUP BY 1, 2
-""",
-)
-def dataset_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline import curate
-
-    docs = _t(spark, sf_dir, "documents")
-    out = curate.dataset_split(docs, key_col="doc_id", weights=(80, 10, 10))
-    return out.groupBy("source", "split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").alias("min_doc"),
-        F.max("doc_id").alias("max_doc"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Training-sequence packing (pipeline.curate.pack_sequences): documents
-# laid back-to-back per source and cut into 2048-token sequences; the
-# assignment is a prefix-sum window, parallel across sources.
-# ---------------------------------------------------------------------------
-@query(
-    "pack_sequences",
-    oracle="""
-WITH t AS (
+), t AS (
   SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS ntok
   FROM documents
 ), packed AS (
@@ -2022,45 +1896,50 @@ WITH t AS (
          ntok
   FROM t
 )
-SELECT source, CAST(COALESCE(seq_id, 0) AS BIGINT) AS seq_id,
+SELECT 'split' AS op, source,
+       CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS k,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(ntok) AS BIGINT) AS n_tokens
-FROM packed GROUP BY 1, 2
+       CAST(MIN(doc_id) AS BIGINT) AS a,
+       CAST(MAX(doc_id) AS BIGINT) AS b
+FROM b GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'pack', source, CAST(COALESCE(seq_id, 0) AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT), CAST(0 AS BIGINT)
+FROM packed GROUP BY 1, 2, 3
 """,
 )
-def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def split_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import curate
 
     docs = _t(spark, sf_dir, "documents")
-    out = curate.pack_sequences(docs, budget=2048, partition_by="source")
-    return out.groupBy("source", "seq_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
+    split = (
+        curate.dataset_split(docs, key_col="doc_id", weights=(80, 10, 10))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("a"),
+            F.max("doc_id").alias("b"),
+        )
+        .select(
+            F.lit("split").alias("op"), "source", F.col("split").alias("k"),
+            "n_docs", "a", "b",
+        )
     )
-
-
-# ---------------------------------------------------------------------------
-# Reference-layout HLL (aggregates.approxdc_hll128): m=128 registers,
-# trailing-zero ranks, Flajolet estimator with the reference's
-# corrections (func.c:4802-4936). Deterministic (xxhash64-derived
-# registers, closed-form estimate) → the oracle pins the measured
-# per-flag estimates at sf0.01; the estimator itself is exact-equality
-# tested against a Python transcription in tests/test_core.py, and the
-# true counts (A 11012 / N 11062 / R 11058) sit within the m=128
-# ±9.2% rse band of the pinned estimates.
-# ---------------------------------------------------------------------------
-@query(
-    "approxdc_hll",
-    oracle="""
-SELECT f AS l_returnflag, CAST(n AS BIGINT) AS approx_orders
-FROM (VALUES ('A', 9751), ('N', 10574), ('R', 10270)) AS t(f, n)
-""",
-)
-def approxdc_hll_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return agg.approxdc_hll128(
-        li, "l_orderkey", by=["l_returnflag"], out_col="approx_orders"
+    pack = (
+        curate.pack_sequences(docs, budget=2048, partition_by="source")
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("a"),
+        )
+        .select(
+            F.lit("pack").alias("op"), "source",
+            F.col("seq_id").cast("string").alias("k"),
+            "n_docs", F.col("a").cast("long").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+        )
     )
+    return split.unionByName(pack)
 
 
 # ---------------------------------------------------------------------------
@@ -2111,8 +1990,12 @@ def embedding_neardup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("v"),
         )
         aug = base.unionByName(pert)
+        # multi_probe=3: drops the per-planted-pair miss probability
+        # ~100x vs probe-2 (a regenerated embeddings corpus could
+        # otherwise flip a planted pair past Hamming 2 and hash-fail
+        # with no code change) at negligible cost for this corpus.
         pairs = dedup.embedding_near_dups_lsh(
-            aug, "v", "vec_id", threshold=0.95, n_planes=8, multi_probe=2, dim=64
+            aug, "v", "vec_id", threshold=0.95, n_planes=8, multi_probe=3, dim=64
         ).persist()
         pairs.count()
         return pairs
@@ -2136,6 +2019,9 @@ _STREAM_SEQ = _it.count()
 
 
 def _stream_src_dir(sf_dir: str, name: str) -> str:
+    # Absolute target: a relative SPARK_GRAFT_SF_DIR would otherwise
+    # produce a relative symlink resolved against the /tmp link dir.
+    target = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
     base = os.path.join(
         _tempfile.gettempdir(),
         "imcs_stream_src",
@@ -2144,9 +2030,14 @@ def _stream_src_dir(sf_dir: str, name: str) -> str:
     )
     os.makedirs(base, exist_ok=True)
     link = os.path.join(base, f"{name}.parquet")
-    if not os.path.exists(link):
+    # A dangling leftover link (testdata moved/regenerated) makes
+    # os.path.exists False while the symlink still exists — remove any
+    # stale/mispointed link before re-creating.
+    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(target):
+        os.remove(link)
+    if not os.path.lexists(link):
         try:
-            os.symlink(os.path.join(sf_dir, f"{name}.parquet"), link)
+            os.symlink(target, link)
         except FileExistsError:  # concurrent process won the race
             pass
     return base
@@ -2162,29 +2053,60 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_event_ts(src, guard=False)
 
 
-def _run_stream(result: DataFrame, output_mode: str):
+def _run_stream(result: DataFrame, output_mode: str, partitions: int = 8):
+    """Run a stream to completion into a memory sink.
+
+    The stateful-operator partition count is fixed per streaming query
+    at its first start from spark.sql.shuffle.partitions, and EVERY
+    state partition pays per-micro-batch state-store overhead (delta +
+    commit file I/O) regardless of row count. Size it to the stream:
+    these testdata replays are a few thousand rows in one file, where
+    32 state stores cost ~2-3 s of pure bookkeeping per query; at
+    production volume the same knob is sized to executor cores x
+    backpressure instead. Restored after the query finishes so batch
+    queries keep the session default."""
+    spark = result.sparkSession
     name = f"imcs_stream_{next(_STREAM_SEQ)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name
 
 
 @query(
-    "streaming_window_agg",
+    "streaming_ops",
+    # Two oracled streaming legs in one composite: 'window' — event-time
+    # tumbling window aggregate, complete-mode final state == the batch
+    # GROUP BY (a TRUE SQL oracle for streaming state); 'dedup' —
+    # dropDuplicates on a content digest, whose surviving digest SET is
+    # arrival-order independent and equals DISTINCT md5 of the same
+    # normalization.
     oracle="""
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 6) AS sum_value
-FROM events GROUP BY 1, 2
+SELECT 'window' AS op,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS k1,
+       event_type AS k2,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 6) AS v
+FROM events GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'dedup', digest, '', CAST(0 AS BIGINT), 0.0
+FROM (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS digest
+  FROM documents
+)
 """,
 )
-def streaming_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming import windowed_agg_stream
+def streaming_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import dedup_stream, windowed_agg_stream
 
     _t(spark, sf_dir, "events")  # runs the batch-side ts magnitude guard
     agg_df = windowed_agg_stream(
@@ -2198,13 +2120,31 @@ def streaming_window_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         group_cols=["event_type"],
     )
-    name = _run_stream(agg_df, "complete")
-    return spark.table(name).select(
-        F.col("window.start").alias("window_start"),
-        "event_type",
-        "n_events",
-        "sum_value",
+    win_name = _run_stream(agg_df, "complete")
+    win = spark.table(win_name).select(
+        F.lit("window").alias("op"),
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("k1"),
+        F.col("event_type").alias("k2"),
+        F.col("n_events").alias("n"),
+        F.col("sum_value").alias("v"),
     )
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    src = spark.readStream.schema(raw_schema).parquet(
+        _stream_src_dir(sf_dir, "documents")
+    )
+    deduped = dedup_stream(src, text_col="text")
+    dd_name = _run_stream(deduped, "append")
+    dd = spark.table(dd_name).select(
+        F.lit("dedup").alias("op"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("k1"),
+        F.lit("").alias("k2"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0.0).alias("v"),
+    )
+    return win.unionByName(dd)
 
 
 # ---------------------------------------------------------------------------
@@ -2229,40 +2169,6 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_stream(sess, "append")
     return spark.table(name)
-
-
-# ---------------------------------------------------------------------------
-# Streaming exact dedup (§2.8): dropDuplicates on a content digest over
-# the documents corpus replayed as a file stream. The surviving *set of
-# digests* is arrival-order independent, so the query returns exactly
-# that set and carries a TRUE SQL oracle (DISTINCT md5 of the same
-# normalization). The payload-carrying variant (which physical row
-# survives) is covered by test_streaming_sources; the watermark-bounded
-# state variant (dropDuplicatesWithinWatermark) is the 100 TB/day shape
-# documented in streaming.dedup_stream.
-# ---------------------------------------------------------------------------
-@query(
-    "streaming_dedup",
-    oracle="""
-SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS digest
-FROM documents
-""",
-)
-def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming import dedup_stream
-
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    src = spark.readStream.schema(raw_schema).parquet(
-        _stream_src_dir(sf_dir, "documents")
-    )
-    deduped = dedup_stream(src, text_col="text")
-    name = _run_stream(deduped, "append")
-    out = spark.table(name)
-    return out.select(
-        F.md5(
-            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-        ).alias("digest")
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -2309,9 +2215,18 @@ def sort_permute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "table_ops",
+    # The pos spine orders by (ts, event_id) on BOTH sides: event_id is
+    # the deterministic tiebreaker, so a duplicate ts near the span
+    # boundary can never make the slice permutation engine-dependent.
+    # The 'append_*' legs drive TABLE_append end-to-end: the table is
+    # rebuilt from the time-earlier half of user 41, the later half is
+    # appended (running the strict ordered-ingest check), and the
+    # position-weighted sum over the merged spine proves both content
+    # and order survived — its oracle is the same weighted sum over ALL
+    # user-41 rows.
     oracle="""
 WITH u41 AS (
-  SELECT value, ROW_NUMBER() OVER (ORDER BY ts) - 1 AS pos
+  SELECT value, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS pos
   FROM events WHERE user_id = 41
 )
 SELECT 'span_sum' AS op, ROUND(SUM(value), 6) AS val FROM u41 WHERE pos BETWEEN 10 AND 79
@@ -2320,6 +2235,8 @@ UNION ALL SELECT 'first_last_gap_s', ROUND(CAST(EPOCH(MAX(ts)) - EPOCH(MIN(ts)) 
 UNION ALL SELECT 'del_remaining', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id <> 41
 UNION ALL SELECT 'count_41', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id = 41
 UNION ALL SELECT 'truncate_empty', 1.0
+UNION ALL SELECT 'append_n', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id = 41
+UNION ALL SELECT 'append_wsum', ROUND(SUM(pos * value), 3) FROM u41
 """,
 )
 def table_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2327,7 +2244,7 @@ def table_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     eng = Engine(spark)
-    t = eng.create("events_t", ev, "ts", "user_id")
+    t = eng.create("events_t", ev, "ts", "user_id", tiebreak=("event_id",))
 
     def one(op: str, df: DataFrame) -> DataFrame:
         return df.select(F.lit(op).alias("op"), F.col("val").cast("double").alias("val"))
@@ -2356,8 +2273,42 @@ def table_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "truncate_empty",
         spark.range(1).select(F.lit(1.0 if t.truncate().empty() else 0.0).alias("val")),
     )
+
+    # append legs: rebuild from the earlier half, append the later half
+    # (strict ordered-ingest check runs), verify the merged pos spine.
+    ev41 = ev.filter(F.col("user_id") == 41)
+    lohi = ev41.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    # the series can be absent at tiny SFs — append an empty batch then
+    mid = (
+        None
+        if lohi["lo"] is None
+        else lohi["lo"] + (lohi["hi"] - lohi["lo"]) / 2
+    )
+    from .table import TsTable
+
+    older = TsTable(
+        spark,
+        "ev41_half",
+        ev41 if mid is None else ev41.filter(F.col("ts") <= mid),
+        "ts",
+        "user_id",
+        tiebreak=("event_id",),
+    )
+    appended = older.append(
+        ev41.limit(0) if mid is None else ev41.filter(F.col("ts") > mid)
+    )
+    append_n = one(
+        "append_n", appended.df().agg(F.count(F.lit(1)).alias("val"))
+    )
+    append_wsum = one(
+        "append_wsum",
+        appended.with_pos().agg(
+            F.round(F.sum(F.col("pos") * F.col("value")), 3).alias("val")
+        ),
+    )
+
     out = span_sum
-    for part in [concat_n, gap, del_remaining, count_41, trunc_empty]:
+    for part in [concat_n, gap, del_remaining, count_41, trunc_empty, append_n, append_wsum]:
         out = out.unionByName(part)
     return out
 

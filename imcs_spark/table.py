@@ -47,6 +47,7 @@ class TsTable:
         ts_col: str,
         id_col: str | None = None,
         path: str | None = None,
+        tiebreak: Sequence[str] = (),
     ):
         self.spark = spark
         self.name = name
@@ -54,6 +55,12 @@ class TsTable:
         self.ts_col = ts_col
         self.id_col = id_col
         self.path = path
+        # Deterministic ordering tiebreak for the positional spine: the
+        # reference keeps insertion order among equal timestamps; an
+        # engine-independent pos needs a total order, so callers name
+        # unique tiebreaker column(s) (e.g. an event id) used by
+        # with_pos/span after ts.
+        self.tiebreak = tuple(tiebreak)
 
     # --- read surface -------------------------------------------------
     def df(self) -> DataFrame:
@@ -80,7 +87,7 @@ class TsTable:
         """Attach the positional spine (per-id when id_col exists)."""
         src = df if df is not None else self._df
         parts = [self.id_col] if self.id_col else None
-        return with_pos(src, [self.ts_col], parts)
+        return with_pos(src, [self.ts_col, *self.tiebreak], parts)
 
     def span(self, id_value=None, from_pos: int = 0, till_pos: int | None = None) -> DataFrame:
         """TABLE_span: positional slice; negatives count from the end
@@ -165,7 +172,10 @@ class TsTable:
                     f"append to {self.name}: timestamps below current maximum"
                 )
         merged = self._df.unionByName(new_df)
-        return TsTable(self.spark, self.name, merged, self.ts_col, self.id_col, self.path)
+        return TsTable(
+            self.spark, self.name, merged, self.ts_col, self.id_col, self.path,
+            self.tiebreak,
+        )
 
     def delete(self, id_value=None, from_ts=None, till_ts=None) -> "TsTable":
         """TABLE_delete: range delete / head-trim as an anti-filter
@@ -179,11 +189,15 @@ class TsTable:
         if till_ts is not None:
             cond = cond & (F.col(self.ts_col) <= till_ts)
         kept = self._df.filter(~cond)
-        return TsTable(self.spark, self.name, kept, self.ts_col, self.id_col, self.path)
+        return TsTable(
+            self.spark, self.name, kept, self.ts_col, self.id_col, self.path,
+            self.tiebreak,
+        )
 
     def truncate(self) -> "TsTable":
         return TsTable(
-            self.spark, self.name, self._df.limit(0), self.ts_col, self.id_col, self.path
+            self.spark, self.name, self._df.limit(0), self.ts_col, self.id_col,
+            self.path, self.tiebreak,
         )
 
     def empty(self, id_value=None) -> bool:
@@ -235,7 +249,7 @@ class TsTable:
         os.replace(tmp, final)  # atomic pointer swap
         return TsTable(
             self.spark, self.name, self.spark.read.parquet(data_dir),
-            self.ts_col, self.id_col, base,
+            self.ts_col, self.id_col, base, self.tiebreak,
         )
 
     @classmethod
@@ -265,6 +279,7 @@ class Engine:
         source: str | DataFrame,
         ts_col: str,
         id_col: str | None = None,
+        tiebreak: Sequence[str] = (),
     ) -> TsTable:
         if isinstance(source, DataFrame):
             df = source
@@ -272,7 +287,7 @@ class Engine:
         else:
             path = source
             df = self.spark.read.parquet(source)
-        t = TsTable(self.spark, name, df, ts_col, id_col, path)
+        t = TsTable(self.spark, name, df, ts_col, id_col, path, tiebreak)
         self.tables[name] = t
         return t
 

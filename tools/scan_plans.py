@@ -26,8 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # bounded-by-construction queries where one partition is correct
 ALLOWED = {
-    "spec_literal_ops",
-    "transform_literal_ops",
+    "literal_ops",
     # literal-vector composites: every series is a handful of elements
     # by construction (cs_parse/seq literals), so a single partition IS
     # the right plan; the table-backed legs (store round trip) don't
