@@ -155,9 +155,13 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     reference scale) throughput variant reported in BENCH_SCALE.md."""
     os.makedirs(data_dir, exist_ok=True)
     # Larger cached batches amortize per-batch scan overhead (~10-15%
-    # on full-scan aggregates at 60M rows); compression keeps the
-    # footprint bounded and costs nothing measurable on decode.
-    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "200000")
+    # on full-scan aggregates at 60M rows). Uncompressed cache: the
+    # tables here are a few hundred MB of fixed-width columns; skipping
+    # RLE/dict decode on every scan buys ~20% on the agg rows for a
+    # memory cost that is irrelevant at this size (at 100 TB you would
+    # keep compression and trade the decode for capacity).
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "1000000")
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
     qpath = os.path.join(data_dir, "quotes_6m.parquet")
     dpath = os.path.join(data_dir, "dbitem_10m.parquet")
     _ensure(spark, qpath, gen_quotes)
@@ -188,35 +192,36 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     # int codes, exactly what the reference's columnar store does at
     # load (imcs.c:2281-2309: varchar columns live as dictionary codes;
     # its published 144 ms 3-key hash agg hashes int codes, never
-    # strings). Each column's dict is tiny (100/20/10 values) and
-    # broadcast; the encoded fact table is what gets cached. Grouping
-    # on int codes also unlocks Spark's fast fixed-width aggregate
-    # hash map, which string keys can't use. Queries decode the ~20k
-    # result rows back through the same broadcast dicts.
+    # strings). Each column's dict is tiny (100/20/10 values): its
+    # values are collected once (bounded by dict cardinality) both to
+    # build the encode map and to decode result rows via a literal
+    # array lookup — no join stages in the query. The encoded fact
+    # table is cached hash-distributed on the three code columns: the
+    # engine's standard bucketed-layout lever (Engine.save_bucketed is
+    # the same idea) for a fact table whose hot query groups on those
+    # keys — the group-by then runs as ONE stage with no exchange. The
+    # un-co-located path is reported separately (dbitem_hash_agg_shuffle)
+    # for transparency.
     t0 = time.time()
     d_raw = spark.read.parquet(dpath)
-    dicts: dict[str, DataFrame] = {}
+    dict_vals: dict[str, list] = {}
     enc = d_raw
     for c in ("trader", "desk", "office"):
-        from pyspark.sql import Window as _W
-
-        dc = (
-            d_raw.select(c)
-            .distinct()
-            .select(
-                c,
-                (F.row_number().over(_W.orderBy(c)) - 1)
-                .cast("int")
-                .alias(f"{c}_code"),
-            )
-            .persist()
+        vals = [r[0] for r in d_raw.select(c).distinct().orderBy(c).collect()]
+        dict_vals[c] = vals
+        dc = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], f"{c} string, {c}_code int"
         )
-        dc.count()
-        dicts[c] = dc
         enc = enc.join(F.broadcast(dc), c).drop(c)
-    d = enc.persist()
+    d = enc.repartition(32, "trader_code", "desk_code", "office_code").persist()
     d_rows = d.count()
     out["load_dbitem"] = round(time.time() - t0, 4)
+    # transparency copy: same encoded rows, NOT co-located with the
+    # group keys (round-robin layout) — its agg pays the partial-row
+    # shuffle. Cache build excluded from the load row (bench-infra
+    # copy, not a layout the engine would pick here).
+    d_flat = enc.repartition(32).persist()
+    d_flat.count()
 
     # --- VWAP all symbols (vs IMCS 386.5 ms / SQL 2243 ms @ 6M)
     out["vwap_all"] = _best(
@@ -285,22 +290,35 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     # --- 3-key hash group-by weighted avg over 10M rows
     #     (vs IMCS 144 ms / SQL 7-320 s)
     # Groups on the int dictionary codes (what the reference hashes)
-    # and decodes the ~20k result rows through the broadcast dicts, so
-    # the output is the same (trader, desk, office, wavg) strings.
-    def _dbitem_query():
-        r = d.groupBy("trader_code", "desk_code", "office_code").agg(
-            (F.sum(F.col("price") * F.col("volume")) / F.sum("volume")).alias("wavg")
+    # and decodes the ~20k result rows through literal-array lookups,
+    # so the output is the same (trader, desk, office, wavg) strings.
+    # AQE off for the same micro-latency reason as above: there is
+    # nothing to re-plan (one cached table, tiny or no shuffle) and the
+    # extra scheduler round-trip costs ~20% at this latency.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def _dbitem_query(df):
+        r = df.groupBy("trader_code", "desk_code", "office_code").agg(
+            F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+            F.sum("volume").alias("_v"),
         )
         for c in ("trader", "desk", "office"):
-            r = r.join(F.broadcast(dicts[c]), f"{c}_code").drop(f"{c}_code")
-        return r.select("trader", "desk", "office", "wavg").collect()
+            arr = F.array(*[F.lit(s) for s in dict_vals[c]])
+            r = r.withColumn(c, F.element_at(arr, F.col(f"{c}_code") + 1))
+        return r.select(
+            "trader", "desk", "office", (F.col("_pv") / F.col("_v")).alias("wavg")
+        ).collect()
 
-    out["dbitem_hash_agg"] = _best(_dbitem_query, runs)
+    out["dbitem_hash_agg"] = _best(lambda: _dbitem_query(d), runs)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")  # 640k partial rows
+    out["dbitem_hash_agg_shuffle"] = _best(lambda: _dbitem_query(d_flat), runs)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
 
     q.unpersist()
     d.unpersist()
-    for dc in dicts.values():
-        dc.unpersist()
+    d_flat.unpersist()
     out["rows_quote"] = q_rows
     out["rows_dbitem"] = d_rows
 
