@@ -2053,6 +2053,41 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _normalize_event_ts(src, guard=False)
 
 
+def _run_streams(legs, partitions: int = 8):
+    """Run several INDEPENDENT streams to memory sinks concurrently.
+
+    ``legs`` is a list of (result_df, output_mode). Each availableNow
+    micro-batch query pays a fixed floor (planning, WAL commit,
+    state-store bookkeeping) regardless of data volume; two sequential
+    ~1.2 s streams are one ~1.3 s wall-clock step when started
+    together — their micro-batches schedule into the same local[32]
+    pool. Returns the memory-sink table names in input order.
+
+    spark.sql.shuffle.partitions is session-scoped, so it is held at
+    the stream-sized value across ALL starts (the stateful partition
+    count is latched per query at start) and restored after."""
+    spark = legs[0][0].sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    names, queries = [], []
+    try:
+        for result, output_mode in legs:
+            name = f"imcs_stream_{next(_STREAM_SEQ)}"
+            names.append(name)
+            queries.append(
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        for q in queries:
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return names
+
+
 def _run_stream(result: DataFrame, output_mode: str, partitions: int = 8):
     """Run a stream to completion into a memory sink.
 
@@ -2120,7 +2155,13 @@ def streaming_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         group_cols=["event_type"],
     )
-    win_name = _run_stream(agg_df, "complete")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    src = spark.readStream.schema(raw_schema).parquet(
+        _stream_src_dir(sf_dir, "documents")
+    )
+    deduped = dedup_stream(src, text_col="text")
+    # the two streams are independent — run them concurrently
+    win_name, dd_name = _run_streams([(agg_df, "complete"), (deduped, "append")])
     win = spark.table(win_name).select(
         F.lit("window").alias("op"),
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("k1"),
@@ -2129,12 +2170,6 @@ def streaming_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value").alias("v"),
     )
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
-    src = spark.readStream.schema(raw_schema).parquet(
-        _stream_src_dir(sf_dir, "documents")
-    )
-    deduped = dedup_stream(src, text_col="text")
-    dd_name = _run_stream(deduped, "append")
     dd = spark.table(dd_name).select(
         F.lit("dedup").alias("op"),
         F.md5(
@@ -2148,19 +2183,49 @@ def streaming_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Streaming sessionize (§2.8): custom stateful operator via
-# applyInPandasWithState — per-user gap sessions as keyed state across
-# micro-batches. Genuinely non-SQL-expressible (closed-session emission
-# depends on watermark progression), so no oracle: the driver records
-# the weaker rows-only check; batch sessionize (same semantics over the
-# same data) carries the full SQL-oracle hash.
+# Streaming sessionize (§2.8): per-user gap sessions over the event
+# stream via the BUILT-IN session_window (JVM-side merging-session
+# state; streaming/__init__.py keeps the applyInPandasWithState custom
+# variant for eager-emission / custom-payload semantics, pytest-pinned).
+# Under trigger(availableNow) the final watermark is deterministic
+# (max event ts - 1 hour), so append-mode emission — sessions whose
+# window end (last event + gap) is <= the watermark — IS expressible
+# as SQL over the batch table: a TRUE oracle for streaming session
+# state, upgrading this query from the rows-only check.
 # ---------------------------------------------------------------------------
-@query("streaming_sessionize")
+@query(
+    "streaming_sessionize",
+    oracle="""
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+), sess AS (
+  SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+-- boundary conventions pinned by tests/test_streaming_sources.py:
+-- an event exactly gap seconds after the previous MERGES (Spark
+-- session_window merges touching windows -> split only on diff > gap),
+-- and append-mode emits sessions with end + gap <= final watermark.
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+WHERE EPOCH(session_end) + 3600 <= (SELECT MAX(EPOCH(ts)) FROM events) - 3600
+""",
+)
 def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .streaming import sessionize_stream
+    from .streaming import sessionize_stream_native
 
     _t(spark, sf_dir, "events")
-    sess = sessionize_stream(
+    sess = sessionize_stream_native(
         _events_stream(spark, sf_dir),
         ts_col="ts",
         user_col="user_id",

@@ -249,3 +249,62 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark):
         assert ids == [0, 3]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_stream_native_boundaries(spark):
+    """Pin the built-in session_window conventions the
+    streaming_sessionize oracle depends on: (a) an event arriving
+    EXACTLY gap seconds after the previous one MERGES into the same
+    session (touching windows merge; split only on diff > gap), and
+    (b) append mode emits exactly the sessions whose end + gap is <=
+    the final watermark (max event ts - delay) — boundary inclusive."""
+    import datetime as dt
+
+    from imcs_spark.streaming import sessionize_stream_native
+
+    base = dt.datetime(2024, 1, 1)
+    last = base + dt.timedelta(days=30)
+    rows = [
+        # user 1: exact-gap chain -> ONE session of 3 events
+        (1, base),
+        (1, base + dt.timedelta(seconds=3600)),
+        (1, base + dt.timedelta(seconds=5400)),
+        # user 4: gap + 1us -> TWO sessions
+        (4, base),
+        (4, base + dt.timedelta(seconds=3600, microseconds=1)),
+        # emission boundary (watermark = last - 1h):
+        (5, last - dt.timedelta(hours=2)),             # end+gap == wm -> emitted
+        (6, last - dt.timedelta(hours=2, seconds=-1)), # end+gap == wm+1s -> held
+        (7, last - dt.timedelta(hours=2, seconds=1)),  # end+gap == wm-1s -> emitted
+        (9, last),
+    ]
+    tmp = tempfile.mkdtemp(prefix="imcs_sessnat_")
+    try:
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        df.repartition(1).write.mode("overwrite").parquet(tmp + "/src")
+        stream = spark.readStream.schema(df.schema).parquet(tmp + "/src")
+        out = sessionize_stream_native(stream, "ts", "user_id", 3600, "1 hour")
+        name = "sessnat_pin"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r["user_id"], str(r["session_start"])): (str(r["session_end"]), r["n_events"])
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+        # (a) exact-gap chain merged into one 3-event session
+        assert got[(1, "2024-01-01 00:00:00")] == ("2024-01-01 01:30:00", 3), got
+        # gap + 1us split: both singleton sessions emitted
+        assert got[(4, "2024-01-01 00:00:00")][1] == 1, got
+        assert got[(4, "2024-01-01 01:00:00.000001")][1] == 1, got
+        # (b) emission boundary inclusive at end + gap == watermark
+        emitted_users = {u for (u, _s) in got}
+        assert 5 in emitted_users and 7 in emitted_users, got
+        assert 6 not in emitted_users and 9 not in emitted_users, got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
