@@ -153,6 +153,25 @@ def _r6(c) -> F.Column:
     return F.round(c, 6)
 
 
+def _parallel_union(builders) -> DataFrame:
+    """Build independent composite legs in a thread pool and union them.
+
+    The literal-battery composites spend ~1-1.5 s of pure DRIVER time
+    constructing 10-15 small plans (each DataFrame API call is a py4j
+    round-trip plus eager analysis). The legs are independent, analysis
+    is JVM-side (the GIL is released during the socket wait), so a
+    thread pool overlaps the round-trips. Plan CONSTRUCTION only —
+    execution still happens in the single collect of the union."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(builders))) as ex:
+        parts = [f.result() for f in [ex.submit(b) for b in builders]]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for the standard 3-query batch — the ground-
     truth baseline both approximate-ANN queries measure recall against.
@@ -1415,51 +1434,49 @@ def literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import joins, positional
     from .series import seq
 
-    ts1 = seq(spark, [1, 2, 3, 4, 5], "int")
-    ts2 = seq(spark, [2, 4], "int")
-    vals = seq(spark, [1.1, 2.2])
-    st = joins.stretch(ts1, ts2, vals, 1.0).withColumn("op", F.lit("stretch"))
-    stx = joins.stretch_exact(ts1, ts2, vals, 1.0).withColumn("op", F.lit("stretchx"))
+    def tag(op: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("pos").cast("int").alias("pos"),
+            F.col("val").cast("double").alias("val"),
+        )
 
-    s1 = seq(spark, [1, 2, 3, 5], "int")
-    s2 = seq(spark, [2, 3, 4], "int")
-    sv = seq(spark, [1.1, 1.2, 1.3])
-    st0 = joins.stretch0(s1, s2, sv, 0.0, bounded=True).withColumn("op", F.lit("stretch0"))
-
-    a = seq(spark, [0, 2, 3, 8, 10], "int")
-    b = seq(spark, [1, 3, 6, 10], "int")
-    jp = joins.join_pos(a, b, bounded=True).withColumn("op", F.lit("join_pos"))
-
-    aa = seq(spark, [4, 9], "int")
-    ap = joins.asof_join_pos(aa, b).withColumn("op", F.lit("asof_pos"))
-
-    u1 = seq(spark, [1, 5, 7, 8], "int")
-    u2 = seq(spark, [2, 3, 5, 6], "int")
-    un = joins.union_merge(u1, u2, bounded=True).withColumn("op", F.lit("union"))
-
-    uq = positional.unique(seq(spark, [1, 1, 2, 2, 2, 1, 3], "double"), bounded=True).withColumn("op", F.lit("unique"))
-    rv = positional.reverse(seq(spark, [1.0, 2.0, 3.0])).withColumn("op", F.lit("reverse"))
-    rp = positional.repeat(seq(spark, [1.0, 2.0]), 2).withColumn("op", F.lit("repeat"))
-    lm = positional.limit(seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 1, 3, bounded=True).withColumn("op", F.lit("limit"))
-    tl = positional.tail(seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 2, bounded=True).withColumn("op", F.lit("tail"))
-    mp = positional.map_positions(
-        seq(spark, [10.0, 20.0, 30.0, 40.0]), seq(spark, [3, 0], "long")
-    ).withColumn("op", F.lit("map"))
-    fp = positional.filter_pos(
-        seq(spark, [1, 0, 1], "int"), F.col("val") != 0, bounded=True
-    ).withColumn("val", F.col("val").cast("double")).withColumn("op", F.lit("fpos"))
-    ifs = positional.if_streams(
-        seq(spark, [1, 0, 1], "int"), seq(spark, [1.0, 2.0, 3.0]), seq(spark, [0.1, 0.2, 0.3])
-    ).withColumn("op", F.lit("if"))
-
-    parts = [
-        df.select("op", F.col("pos").cast("int").alias("pos"), F.col("val").cast("double").alias("val"))
-        for df in (st, stx, st0, jp, ap, un, uq, rv, rp, lm, tl, mp, fp, ifs)
+    builders = [
+        lambda: tag("stretch", joins.stretch(
+            seq(spark, [1, 2, 3, 4, 5], "int"), seq(spark, [2, 4], "int"),
+            seq(spark, [1.1, 2.2]), 1.0)),
+        lambda: tag("stretchx", joins.stretch_exact(
+            seq(spark, [1, 2, 3, 4, 5], "int"), seq(spark, [2, 4], "int"),
+            seq(spark, [1.1, 2.2]), 1.0)),
+        lambda: tag("stretch0", joins.stretch0(
+            seq(spark, [1, 2, 3, 5], "int"), seq(spark, [2, 3, 4], "int"),
+            seq(spark, [1.1, 1.2, 1.3]), 0.0, bounded=True)),
+        lambda: tag("join_pos", joins.join_pos(
+            seq(spark, [0, 2, 3, 8, 10], "int"), seq(spark, [1, 3, 6, 10], "int"),
+            bounded=True)),
+        lambda: tag("asof_pos", joins.asof_join_pos(
+            seq(spark, [4, 9], "int"), seq(spark, [1, 3, 6, 10], "int"))),
+        lambda: tag("union", joins.union_merge(
+            seq(spark, [1, 5, 7, 8], "int"), seq(spark, [2, 3, 5, 6], "int"),
+            bounded=True)),
+        lambda: tag("unique", positional.unique(
+            seq(spark, [1, 1, 2, 2, 2, 1, 3], "double"), bounded=True)),
+        lambda: tag("reverse", positional.reverse(seq(spark, [1.0, 2.0, 3.0]))),
+        lambda: tag("repeat", positional.repeat(seq(spark, [1.0, 2.0]), 2)),
+        lambda: tag("limit", positional.limit(
+            seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 1, 3, bounded=True)),
+        lambda: tag("tail", positional.tail(
+            seq(spark, [10.0, 20.0, 30.0, 40.0, 50.0]), 2, bounded=True)),
+        lambda: tag("map", positional.map_positions(
+            seq(spark, [10.0, 20.0, 30.0, 40.0]), seq(spark, [3, 0], "long"))),
+        lambda: tag("fpos", positional.filter_pos(
+            seq(spark, [1, 0, 1], "int"), F.col("val") != 0, bounded=True
+        ).withColumn("val", F.col("val").cast("double"))),
+        lambda: tag("if", positional.if_streams(
+            seq(spark, [1, 0, 1], "int"), seq(spark, [1.0, 2.0, 3.0]),
+            seq(spark, [0.1, 0.2, 0.3]))),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _parallel_union(builders)
 
 
 # ---------------------------------------------------------------------------
@@ -2421,36 +2438,33 @@ def series_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select("op", _r6(F.col("val")).alias("val"))
 
-    parts = [
-        stacked,
-        one(
+    builders = [
+        lambda: stacked,
+        lambda: one(
             "ffp",
             positional.filter_first_pos(s, F.col("val") > 6, 1, bounded=True).select(
                 "val"
             ),
         ),
-        one(
+        lambda: one(
             "roundtrip_wsum",
             S.from_array(s.agg(S.to_array(s).alias("arr")), "arr").agg(
                 F.sum(F.col("pos") * F.col("val")).alias("val")
             ),
         ),
-        one(
+        lambda: one(
             "call_sum",
             S.call(s, lambda x: 2 * x + 1, "val", "c").agg(F.sum("c").alias("val")),
         ),
-        one("const_sum", const_series(spark, 3.0, 5).agg(F.sum("val").alias("val"))),
-        one(
+        lambda: one("const_sum", const_series(spark, 3.0, 5).agg(F.sum("val").alias("val"))),
+        lambda: one(
             "str2code_sum",
             S.str2code(
                 spark.createDataFrame([("b",), ("a",), ("b",), ("c",)], "s string"), "s"
             ).agg(F.sum("code").alias("val")),
         ),
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return _parallel_union(builders)
 
 
 # ---------------------------------------------------------------------------
