@@ -146,6 +146,32 @@ def _best(fn, runs: int) -> float:
     return round(best, 4)
 
 
+def _time_row(out: dict, name: str, build, runs: int) -> None:
+    """Time one baseline row BOTH ways and record both keys:
+
+    - ``name``: per-statement latency — the DataFrame is rebuilt and
+      re-planned inside the timed region, matching what psql's \\timing
+      measured for the reference (parse + plan + execute + fetch). On
+      this engine Catalyst compilation is a fixed ~60-110 ms per
+      statement regardless of data size (measured: tools/probe_floor.py),
+      so for the sub-100 ms reference rows this is mostly compile time.
+    - ``name + "_exec"``: prepared-plan execution — the DataFrame is
+      built and warmed once, then only ``.collect()`` is timed. This is
+      the closest analog of what the reference's published number
+      actually measures: `cs_count(...)` over an already-loaded store is
+      a C function call behind a PostgreSQL planner whose planning cost
+      is ~0.3 ms, i.e. effectively pure execution. Any resident service
+      (Thrift server, notebook, dashboard) reuses plans the same way.
+
+    Both are recorded so the comparison can be read either way; see
+    BENCH_SCALE.md for the decomposition.
+    """
+    out[name] = _best(lambda: build().collect(), runs)
+    df = build()
+    df.collect()  # warm: physical planning + codegen for the reused plan
+    out[name + "_exec"] = _best(lambda: df.collect(), runs)
+
+
 def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     """Generate (first run only), load, and time the BASELINE.md query
     set at the reference's own data scale. Returns one flat dict of
@@ -244,58 +270,62 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     # reduce side by output cardinality, not the session default.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
-    out["vwap_all"] = _best(
-        lambda: q.groupBy("symbol")
-        .agg(
+    _time_row(
+        out,
+        "vwap_all",
+        lambda: q.groupBy("symbol").agg(
             (
                 F.sum(F.col("close") * F.col("volume")) / F.sum("volume")
             ).alias("vwap")
-        )
-        .collect(),
+        ),
         mruns,
     )
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     # --- VWAP one symbol, 3-year slice (vs IMCS 10 ms / SQL 750 ms)
-    out["vwap_one"] = _best(
+    _time_row(
+        out,
+        "vwap_one",
         lambda: q.filter(
             (F.col("symbol") == "S0100")
             & F.col("day").between("2010-01-01", "2012-12-31")
-        )
-        .agg(
+        ).agg(
             (
                 F.sum(F.col("close") * F.col("volume")) / F.sum("volume")
             ).alias("vwap")
-        )
-        .collect(),
+        ),
         mruns,
     )
 
     # --- filter+project, 1 symbol 1 quarter, Close > Open*1.01
     #     (vs IMCS 12 ms / SQL 640 ms)
-    out["filter_project"] = _best(
+    _time_row(
+        out,
+        "filter_project",
         lambda: q.filter(
             (F.col("symbol") == "S0042")
             & F.col("day").between("2010-01-01", "2010-03-31")
             & (F.col("close") > F.col("open") * 1.01)
-        )
-        .select("day", "close")
-        .collect(),
+        ).select("day", "close"),
         mruns,
     )
 
     # --- filtered count over the whole 6M series
     #     (vs IMCS 6.274 ms / SQL 768 ms)
-    out["filtered_count"] = _best(
-        lambda: q.filter(F.col("close") > F.col("open") * 1.1)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect(),
+    _time_row(
+        out,
+        "filtered_count",
+        lambda: q.filter(F.col("close") > F.col("open") * 1.1).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
         mruns,
     )
 
     # --- cs_sum(Close) over the concat of all symbols (vs 76.2 ms)
-    out["sum_close"] = _best(
-        lambda: q.agg(F.sum("close").alias("s")).collect(),
+    _time_row(
+        out,
+        "sum_close",
+        lambda: q.agg(F.sum("close").alias("s")),
         mruns,
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -320,12 +350,14 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
             r = r.withColumn(c, F.element_at(arr, F.col(f"{c}_code") + 1))
         return r.select(
             "trader", "desk", "office", (F.col("_pv") / F.col("_v")).alias("wavg")
-        ).collect()
+        )
 
-    out["dbitem_hash_agg"] = _best(lambda: _dbitem_query(d), mruns)
+    _time_row(out, "dbitem_hash_agg", lambda: _dbitem_query(d), mruns)
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")  # 640k partial rows
-    out["dbitem_hash_agg_shuffle"] = _best(lambda: _dbitem_query(d_flat), mruns)
+    _time_row(
+        out, "dbitem_hash_agg_shuffle", lambda: _dbitem_query(d_flat), mruns
+    )
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
 
@@ -369,7 +401,7 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
         lambda: q.filter(F.col("close") > F.col("open") * 1.1)
         .agg(F.count(F.lit(1)).alias("n"))
         .collect(),
-        mruns,
+        runs,
     )
     out["sum_close_60m"] = _best(
         lambda: q.agg(F.sum("close").alias("s")).collect(), runs

@@ -57,6 +57,9 @@ def test_run_scale_contract(spark, tiny):
         "load_quotes", "load_dbitem", "vwap_all", "vwap_one",
         "filter_project", "filtered_count", "sum_close",
         "dbitem_hash_agg", "rows_quote", "rows_dbitem",
+        # every query row also records its prepared-plan execution time
+        "vwap_all_exec", "vwap_one_exec", "filter_project_exec",
+        "filtered_count_exec", "sum_close_exec", "dbitem_hash_agg_exec",
     }
     assert expected <= set(out)
     assert out["rows_quote"] == 210 and out["rows_dbitem"] == 500
