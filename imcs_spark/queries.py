@@ -2469,20 +2469,60 @@ def series_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Composite №4: cs_join_pos / cs_join (value-mapped), positional
-# cs_concat, and the MURSIW-analog versioned store (save → atomic
-# _VERSION pointer → open) driver-verified end-to-end. Literal vectors
-# match the reference join battery shapes (sql/transform.sql); the
-# store leg persists a real events slice to a scratch dir and re-opens
-# it, so the count survives a full parquet round trip.
+# cs_concat, cs_stretch's exact lockstep kernel, and the MURSIW-analog
+# versioned store (save → atomic _VERSION pointer → open)
+# driver-verified end-to-end. Literal vectors match the reference join
+# battery shapes (sql/transform.sql); the store leg persists a real
+# events slice to a scratch dir and re-opens it, so the count survives
+# a full parquet round trip.
 # ---------------------------------------------------------------------------
 @query(
     "join_concat_store",
+    # The 'ls' leg verifies stretch_exact's lockstep cursor against an
+    # INDEPENDENT implementation of the reference semantics
+    # (func.c:4308-4392): a DuckDB recursive CTE walks the left
+    # timeline advancing the right cursor at most once per element —
+    # not a pinned output vector. The input is chosen so lockstep
+    # observably differs from the declarative as-of stretch (the right
+    # series ticks twice between left elements 5 and 9, so the cursor
+    # lags; and it exhausts before the last left element, emitting the
+    # filler -1).
     oracle="""
+WITH RECURSIVE
+lft(i, t) AS (
+  SELECT * FROM (VALUES (0, 1.0), (1, 5.0), (2, 6.0), (3, 9.0), (4, 12.0))
+),
+rgt(k, t, v) AS (
+  SELECT * FROM (VALUES (0, 2.0, 10.0), (1, 3.0, 20.0),
+                        (2, 7.0, 30.0), (3, 8.0, 40.0))
+),
+walk(i, k, next_ts, cur, ended) AS (
+  SELECT -1, 0, CAST('-infinity' AS DOUBLE), CAST(NULL AS DOUBLE), FALSE
+  UNION ALL
+  SELECT s.i + 1,
+         CASE WHEN s.adv AND s.has THEN s.k + 1 ELSE s.k END,
+         CASE WHEN s.adv AND s.has THEN s.rt ELSE s.next_ts END,
+         CASE WHEN s.adv
+              THEN (CASE WHEN s.has THEN s.rv ELSE -1.0 END)
+              ELSE s.cur END,
+         s.ended OR (s.adv AND NOT s.has)
+  FROM (
+    SELECT w.i, w.k, w.next_ts, w.cur, w.ended,
+           (NOT w.ended AND l.t >= w.next_ts) AS adv,
+           r.t IS NOT NULL AS has, r.t AS rt, r.v AS rv
+    FROM walk w
+    JOIN lft l ON l.i = w.i + 1
+    LEFT JOIN rgt r ON r.k = w.k
+  ) s
+)
 SELECT * FROM (VALUES
   ('jp', 0, 1.0), ('jp', 1, 3.0),
   ('jv', 0, 0.3), ('jv', 1, 1.0),
   ('cc', 0, 1.0), ('cc', 1, 2.0), ('cc', 2, 7.0)
 ) AS t(op, pos, val)
+UNION ALL
+SELECT 'ls' AS op, CAST(i AS INTEGER) AS pos, ROUND(cur, 6) AS val
+FROM walk WHERE i >= 0
 UNION ALL
 SELECT 'store' AS op, 0 AS pos, CAST(COUNT(*) AS DOUBLE) AS val
 FROM events WHERE user_id = 41
@@ -2509,6 +2549,15 @@ def join_concat_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     jp = tag("jp", joins.join_pos(a, b, bounded=True))
     jv = tag("jv", joins.join_values(a, b, v, bounded=True))
     cc = tag("cc", positional.concat(seq(spark, [1.0, 2.0]), seq(spark, [7.0])))
+    ls = tag(
+        "ls",
+        joins.stretch_exact(
+            seq(spark, [1, 5, 6, 9, 12], "int"),
+            seq(spark, [2, 3, 7, 8], "int"),
+            seq(spark, [10.0, 20.0, 30.0, 40.0]),
+            -1.0,
+        ),
+    )
 
     def build_store():
         ev = _t(spark, sf_dir, "events").filter(F.col("user_id") == 41)
@@ -2527,7 +2576,7 @@ def join_concat_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(n)).alias("val"),
     )
     out = jp
-    for part in [jv, cc, store]:
+    for part in [jv, cc, ls, store]:
         out = out.unionByName(part)
     return out
 
