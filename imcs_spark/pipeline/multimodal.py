@@ -3,14 +3,15 @@ columns with typed metadata.
 
 Decoding is real for the formats numpy + the standard library can
 handle — binary PPM/PGM rasters, 8-bit non-interlaced PNG (stdlib
-zlib inflate + full five-filter scanline reconstruction), and PCM WAV
-samples — with genuine feature extraction (grayscale grid means, RMS /
-zero-crossing rate / FFT band energies). Entropy-coded formats
-(jpeg/mp4) need external libraries absent in this environment; those
-route through the deterministic `_fake_decode`, which preserves the
-identical Spark-side contract (schemas, Arrow batch shapes,
-mapInPandas signatures, partition sizing) — swap in PIL/ffmpeg inside
-`real_decode` to extend coverage.
+zlib inflate + full five-filter scanline reconstruction), baseline
+sequential JPEG (pure-numpy Huffman + IDCT pipeline, pipeline/jpeg.py),
+and PCM WAV samples — with genuine feature extraction (grayscale grid
+means, RMS / zero-crossing rate / FFT band energies). Video containers
+(mp4) need external libraries absent in this environment; those route
+through the deterministic `_fake_decode`, which preserves the identical
+Spark-side contract (schemas, Arrow batch shapes, mapInPandas
+signatures, partition sizing) — swap in ffmpeg inside `real_decode` to
+extend coverage.
 """
 
 from __future__ import annotations
@@ -304,10 +305,11 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
 
 def real_decode(content: bytes, mime: str) -> np.ndarray:
     """Real decode + featurize for the formats decodable with numpy +
-    the standard library: binary PPM/PGM pixels and PCM WAV samples.
-    Codec formats (png/jpeg/mp4/...) require external libraries absent
-    in this environment and raise NotImplementedError — route those
-    through decode_stub / _fake_decode, or swap in PIL/ffmpeg here."""
+    the standard library: binary PPM/PGM pixels, 8-bit PNG, baseline
+    JPEG (pipeline/jpeg.py), and PCM WAV samples. Video containers
+    (mp4/...) require external libraries absent in this environment and
+    raise NotImplementedError — route those through decode_stub /
+    _fake_decode, or swap in ffmpeg here."""
     head = bytes(content[:8]) if content else b""
     if head[:2] in (b"P5", b"P6") or mime in (
         "image/x-portable-pixmap",
@@ -316,6 +318,10 @@ def real_decode(content: bytes, mime: str) -> np.ndarray:
         return image_features(decode_pnm(bytes(content)))
     if head == b"\x89PNG\r\n\x1a\n":
         return image_features(decode_png(bytes(content)))
+    if head[:2] == b"\xff\xd8" or mime == "image/jpeg":
+        from .jpeg import decode_jpeg
+
+        return image_features(decode_jpeg(bytes(content)))
     if head[:4] == b"RIFF" or mime == "audio/x-wav":
         return audio_features(*decode_wav(bytes(content)))
     raise NotImplementedError(

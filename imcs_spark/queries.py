@@ -1730,11 +1730,14 @@ def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal pipeline — opaque binary content + typed metadata through the
 # Arrow decode/extract/frame-sample plumbing (pipeline.multimodal). The
-# decode itself is the documented deterministic stub, but every metric
-# emitted here is a pure function of (doc_id, text bytes), so the WHOLE
-# query — including that the mapInPandas pass produced a well-formed
-# FEATURE_DIM vector in [0,1) for every asset — is verified by a true
-# ANSI-SQL oracle, not a pinned golden.
+# metadata metrics are pure functions of (doc_id, text bytes), so the
+# WHOLE query — including that the mapInPandas pass produced a
+# well-formed FEATURE_DIM vector in [0,1) for every asset — is verified
+# by a true ANSI-SQL oracle. The jpeg_ok leg additionally drives the
+# REAL baseline-JPEG codec (pipeline/jpeg.py) through the distributed
+# Arrow path: a deterministic sample of image assets is encoded and
+# decoded (Huffman + DCT round trip) inside a pandas_udf and asserted
+# pixel-close; the oracle pins the assertion true per kind.
 # ---------------------------------------------------------------------------
 @query(
     "multimodal_pipeline",
@@ -1750,11 +1753,14 @@ SELECT kind,
        CAST(COUNT(*) AS BIGINT) AS n_assets,
        CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
        CAST(SUM(CASE WHEN kind = 'video' THEN GREATEST(duration_ms // 1000, 1) ELSE 0 END) AS BIGINT) AS n_frames,
-       CAST(1 AS INTEGER) AS features_ok
+       CAST(1 AS INTEGER) AS features_ok,
+       CAST(1 AS INTEGER) AS jpeg_ok
 FROM m GROUP BY kind
 """,
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
     from .pipeline import multimodal as MM
 
     docs = _t(spark, sf_dir, "documents")
@@ -1764,6 +1770,37 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("features") == MM.FEATURE_DIM)
         & F.forall("features", lambda x: (x >= 0) & (x < 1))
     ).cast("int")
+
+    @pandas_udf("int")
+    def jpeg_rt(mid: pd.Series) -> pd.Series:
+        """Real-codec round trip on the sampled image assets
+        (media_id % 150 == 0 → image kind by construction): build a
+        deterministic gradient frame from the id, encode baseline
+        JPEG, decode it back, assert shape + pixel closeness."""
+        import numpy as np
+
+        from .pipeline.jpeg import decode_jpeg, encode_jpeg
+
+        out = np.ones(len(mid), dtype="int32")
+        for i, m in enumerate(mid.to_numpy()):
+            if m % 150 != 0:
+                continue
+            xx, yy = np.meshgrid(np.arange(24), np.arange(16))
+            img = np.stack(
+                [
+                    (128 + 60 * np.sin((xx + m) / 5.0)).clip(0, 255),
+                    (128 + 50 * np.cos((yy + m) / 4.0)).clip(0, 255),
+                    ((xx * 8 + yy * 3 + m) % 256),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, quality=92))
+            good = dec.shape == img.shape and float(
+                np.abs(dec.astype(float) - img.astype(float)).mean()
+            ) < 12.0
+            out[i] = 1 if good else 0
+        return pd.Series(out)
+
     frames = (
         MM.sample_frames(media, every_ms=1000)
         .groupBy("kind")
@@ -1773,11 +1810,14 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.length("content")).alias("total_bytes"),
         F.min(ok).alias("features_ok"),
+        F.min(jpeg_rt("media_id")).alias("jpeg_ok"),
     )
     return (
         agg.join(frames, "kind", "left")
         .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)).cast("long"))
-        .select("kind", "n_assets", "total_bytes", "n_frames", "features_ok")
+        .select(
+            "kind", "n_assets", "total_bytes", "n_frames", "features_ok", "jpeg_ok"
+        )
     )
 
 

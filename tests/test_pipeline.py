@@ -426,3 +426,74 @@ def test_token_count_bpe(spark):
     n = df.select(text.token_count("text", mode="bpe").alias("n")).collect()[0]["n"]
     # Hello , wor 4 ld x 2 !
     assert n == 8
+
+
+def _jpeg_test_image(h=37, w=49):
+    import numpy as np
+
+    x, y = np.meshgrid(np.arange(w), np.arange(h))
+    g = (128 + 60 * np.sin(x / 8.0) + 50 * np.cos(y / 6.0)).clip(0, 255)
+    return np.stack([g, np.roll(g, 5, 0), 255 - g], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_420_restart():
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    rgb = _jpeg_test_image()
+    for kwargs, tol in [
+        (dict(quality=90), 3.0),
+        (dict(quality=90, subsample=True), 6.0),  # chroma halved
+        (dict(quality=90, restart_interval=2), 3.0),
+        (dict(quality=90, subsample=True, restart_interval=3), 6.0),
+        (dict(quality=50), 8.0),
+    ]:
+        dec = jpeg.decode_jpeg(jpeg.encode_jpeg(rgb, **kwargs))
+        assert dec.shape == rgb.shape, kwargs
+        err = float(np.abs(dec.astype(float) - rgb.astype(float)).mean())
+        assert err < tol, (kwargs, err)
+
+
+def test_jpeg_grayscale_and_odd_sizes():
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    gray = _jpeg_test_image()[:, :, 0]
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(gray, 92))
+    assert dec.shape == gray.shape and dec.ndim == 2
+    assert float(np.abs(dec.astype(float) - gray.astype(float)).mean()) < 2.0
+    # non-multiple-of-16 sizes under 4:2:0 exercise the MCU pad + crop
+    tiny = _jpeg_test_image(9, 11)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(tiny, 95, subsample=True))
+    assert dec.shape == tiny.shape
+
+
+def test_jpeg_rejects_non_baseline():
+    from imcs_spark.pipeline import jpeg
+
+    enc = bytearray(jpeg.encode_jpeg(_jpeg_test_image()[:, :, 0], 90))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg.decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg.decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_real_decode_features():
+    from imcs_spark.pipeline import jpeg
+
+    rgb = _jpeg_test_image()
+    feats = multimodal.real_decode(jpeg.encode_jpeg(rgb, 95), "image/jpeg")
+    assert feats.shape == (multimodal.FEATURE_DIM,)
+    # features of the decoded JPEG track the lossless PNG features;
+    # min/max (indices 5-6) are ringing-sensitive under lossy coding,
+    # the dims and the mean-based cells must agree tightly
+    ref = multimodal.real_decode(multimodal.encode_png(rgb, 0), "image/png")
+    import numpy as np
+
+    assert (feats[:3] == ref[:3]).all()  # h, w, channels exact
+    robust = np.r_[feats[3:5], feats[7:]] - np.r_[ref[3:5], ref[7:]]
+    assert float(np.abs(robust).max()) < 0.1
