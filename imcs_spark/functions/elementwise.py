@@ -197,6 +197,12 @@ def cat(a, b) -> Column:
     return F.concat(_c(a), _c(b))
 
 
+def add_char(a, ch: str) -> Column:
+    """cs_add_char: append one literal character to every element (the
+    reference uses it to build delimiter-terminated compound keys)."""
+    return F.concat(_c(a), F.lit(ch))
+
+
 def like(a, pattern: str) -> Column:
     return _c(a).like(pattern)
 

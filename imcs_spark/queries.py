@@ -2356,6 +2356,7 @@ UNION ALL SELECT 'concat_n', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id 
 UNION ALL SELECT 'first_last_gap_s', ROUND(CAST(EPOCH(MAX(ts)) - EPOCH(MIN(ts)) AS DOUBLE), 6) FROM events WHERE user_id = 41
 UNION ALL SELECT 'del_remaining', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id <> 41
 UNION ALL SELECT 'count_41', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id = 41
+UNION ALL SELECT 'stats_ok', 1.0
 UNION ALL SELECT 'truncate_empty', 1.0
 UNION ALL SELECT 'append_n', CAST(COUNT(*) AS DOUBLE) FROM events WHERE user_id = 41
 UNION ALL SELECT 'append_wsum', ROUND(SUM(pos * value), 3) FROM u41
@@ -2390,6 +2391,23 @@ def table_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     count_41 = one(
         "count_41",
         spark.range(1).select(F.lit(t.count(41)).alias("val")),
+    )
+    # cs_used_memory / cs_profile / TABLE_is_loaded: after the count
+    # above materialized the loaded store, the BlockManager must report
+    # a non-empty cached footprint and the engine catalog must list the
+    # table. Purely introspective; the boolean is pinned by the oracle.
+    st = eng.stats()
+    stats_ok = one(
+        "stats_ok",
+        spark.range(1).select(
+            F.lit(
+                1.0
+                if (st["used_memory_bytes"] > 0 or st["used_disk_bytes"] > 0)
+                and eng.is_loaded("events_t")
+                and "events_t" in st["tables"]
+                else 0.0
+            ).alias("val")
+        ),
     )
     trunc_empty = one(
         "truncate_empty",
@@ -2430,7 +2448,10 @@ def table_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out = span_sum
-    for part in [concat_n, gap, del_remaining, count_41, trunc_empty, append_n, append_wsum]:
+    for part in [
+        concat_n, gap, del_remaining, count_41, stats_ok,
+        trunc_empty, append_n, append_wsum,
+    ]:
         out = out.unionByName(part)
     return out
 
@@ -2444,6 +2465,9 @@ SELECT * FROM (VALUES
   ('ffp', 4.0), ('roundtrip_wsum', 58.0), ('call_sum', 57.0),
   ('const_sum', 15.0), ('str2code_sum', 4.0)
 ) AS t(op, val)
+UNION ALL
+SELECT 'cat_len_sum' AS op, CAST(SUM(LENGTH(a || b || '!')) AS DOUBLE) AS val
+FROM (VALUES ('ab', 'd'), ('c', 'ef')) AS s(a, b)
 """,
 )
 def series_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2502,6 +2526,14 @@ def series_ops_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             S.str2code(
                 spark.createDataFrame([("b",), ("a",), ("b",), ("c",)], "s string"), "s"
             ).agg(F.sum("code").alias("val")),
+        ),
+        # cs_cat / cs_add_char (func.c:366-412): byte-concat of two
+        # string series plus a char suffix, checked via summed lengths.
+        lambda: one(
+            "cat_len_sum",
+            spark.createDataFrame([("ab", "d"), ("c", "ef")], "a string, b string")
+            .select(E.add_char(E.cat("a", "b"), "!").alias("_c"))
+            .agg(F.sum(F.length("_c")).alias("val")),
         ),
     ]
     return _parallel_union(builders)
