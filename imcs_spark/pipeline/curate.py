@@ -183,3 +183,56 @@ def pack_sequences(
         .withColumn(out_col, F.floor(cum_before / budget))
         .withColumnRenamed("_ntok", "n_tokens")
     )
+
+
+# --- PII redaction -------------------------------------------------------
+# Pattern dialect note: every regex below sticks to the intersection of
+# Java regex (Spark executors) and RE2 (DuckDB oracle / Go tooling) —
+# character classes, bounded quantifiers, \b, \d — no lookarounds, no
+# backreferences — so redaction is bit-identical across engines.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (category, pattern, replacement token); order matters — emails
+    # are consumed before phone/IP rules can bite their digit runs,
+    # SSNs before the phone rule (both are dashed digit groups).
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    ("phone", r"\+?\d{1,2}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(text_col: str | Column) -> Column:
+    """Replace PII spans with category tokens — pure JVM-side
+    regexp_replace chain (one generated-code pass per category, no
+    Python, no shuffle; at 100 TB this is a map-only stage that
+    pipelines into whatever scan feeds it). Categories and order are
+    `PII_PATTERNS`; apply before tokenization so the replacement
+    tokens survive into training data as explicit markers."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_profile(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII counts by category plus the redacted length
+    delta — the audit artifact a curation run logs next to the
+    redacted corpus. Column-expression only (regexp_count), so it
+    partially aggregates map-side when summed."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pattern)).alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]
+    return docs.select(
+        id_col,
+        *counts,
+        (
+            F.length(F.col(text_col)) - F.length(redact_pii(text_col))
+        ).alias("len_delta"),
+    )

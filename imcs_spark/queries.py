@@ -2689,3 +2689,92 @@ def udaf_wgeomean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepared.groupBy("event_type").agg(
         _r6(wgeo("_v", "_w")).alias("wgeo")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (pipeline.curate.redact_pii / pii_profile) — the
+# curation stage a training-data pipeline runs before tokenization.
+# Deterministic PII is synthesized into the corpus IDENTICALLY on both
+# sides (pure ||/lpad/CAST string algebra over doc_id), then redaction
+# counts and length deltas are computed with the same regex patterns —
+# restricted to the Java∩RE2 dialect so Spark executors and the DuckDB
+# oracle agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "pii_redact",
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 ok' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' x' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' ELSE '' END
+         AS text
+  FROM documents
+), prof AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+    len(regexp_extract_all(text, '\+?\d{1,2}-\d{3}-\d{4}\b')) AS n_phone,
+    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    length(text) - length(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        '\+?\d{1,2}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
+    ) AS len_delta
+  FROM aug
+)
+SELECT CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+       CAST(SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(len_delta) AS BIGINT) AS len_delta
+FROM prof
+""",
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import curate as C
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def maybe(cond, *parts):
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            maybe(
+                did % 7 == 0,
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com now"),
+            ),
+            maybe(did % 13 == 0, F.lit(" ssn 123-45-6789 ok")),
+            maybe(
+                did % 5 == 0,
+                F.lit(" call +1-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" x"),
+            ),
+            maybe(
+                did % 11 == 0,
+                F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1 end"),
+            ),
+        ).alias("text"),
+    )
+    prof = C.pii_profile(aug)
+    any_pii = (
+        F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4") > 0
+    )
+    return prof.agg(
+        F.sum("n_email").cast("long").alias("emails"),
+        F.sum("n_ssn").cast("long").alias("ssns"),
+        F.sum("n_phone").cast("long").alias("phones"),
+        F.sum("n_ipv4").cast("long").alias("ips"),
+        F.sum(any_pii.cast("int")).cast("long").alias("docs_with_pii"),
+        F.sum("len_delta").cast("long").alias("len_delta"),
+    )

@@ -497,3 +497,53 @@ def test_jpeg_real_decode_features():
     assert (feats[:3] == ref[:3]).all()  # h, w, channels exact
     robust = np.r_[feats[3:5], feats[7:]] - np.r_[ref[3:5], ref[7:]]
     assert float(np.abs(robust).max()) < 0.1
+
+
+def test_redact_pii_categories(spark):
+    from imcs_spark.pipeline import curate
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org today"),
+        (2, "ssn is 123-45-6789 ok"),
+        (3, "call +1-555-0199 or 44-555-0000"),
+        (4, "host 192.168.0.1 responded"),
+        (5, "clean text with numbers 1234567 and 12-34"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    red = {
+        r.doc_id: r.red
+        for r in df.select(
+            "doc_id", curate.redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert red[1] == "mail me at [EMAIL] today"
+    assert red[2] == "ssn is [SSN] ok"
+    assert red[3] == "call [PHONE] or [PHONE]"
+    assert red[4] == "host [IP] responded"
+    assert red[5] == rows[4][1]  # untouched
+    # idempotent: re-redacting redacted text changes nothing
+    df2 = spark.createDataFrame(
+        [(k, v) for k, v in red.items()], "doc_id long, text string"
+    )
+    red2 = {
+        r.doc_id: r.red
+        for r in df2.select(
+            "doc_id", curate.redact_pii("text").alias("red")
+        ).collect()
+    }
+    assert red2 == red
+
+
+def test_pii_profile_counts(spark):
+    from imcs_spark.pipeline import curate
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co and c@d.io, ssn 987-65-4321, ip 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    row = curate.pii_profile(df).collect()[0]
+    assert (row.n_email, row.n_ssn, row.n_phone, row.n_ipv4) == (2, 1, 0, 1)
+    # len("a@b.co")=6 + len("c@d.io")=6 vs 2*len("[EMAIL]")=14 -> -2
+    # len("987-65-4321")=11 vs len("[SSN]")=5 -> +6
+    # len("10.0.0.1")=8 vs len("[IP]")=4 -> +4
+    assert row.len_delta == (6 + 6 - 14) + (11 - 5) + (8 - 4)
