@@ -547,3 +547,40 @@ def test_pii_profile_counts(spark):
     # len("987-65-4321")=11 vs len("[SSN]")=5 -> +6
     # len("10.0.0.1")=8 vs len("[IP]")=4 -> +4
     assert row.len_delta == (6 + 6 - 14) + (11 - 5) + (8 - 4)
+
+
+def test_jpeg_randomized_roundtrip_properties():
+    """Seeded sweep over shapes x qualities x sampling x restart: decode
+    must invert encode within quantization error for smooth content,
+    exact shape/dtype always. Smoothness is enforced by construction
+    (low-frequency mixtures) because JPEG's error bound is only
+    meaningful below the Nyquist of its 8x8 DCT."""
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        h = int(rng.randint(8, 70))
+        w = int(rng.randint(8, 70))
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        fx, fy = rng.uniform(0.02, 0.25, 2)
+        base = 128 + 70 * np.sin(xx * fx + rng.uniform(0, 6)) * np.cos(
+            yy * fy + rng.uniform(0, 6)
+        )
+        gray = trial % 3 == 0
+        if gray:
+            img = base.clip(0, 255).astype(np.uint8)
+        else:
+            img = np.stack(
+                [base, np.roll(base, 3, 0), 255 - base], axis=-1
+            ).clip(0, 255).astype(np.uint8)
+        quality = int(rng.choice([70, 85, 95]))
+        sub = bool(rng.randint(2)) and not gray
+        rst = int(rng.choice([0, 1, 3, 7]))
+        enc = jpeg.encode_jpeg(img, quality, subsample=sub, restart_interval=rst)
+        dec = jpeg.decode_jpeg(enc)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = float(np.abs(dec.astype(float) - img.astype(float)).mean())
+        budget = (8.0 if quality == 70 else 5.0) + (4.0 if sub else 0.0)
+        assert err < budget, (trial, h, w, quality, sub, rst, err)
