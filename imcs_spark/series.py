@@ -249,16 +249,18 @@ def count_series(df: DataFrame, partition_by: Sequence[str] | None = None) -> Da
     return df.count()
 
 
-def resolve_pos(df: DataFrame, pos, pos_col: str = POS) -> Column:
+def resolve_pos(df: DataFrame, pos, out_col: str = "_resolved_pos") -> DataFrame:
     """Resolve a possibly-negative position against the series length,
     mirroring the reference's negative-index convention in cs_limit /
     TABLE_span (imcs.c:3154-3175: negatives count from the end).
 
-    Returns a Column usable in filters; requires a window-free total
-    count, so we inject it as a scalar subquery-style crossJoin — callers
-    on the hot path should pass non-negative positions.
+    Returns ``df`` with ``out_col`` holding the non-negative position.
+    The length rides in as a broadcast one-row aggregate inside the
+    plan — fully lazy, no driver-side count — so this composes into
+    larger plans without serializing the driver (same pattern as
+    TsTable.span).
     """
     if pos >= 0:
-        return F.lit(pos)
-    total = df.count()
-    return F.lit(total + pos)
+        return df.withColumn(out_col, F.lit(pos).cast("long"))
+    cnt = df.agg((F.count(F.lit(1)) + pos).cast("long").alias(out_col))
+    return df.crossJoin(F.broadcast(cnt))

@@ -91,18 +91,26 @@ class TsTable:
 
     def span(self, id_value=None, from_pos: int = 0, till_pos: int | None = None) -> DataFrame:
         """TABLE_span: positional slice; negatives count from the end
-        (reference imcs.c:2179-2194, btree.c:201-254)."""
+        (reference imcs.c:2179-2194, btree.c:201-254).
+
+        Negative positions resolve LAZILY: the series length rides in as
+        a broadcast one-row aggregate inside the plan instead of a
+        blocking driver-side count, so span composes into larger lazy
+        plans and never serializes the driver at scale."""
         src = self.get(id_value)
-        n = None
-        if from_pos < 0 or (till_pos is not None and till_pos < 0):
-            n = src.count()
-        lo = from_pos if from_pos >= 0 else n + from_pos
-        hi = till_pos if till_pos is None or till_pos >= 0 else n + till_pos
         posed = self.with_pos(src)
-        out = posed.filter(F.col("pos") >= lo)
-        if hi is not None:
+        if from_pos >= 0 and (till_pos is None or till_pos >= 0):
+            out = posed.filter(F.col("pos") >= from_pos)
+            if till_pos is not None:
+                out = out.filter(F.col("pos") <= till_pos)
+            return out
+        cnt = src.agg(F.count(F.lit(1)).alias("_span_n"))
+        lo = F.lit(from_pos) if from_pos >= 0 else F.col("_span_n") + from_pos
+        out = posed.crossJoin(F.broadcast(cnt)).filter(F.col("pos") >= lo)
+        if till_pos is not None:
+            hi = F.lit(till_pos) if till_pos >= 0 else F.col("_span_n") + till_pos
             out = out.filter(F.col("pos") <= hi)
-        return out
+        return out.drop("_span_n")
 
     def concat(self, ids: Sequence, low=None, high=None) -> DataFrame:
         """TABLE_concat (imcs--1.1.sql:246-259): slices of several ids
