@@ -436,6 +436,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = d[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2): skip one 0xFF
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue

@@ -584,3 +584,19 @@ def test_jpeg_randomized_roundtrip_properties():
         err = float(np.abs(dec.astype(float) - img.astype(float)).mean())
         budget = (8.0 if quality == 70 else 5.0) + (4.0 if sub else 0.0)
         assert err < budget, (trial, h, w, quality, sub, rst, err)
+
+
+def test_jpeg_fill_bytes_before_marker():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; the parser must skip them rather than misparse a segment."""
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    img = _jpeg_test_image(25, 33)[:, :, 0]
+    enc = jpeg.encode_jpeg(img, 90)
+    i = enc.find(b"\xff\xc0")
+    patched = enc[:i] + b"\xff\xff\xff" + enc[i:]
+    dec = jpeg.decode_jpeg(patched)
+    assert dec.shape == img.shape
+    assert float(np.abs(dec.astype(float) - img.astype(float)).mean()) < 2.0
