@@ -391,28 +391,30 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
     q = spark.read.parquet(path).persist()
     out["rows_quote_60m"] = q.count()
     out["load_quotes_60m"] = round(time.time() - t0, 4)
-    out["vwap_all_60m"] = _best(
-        lambda: q.groupBy("symbol")
-        .agg((F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v"))
-        .collect(),
+    _time_row(
+        out,
+        "vwap_all_60m",
+        lambda: q.groupBy("symbol").agg(
+            (F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v")
+        ),
         runs,
     )
-    out["filtered_count_60m"] = _best(
-        lambda: q.filter(F.col("close") > F.col("open") * 1.1)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect(),
+    _time_row(
+        out,
+        "filtered_count_60m",
+        lambda: q.filter(F.col("close") > F.col("open") * 1.1).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
         runs,
     )
-    out["sum_close_60m"] = _best(
-        lambda: q.agg(F.sum("close").alias("s")).collect(), runs
-    )
-    out["vwap_one_60m"] = _best(
+    _time_row(out, "sum_close_60m", lambda: q.agg(F.sum("close").alias("s")), runs)
+    _time_row(
+        out,
+        "vwap_one_60m",
         lambda: q.filter(
             (F.col("symbol") == "S0100")
             & F.col("day").between("2010-01-01", "2012-12-31")
-        )
-        .agg((F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v"))
-        .collect(),
+        ).agg((F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v")),
         runs,
     )
     q.unpersist()
