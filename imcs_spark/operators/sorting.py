@@ -65,15 +65,17 @@ def _sorted_index(
         # low-cardinality column hits at 100x scale); groupBy is a
         # partial-aggregated shuffle and the join back is AQE-skew-
         # splittable (and broadcast when the distinct set is small).
+        # eqNullSafe join: a plain equi-join on val would silently drop
+        # NULL-valued rows (NULL never equals the groupBy's NULL group)
         blocks = asc.groupBy(val_col).agg(
             F.min("_aidx").alias("_bmin"), F.max("_aidx").alias("_bmax")
-        )
+        ).withColumnRenamed(val_col, "_bval")
         return (
-            asc.join(blocks, val_col)
+            asc.join(blocks, F.col(val_col).eqNullSafe(F.col("_bval")))
             .withColumn(
                 idx_col, F.lit(total - 1) - F.col("_bmax") - F.col("_bmin") + F.col("_aidx")
             )
-            .drop("_aidx", "_bmin", "_bmax")
+            .drop("_aidx", "_bmin", "_bmax", "_bval")
         )
     return zip_with_global_pos(df, [val_col, POS], pos_col=idx_col)
 
@@ -121,11 +123,14 @@ def rank(
     # set is small) — a constant or low-cardinality series can no
     # longer serialize one value's whole block through a single task.
     s = _sorted_index(df, val_col, None)
-    mins = s.groupBy(val_col).agg(F.min("_sidx").alias("_blkmin"))
+    # eqNullSafe: keep NULL-valued rows (plain equi-join would drop them)
+    mins = s.groupBy(val_col).agg(F.min("_sidx").alias("_blkmin")).withColumnRenamed(
+        val_col, "_mval"
+    )
     return (
-        s.join(mins, val_col)
+        s.join(mins, F.col(val_col).eqNullSafe(F.col("_mval")))
         .withColumn(out_col, (F.col("_blkmin") + 1).cast("long"))
-        .drop("_sidx", "_blkmin")
+        .drop("_sidx", "_blkmin", "_mval")
     )
 
 
@@ -142,10 +147,12 @@ def dense_rank(
         return df.withColumn(out_col, F.dense_rank().over(w).cast("long"))
     distinct_ranked = zip_with_global_pos(
         df.select(val_col).distinct(), [val_col], pos_col="_dr"
-    )
-    return df.join(distinct_ranked, val_col).withColumn(
-        out_col, (F.col("_dr") + 1).cast("long")
-    ).drop("_dr")
+    ).withColumnRenamed(val_col, "_dval")
+    # eqNullSafe: distinct() keeps a NULL group, a plain equi-join
+    # would never match it back
+    return df.join(
+        distinct_ranked, F.col(val_col).eqNullSafe(F.col("_dval"))
+    ).withColumn(out_col, (F.col("_dr") + 1).cast("long")).drop("_dr", "_dval")
 
 
 def quantile(

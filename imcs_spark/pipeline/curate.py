@@ -200,7 +200,14 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
         "[EMAIL]",
     ),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
-    ("phone", r"\+?\d{1,2}-\d{3}-\d{4}\b", "[PHONE]"),
+    # NANP 3-3-4 (optionally with country code) first, then the short
+    # cc-3-4 form; longest alternative first so '+1-555-123-4567'
+    # can't half-match and leak digits beside the token
+    (
+        "phone",
+        r"(?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}\b|\+?\d{1,2}-\d{3}-\d{4}\b",
+        "[PHONE]",
+    ),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
 ]
 

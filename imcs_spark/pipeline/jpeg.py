@@ -146,15 +146,12 @@ def _canonical_codes(bits, values):
 
 
 def _decode_table(bits, values):
-    """(length-counts, symbols) -> {(length, code): symbol}."""
-    table, code, k = {}, 0, 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = values[k]
-            code += 1
-            k += 1
-        code <<= 1
-    return table
+    """(length-counts, symbols) -> {(length, code): symbol} — the same
+    canonical T.81 C.2 walk as _canonical_codes, orientation flipped."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, values).items()
+    }
 
 
 def _quality_tables(quality: int):
@@ -191,6 +188,10 @@ class _BitWriter:
             self.out.append(byte)
             if byte == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # keep only the live bits: without this the accumulator grows
+        # into an ever-larger bignum and every shift copies all of it
+        # (O(n^2) in scan size)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -387,6 +388,10 @@ class _BitReader:
             self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # drop consumed high bits so the accumulator stays a machine
+        # int (unbounded it becomes an O(scan-size) bignum and decode
+        # goes quadratic on real-world megabyte scans)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def huffman(self, table: dict) -> int:
@@ -459,12 +464,23 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            if ncomp not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would silently decode to
+                # garbage through the YCbCr branch — refuse instead
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG not supported (grayscale or"
+                    " YCbCr only)"
+                )
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                sh, sv = hv >> 4, hv & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise NotImplementedError(
+                        f"sampling factor {sh}x{sv} not supported"
+                        " (factors must be 1 or 2)"
+                    )
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xDB:  # DQT (possibly several tables)
             i = 0
@@ -492,6 +508,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if ns != len(frame["comps"]):
+                # T.81 allows splitting a baseline frame into several
+                # single-component scans; _decode_scan assumes one
+                # interleaved scan, so refuse rather than return a
+                # block-scrambled partial image
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG not"
+                    " supported — one interleaved scan only"
+                )
             scan_comps = []
             for ci in range(ns):
                 cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]

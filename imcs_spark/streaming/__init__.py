@@ -206,6 +206,10 @@ def sessionize_stream(
         if not parts:
             return
         ts_arr = np.sort(np.concatenate(parts))
+        if ts_arr.size == 0:
+            # non-empty chunk list of zero-length arrays (empty Arrow
+            # batches) — nothing to do, and gaps[0] below would throw
+            return
         if state.exists:
             s0, s1, n = state.get
         else:
@@ -214,8 +218,14 @@ def sessionize_stream(
         gaps[0] = n > 0 and (int(ts_arr[0]) - s1) > gap_us
         if ts_arr.size > 1:
             gaps[1:] = np.diff(ts_arr) > gap_us
+        # segment boundaries WITHIN the batch only (gaps[0] is not a
+        # boundary between batch elements — it says whether the open
+        # session closes before element 0, handled via prepend below;
+        # including index 0 here produced a phantom zero-event segment
+        # whenever a batch opened past the gap)
+        interior = (np.flatnonzero(gaps[1:]) + 1).astype("int64")
         bounds = np.concatenate(
-            (np.array([0], dtype="int64"), np.flatnonzero(gaps), np.array([ts_arr.size], dtype="int64"))
+            (np.array([0], dtype="int64"), interior, np.array([ts_arr.size], dtype="int64"))
         )
         seg_start = ts_arr[bounds[:-1]]
         seg_end = ts_arr[bounds[1:] - 1]

@@ -380,3 +380,24 @@ def test_stretch_exact_property_vs_model(spark):
     for key, exp in expect.items():
         vals = [got[key][i] for i in range(len(exp))]
         assert vals == [pytest.approx(x) for x in exp], key
+
+
+def test_global_sort_rank_keep_null_values(spark):
+    """The two-phase de-skewed global paths join blocks back on the
+    value column; that join must be null-SAFE — a plain equi-join
+    silently dropped NULL-valued rows (the reference's C arrays cannot
+    hold NULLs, so Spark's nulls-first-asc placement is the documented
+    extension)."""
+    from imcs_spark.operators import sorting
+
+    rows = [(0, 5.0), (1, None), (2, 3.0), (3, 5.0), (4, None), (5, 1.0)]
+    df = spark.createDataFrame(rows, "pos long, val double")
+
+    asc = [(r.pos, r.val) for r in sorting.sort(df).orderBy("pos").collect()]
+    assert asc == [(0, None), (1, None), (2, 1.0), (3, 3.0), (4, 5.0), (5, 5.0)]
+    desc = [(r.pos, r.val) for r in sorting.sort(df, "desc").orderBy("pos").collect()]
+    assert desc == [(0, 5.0), (1, 5.0), (2, 3.0), (3, 1.0), (4, None), (5, None)]
+    rk = dict((r.pos, r.rank) for r in sorting.rank(df).collect())
+    assert rk == {0: 5, 1: 1, 2: 4, 3: 5, 4: 1, 5: 3}
+    dr = dict((r.pos, r.dense_rank) for r in sorting.dense_rank(df).collect())
+    assert dr == {0: 4, 1: 1, 2: 3, 3: 4, 4: 1, 5: 2}

@@ -506,6 +506,7 @@ def test_redact_pii_categories(spark):
         (1, "mail me at jo.doe+x@sub.example.org today"),
         (2, "ssn is 123-45-6789 ok"),
         (3, "call +1-555-0199 or 44-555-0000"),
+        (6, "nanp 555-123-4567 and +1-555-123-4567 done"),
         (4, "host 192.168.0.1 responded"),
         (5, "clean text with numbers 1234567 and 12-34"),
     ]
@@ -520,7 +521,9 @@ def test_redact_pii_categories(spark):
     assert red[2] == "ssn is [SSN] ok"
     assert red[3] == "call [PHONE] or [PHONE]"
     assert red[4] == "host [IP] responded"
-    assert red[5] == rows[4][1]  # untouched
+    assert red[5] == dict((i, t) for i, t in rows)[5]  # untouched
+    # standard 3-3-4 numbers redact FULLY (no leaked leading digits)
+    assert red[6] == "nanp [PHONE] and [PHONE] done"
     # idempotent: re-redacting redacted text changes nothing
     df2 = spark.createDataFrame(
         [(k, v) for k, v in red.items()], "doc_id long, text string"
@@ -600,3 +603,34 @@ def test_jpeg_fill_bytes_before_marker():
     dec = jpeg.decode_jpeg(patched)
     assert dec.shape == img.shape
     assert float(np.abs(dec.astype(float) - img.astype(float)).mean()) < 2.0
+
+
+def test_jpeg_rejects_cmyk_and_multiscan():
+    """Silently-wrong inputs must refuse loudly: 4-component (CMYK)
+    frames and multi-scan (non-interleaved) baseline streams."""
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    img = _jpeg_test_image(16, 16)
+    e = bytearray(jpeg.encode_jpeg(img[:, :, 0], 90))
+    i = e.find(b"\xff\xc0")
+    e[i + 9] = 4  # SOF0 ncomp byte
+    with pytest.raises(NotImplementedError, match="component"):
+        jpeg.decode_jpeg(bytes(e))
+
+    e = bytearray(jpeg.encode_jpeg(img, 90))
+    i = e.find(b"\xff\xda")
+    e[i + 4] = 1  # SOS ns byte: claim 1 scan component of 3
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        jpeg.decode_jpeg(bytes(e))
+
+    # larger-than-test-fixture image: the bit accumulators must stay
+    # machine-sized (a bignum accumulator made this quadratic)
+    x, y = np.meshgrid(np.arange(320), np.arange(240))
+    big = np.stack(
+        [(128 + 60 * np.sin(x / 9.0) + 50 * np.cos(y / 7.0)).clip(0, 255)] * 3,
+        axis=-1,
+    ).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(big, 85, subsample=True))
+    assert dec.shape == big.shape

@@ -188,9 +188,11 @@ def test_sessionize_stream_stateful(spark):
         # across batches); user 2's session stays open.
         feed("b2.json", [(1, "2024-01-01 10:02:30")])
         q.processAllAvailable()
-        # batch 3: advance event time far past every open session's
-        # last event + gap -> timeouts flush them.
-        feed("b3.json", [(3, "2024-01-01 11:00:00")])
+        # batch 3: user 2's event arrives PAST the gap from their open
+        # session — the cross-batch-gap close path (regression: this
+        # used to also emit a phantom 0-event session). Also advances
+        # event time past user 1's open session + gap -> timeout flush.
+        feed("b3.json", [(2, "2024-01-01 11:00:00")])
         q.processAllAvailable()
         feed("b4.json", [(3, "2024-01-01 12:00:00")])
         q.processAllAvailable()
@@ -204,8 +206,15 @@ def test_sessionize_stream_stateful(spark):
         assert got[(1, "2024-01-01 10:00:00")] == ("2024-01-01 10:00:10", 2), got
         # user 1 session B: extended in b2 (cross-batch state), closed by timeout
         assert got[(1, "2024-01-01 10:02:00")] == ("2024-01-01 10:02:30", 2), got
-        # user 2: single-event session closed by timeout
+        # user 2 session A: closed by the CROSS-BATCH gap in b3
         assert got[(2, "2024-01-01 10:00:30")] == ("2024-01-01 10:00:30", 1), got
+        # user 2 session B: opened by b3's event, closed by timeout after b4
+        assert got[(2, "2024-01-01 11:00:00")] == ("2024-01-01 11:00:00", 1), got
+        # no phantom sessions: every emitted session has >= 1 event,
+        # and exactly the four closed sessions above were emitted
+        # (user 3's session is still open at stop, so never emitted)
+        assert all(r["n_events"] >= 1 for r in rows), rows
+        assert len(rows) == 4, rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
