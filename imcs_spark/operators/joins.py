@@ -148,14 +148,31 @@ def asof_join(
     wback = w.rowsBetween(Window.unboundedPreceding, 0)
     wfwd = w.rowsBetween(0, Window.unboundedFollowing)
 
-    out = u
-    bcols, fcols = {}, {}
-    for c in payload:
-        rc = F.col(f"_r_{c}")
-        bcols[c] = F.last(rc, ignorenulls=True).over(wback)
-        fcols[c] = F.first(rc, ignorenulls=True).over(wfwd)
-    bts = F.last(F.when(F.col("_side") != lmark, F.col("_ts")), ignorenulls=True).over(wback)
-    fts = F.first(F.when(F.col("_side") != lmark, F.col("_ts")), ignorenulls=True).over(wfwd)
+    # Carry the whole matched right ROW as one struct that is non-null
+    # exactly for right-side rows. Carrying payload columns one by one
+    # with last(_r_c, ignorenulls=True) conflated a genuinely NULL
+    # right payload value with the null placeholder left rows
+    # contribute to the union — the window would skip the true as-of
+    # match (returning a staler row's value), and different payload
+    # columns could be stitched from different right rows. The struct
+    # guarantees all payloads AND the matched timestamp come from the
+    # same row, and preserves NULL payload values.
+    out = u.withColumn(
+        "_rrow",
+        F.when(
+            F.col("_side") != lmark,
+            F.struct(
+                F.col("_ts").alias("_rts"),
+                *[F.col(f"_r_{c}").alias(c) for c in payload],
+            ),
+        ),
+    )
+    brow = F.last(F.col("_rrow"), ignorenulls=True).over(wback)
+    frow = F.first(F.col("_rrow"), ignorenulls=True).over(wfwd)
+    bcols = {c: brow[c] for c in payload}
+    fcols = {c: frow[c] for c in payload}
+    bts = brow["_rts"]
+    fts = frow["_rts"]
 
     if direction == "backward":
         chosen = {c: bcols[c] for c in payload}
@@ -187,7 +204,9 @@ def asof_join(
         name = c if c not in left.columns else f"{c}_right"
         out = out.withColumn(name, val)
     out = out.filter(F.col("_side") == lmark)
-    drop = ["_side"] + [f"_r_{c}" for c in payload] + (["_bts", "_fts"] if direction == "nearest" else [])
+    drop = ["_side", "_rrow"] + [f"_r_{c}" for c in payload] + (
+        ["_bts", "_fts"] if direction == "nearest" else []
+    )
     return out.withColumnRenamed("_ts", on).drop(*drop)
 
 
@@ -304,16 +323,33 @@ def stretch_exact(
     Emits val as double."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     keys = [*partition_by] if partition_by else []
+    # Keep the timeline comparisons EXACT for integral and timestamp
+    # inputs: a double cast rounds int64 above 2^53 (nanosecond epochs
+    # collapse to ~256 ns multiples), which can advance the lockstep
+    # cursor at the wrong left element — precisely the corner this
+    # kernel exists to reproduce bit-for-bit. Values still emit double
+    # (the reference's stretch output type).
+    ts_dt = ts1.schema[val_col].dataType
+    if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType)):
+        t_expr = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        t_np, t_min = "int64", np.iinfo(np.int64).min
+    elif isinstance(ts_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        t_expr = lambda c: F.col(c).cast("long")  # noqa: E731
+        t_np, t_min = "int64", np.iinfo(np.int64).min
+    else:
+        t_expr = lambda c: F.col(c).cast("double")  # noqa: E731
+        t_np, t_min = "float64", -np.inf
     r = (
-        ts2.select(*keys, POS, F.col(val_col).alias("_t"))
+        ts2.select(*keys, POS, F.col(val_col).alias("_rt"))
         .join(values.select(*keys, POS, F.col(val_col).alias("_v")), on=keys + [POS])
         .select(
             *keys,
             F.lit(1).alias("_side"),
             F.col(POS),
-            F.col("_t").cast("double"),
+            t_expr("_rt").alias("_t"),
             F.col("_v").cast("double"),
         )
     )
@@ -321,7 +357,7 @@ def stretch_exact(
         *keys,
         F.lit(0).alias("_side"),
         F.col(POS),
-        F.col(val_col).cast("double").alias("_t"),
+        t_expr(val_col).alias("_t"),
         F.lit(None).cast("double").alias("_v"),
     )
     both = l.unionByName(r)
@@ -330,11 +366,11 @@ def stretch_exact(
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         left = pdf[pdf["_side"] == 0].sort_values(POS)
         right = pdf[pdf["_side"] == 1].sort_values(POS)
-        ts2v = right["_t"].to_numpy(dtype="float64")
+        ts2v = right["_t"].to_numpy(dtype=t_np)
         vals = right["_v"].to_numpy(dtype="float64")
-        lt = left["_t"].to_numpy(dtype="float64")
+        lt = left["_t"].to_numpy(dtype=t_np)
         out = np.empty(len(lt), dtype="float64")
-        k, end, cur, next_ts = 0, False, np.nan, -np.inf
+        k, end, cur, next_ts = 0, False, np.nan, t_min
         for i, t in enumerate(lt):
             if not end and t >= next_ts:
                 if k < len(ts2v):
@@ -376,19 +412,39 @@ def stretch0(
     i.e. a full outer join on the timestamp with filler for left-only
     rows."""
     keys = [*partition_by] if partition_by else []
+    # Duplicate timestamps pair ONE-TO-ONE by occurrence (the reference
+    # merge consumes one matching left element per right element): each
+    # side numbers its duplicates of a timestamp in pos order and the
+    # full outer join runs on (ts, occurrence). A bare join on ts would
+    # cross-product duplicate groups — ts1=[5,5], ts2=[5] must emit
+    # [v, filler], not [v, v]. The per-(ts) window is skew-free: its
+    # groups are duplicate runs of one timestamp.
     r = (
         ts2.select(*keys, F.col(val_col).alias("_ts"), POS)
         .join(values.select(*keys, POS, F.col(val_col).alias("_sval")), on=keys + [POS])
+        .withColumn(
+            "_dup",
+            F.row_number().over(Window.partitionBy(*keys, "_ts").orderBy(POS)),
+        )
         .drop(POS)
     )
-    l = ts1.select(*keys, F.col(val_col).alias("_ts"))
-    merged = l.join(r, on=keys + ["_ts"], how="full_outer")
+    l = ts1.select(*keys, F.col(val_col).alias("_ts"), POS).withColumn(
+        "_dup",
+        F.row_number().over(Window.partitionBy(*keys, "_ts").orderBy(POS)),
+    ).drop(POS)
+    merged = l.join(r, on=keys + ["_ts", "_dup"], how="full_outer")
     out = merged.select(
         *keys,
         F.col("_ts").alias("_order_ts"),
+        # tie order at equal ts: right-emitting rows before filler rows
+        # (reference right-before-left), then occurrence order
+        F.when(F.col("_sval").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("_tie"),
+        F.col("_dup"),
         F.coalesce(F.col("_sval"), F.lit(filler)).alias(val_col),
     )
-    return renumber(out, keys or None, order_by=("_order_ts",), bounded=bounded).drop("_order_ts")
+    return renumber(
+        out, keys or None, order_by=("_order_ts", "_tie", "_dup"), bounded=bounded
+    ).drop("_order_ts", "_tie", "_dup")
 
 
 def union_merge(

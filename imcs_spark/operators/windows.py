@@ -267,6 +267,14 @@ def recurrences(
 # would be applied to the wrong rows. _range_by_pos centralizes that.
 # ---------------------------------------------------------------------------
 def _range_by_pos(df: DataFrame, pos_col: str, num_partitions: int | None) -> DataFrame:
+    """Range-partition + persist the series frame the global carry
+    paths read twice (local cumulate + per-partition totals). The
+    persist is REQUIRED for correctness: both reads must see the same
+    partition boundaries or the broadcast carries misalign. Lifecycle:
+    the cache lives until Spark's LRU evicts it (spill-backed, same
+    per-application loaded-store model as Engine table persists);
+    callers chaining many one-shot global ops over DIFFERENT series can
+    reclaim storage early with spark.catalog.clearCache()."""
     part = (
         df.repartitionByRange(num_partitions, pos_col)
         if num_partitions
@@ -339,10 +347,27 @@ def cum_agg_global(
         s_acc += r["_s"] or 0
         s2_acc += r["_s2"] or 0
         n_acc += r["_n"]
-        mn_acc = r["_mn"] if mn_acc is None else min(mn_acc, r["_mn"])
-        mx_acc = r["_mx"] if mx_acc is None else max(mx_acc, r["_mx"])
+        # a partition whose values are all NULL reports _mn/_mx = None —
+        # skip it (min(float, None) would throw), and keep the carry
+        # None until the first non-NULL partition
+        if r["_mn"] is not None:
+            mn_acc = r["_mn"] if mn_acc is None else min(mn_acc, r["_mn"])
+        if r["_mx"] is not None:
+            mx_acc = r["_mx"] if mx_acc is None else max(mx_acc, r["_mx"])
     carries = spark.createDataFrame(
-        [(p, float(s), float(s2), n, mn, mx) for p, s, s2, n, mn, mx in carry_rows],
+        [
+            (
+                p,
+                float(s),
+                float(s2),
+                n,
+                # float-coerce like _s/_s2: an int val_col yields Python
+                # ints here and the double schema rejects them
+                None if mn is None else float(mn),
+                None if mx is None else float(mx),
+            )
+            for p, s, s2, n, mn, mx in carry_rows
+        ],
         "_pid int, _cs double, _cs2 double, _cn long, _cmn double, _cmx double",
     )
     joined = local.join(F.broadcast(carries), "_pid")

@@ -114,13 +114,22 @@ def minhash_signatures(
     be K× the scan cost. One explode + one groupBy(doc) with K
     min-aggregates; partial aggregation keeps the shuffle at K longs
     per doc."""
+    if num_hashes > 63:
+        # rotations repeat past 63 (rotate-by-64 is identity), which
+        # would correlate components; 63 independent hashes banded
+        # 9x7 already give tighter S-curves than anyone configures
+        raise ValueError("minhash_signatures: num_hashes must be <= 63")
     sh = shingle_hashes(df.select(id_col, text_col), text_col, shingle_n)
     h1 = F.col("shingle")
     h2 = F.xxhash64(F.col("shingle"))
     sh = sh.withColumn("_h1", h1).withColumn("_h2", h2)
     aggs = []
     for k in range(num_hashes):
-        r = (k * 7) % 63 + 1
+        # 11 is coprime to 63, so every k < 63 gets a DISTINCT rotation
+        # (the old (k*7)%63 had period 9: components k and k+9 shared a
+        # rotation and almost always picked the same argmin shingle,
+        # collapsing 32 configured hashes to ~9 effective ones)
+        r = (k * 11) % 63 + 1
         rot = F.shiftleft("_h2", r).bitwiseOR(F.shiftrightunsigned("_h2", 64 - r))
         aggs.append(F.min(F.col("_h1").bitwiseXOR(rot).bitwiseXOR(F.lit(k * 0x9E3779B9))).alias(f"mh_{k}"))
     return sh.groupBy(id_col).agg(*aggs)
@@ -135,6 +144,14 @@ def minhash_lsh_candidates(
     """Band the signature (rows = num_hashes // bands) and emit
     candidate pairs (left_id < right_id) sharing any band bucket.
     Bucket join shuffles only (band, bucket_hash, id)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # silent truncation would change the configured S-curve, and
+        # num_hashes < bands would degenerate to ONE bucket per band
+        # for the whole corpus (a fully quadratic self-join)
+        raise ValueError(
+            f"minhash_lsh_candidates: bands ({bands}) must divide"
+            f" num_hashes ({num_hashes})"
+        )
     rows = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
@@ -248,29 +265,32 @@ def simhash(
 
     vote_i > 0 ⟺ 2·ones_i > total, so only the ones-count per bit is
     aggregated (no ±1 CASE per bit), and the 64 counters are packed
-    into 16 longs of 4 sixteen-bit lanes each — whole-stage codegen
+    into 32 longs of 2 thirty-two-bit lanes each — whole-stage codegen
     compile time scales with aggregate count (65 separate sums cost
-    ~2.5 s of janino alone). Lane capacity 65,535 tokens per doc —
-    far above real documents. One groupBy(id): a doc's exploded
+    ~2.5 s of janino alone). 32-bit lanes hold 2^31 tokens per doc
+    with no lane-to-lane carry and no signed-long overflow, so the
+    aggregation is safe under spark.sql.ansi.enabled too (16-bit
+    lanes crashed ANSI mode past 32,767 tokens when the top lane's
+    packed sum exceeded Long.MAX). One groupBy(id): a doc's exploded
     tokens stay partition-local, so map-side partial aggregation
-    collapses them before the shuffle — only (id, 17 longs) per doc
+    collapses them before the shuffle — only (id, 33 longs) per doc
     moves, and no extra distinct-token pre-shuffle is needed."""
     hashed = spread(df.select(id_col, text_col), id_col).select(
         id_col, F.explode(F.split(_normalize(text_col), " ")).alias("_tok")
     ).select(id_col, F.xxhash64("_tok").alias("_h"))
     packed = []
-    for g in range(16):
+    for g in range(32):
         lanes = None
-        for k in range(4):
-            bit = F.shiftright("_h", 16 * k + g).bitwiseAND(F.lit(1))
-            lane = F.shiftleft(bit, 16 * k)
+        for k in range(2):
+            bit = F.shiftright("_h", 32 * k + g).bitwiseAND(F.lit(1))
+            lane = F.shiftleft(bit, 32 * k)
             lanes = lane if lanes is None else lanes + lane
         packed.append(F.sum(lanes).alias(f"_p{g}"))
     agg = hashed.groupBy(id_col).agg(*packed, F.count(F.lit(1)).alias("_tot"))
     sig = None
     for i in range(64):
-        g, k = i % 16, i // 16
-        c = F.shiftrightunsigned(F.col(f"_p{g}"), 16 * k).bitwiseAND(F.lit(0xFFFF))
+        g, k = i % 32, i // 32
+        c = F.shiftrightunsigned(F.col(f"_p{g}"), 32 * k).bitwiseAND(F.lit(0xFFFFFFFF))
         pos = c * 2 > F.col("_tot")
         term = F.when(pos, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -468,7 +488,13 @@ def embedding_near_dups_lsh(
     from .similarity import dot_udf, hyperplanes, unit_bucket_udf
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty frame or NULL"
+                " first vector; pass dim= explicitly"
+            )
+        dim = len(probe[0])
     planes = hyperplanes(dim, n_planes, seed)
     # Arrow-batched normalize+bucket (see similarity.unit_bucket_udf):
     # one numpy matmul per batch instead of n_planes interpreted HOF
@@ -624,6 +650,16 @@ def connected_components(
         labels = merged.select("node", "comp")
         if changed == 0:
             break
+    else:
+        # exhausting max_iter with labels still moving means some
+        # component is only partially collapsed — returning silently
+        # would keep multiple "survivors" per component downstream
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+            f" ({changed} labels still changing); the duplicate graph has"
+            " a component with diameter > max_iter — raise max_iter"
+        )
     edges.unpersist()
     return labels
 

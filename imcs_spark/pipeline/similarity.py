@@ -134,7 +134,13 @@ def lsh_index(
     callers should hold onto this rather than letting every query
     batch re-bucket the corpus."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        probe = corpus.select(vec_col).first()
+        if probe is None or probe[0] is None:
+            raise ValueError(
+                "cannot infer embedding dim from an empty corpus or NULL"
+                " first vector; pass dim= explicitly"
+            )
+        dim = len(probe[0])
     planes = hyperplanes(dim, n_planes, seed)
     c = (
         corpus.select(id_col, F.col(vec_col).alias("_cv"))

@@ -401,3 +401,84 @@ def test_global_sort_rank_keep_null_values(spark):
     assert rk == {0: 5, 1: 1, 2: 4, 3: 5, 4: 1, 5: 3}
     dr = dict((r.pos, r.dense_rank) for r in sorting.dense_rank(df).collect())
     assert dr == {0: 4, 1: 1, 2: 3, 3: 4, 4: 1, 5: 2}
+
+
+def test_asof_join_null_right_payload(spark):
+    """A genuinely NULL right payload must be returned as NULL (the old
+    per-column ignorenulls carry skipped it and served a staler row),
+    and multiple payload columns must come from the SAME right row."""
+    from imcs_spark.operators import joins
+
+    left = spark.createDataFrame([(3,)], "ts long")
+    right = spark.createDataFrame([(1, 10.0), (2, None)], "ts long, v double")
+    out = joins.asof_join(left, right, on="ts", direction="backward").collect()
+    assert out[0]["v"] is None
+
+    right2 = spark.createDataFrame(
+        [(1, 10.0, None), (2, None, 20.0)], "ts long, a double, b double"
+    )
+    out = joins.asof_join(left, right2, on="ts", direction="backward").collect()
+    assert out[0]["a"] is None and out[0]["b"] == 20.0
+
+    left3 = spark.createDataFrame([(5,)], "ts long")
+    right3 = spark.createDataFrame([(4, None), (7, 70.0)], "ts long, v double")
+    out = joins.asof_join(left3, right3, on="ts", direction="nearest").collect()
+    assert out[0]["v"] is None  # nearest picks ts=4 whose value IS null
+
+
+def test_stretch0_duplicate_timestamps(spark):
+    """Duplicate timestamps pair one-to-one by occurrence (reference
+    merge consumes ONE matching left element per right element)."""
+    from imcs_spark.operators import joins
+    from imcs_spark.series import seq
+
+    out = joins.stretch0(
+        seq(spark, [5, 5], "int"), seq(spark, [5], "int"),
+        seq(spark, [10.0]), -1.0, bounded=True,
+    )
+    assert [(r.pos, r.val) for r in out.orderBy("pos").collect()] == [
+        (0, 10.0), (1, -1.0)
+    ]
+    out = joins.stretch0(
+        seq(spark, [5], "int"), seq(spark, [5, 5], "int"),
+        seq(spark, [10.0, 20.0]), -1.0, bounded=True,
+    )
+    assert [(r.pos, r.val) for r in out.orderBy("pos").collect()] == [
+        (0, 10.0), (1, 20.0)
+    ]
+
+
+def test_stretch_exact_int64_precision(spark):
+    """Nanosecond-scale int64 timelines must compare exactly: the two
+    right ticks straddling 2^53*256 differ by 1 unit and collapse under
+    a double cast, which would advance the lockstep cursor wrongly."""
+    from imcs_spark.operators import joins
+    from imcs_spark.series import seq
+
+    base = (1 << 61) + 1  # not representable as double (rounds to 2^61)
+    l = seq(spark, [base - 1, base, base + 1], "long")
+    r = seq(spark, [base, base + 1], "long")
+    v = seq(spark, [10.0, 20.0])
+    got = [
+        (row.pos, row.val)
+        for row in joins.stretch_exact(l, r, v, -1.0).orderBy("pos").collect()
+    ]
+    # lockstep: t=base-1 consumes (base,10); t=base >= base consumes
+    # (base+1,20); t=base+1 >= base+1 exhausts -> filler
+    assert got == [(0, 10.0), (1, 20.0), (2, -1.0)], got
+
+
+def test_cum_agg_global_int_and_null_partitions(spark):
+    """min/max carries must float-coerce int inputs (double schema) and
+    skip all-NULL partitions instead of comparing None."""
+    from imcs_spark.operators import windows
+
+    rows = [(i, v) for i, v in enumerate([5, 3, None, 7, 1, None, 9, 0])]
+    df = spark.createDataFrame(rows, "pos long, val int")
+    out = {r.pos: r.cum_min for r in windows.cum_agg_global(df, "min", num_partitions=3).collect()}
+    assert out == {0: 5.0, 1: 3.0, 2: 3.0, 3: 3.0, 4: 1.0, 5: 1.0, 6: 1.0, 7: 0.0}
+
+    rows = [(0, None), (1, None), (2, None), (3, 4.0), (4, 2.0), (5, 8.0)]
+    df = spark.createDataFrame(rows, "pos long, val double")
+    out = {r.pos: r.cum_min for r in windows.cum_agg_global(df, "min", num_partitions=3).collect()}
+    assert out == {0: None, 1: None, 2: None, 3: 4.0, 4: 2.0, 5: 2.0}

@@ -634,3 +634,45 @@ def test_jpeg_rejects_cmyk_and_multiscan():
     ).astype(np.uint8)
     dec = jpeg.decode_jpeg(jpeg.encode_jpeg(big, 85, subsample=True))
     assert dec.shape == big.shape
+
+
+def test_minhash_banding_validation(spark):
+    from imcs_spark.pipeline import dedup
+
+    sigs = dedup.minhash_signatures(
+        spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string"),
+        num_hashes=16,
+    )
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_candidates(sigs, num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_candidates(sigs, num_hashes=4, bands=8)
+    with pytest.raises(ValueError, match="63"):
+        dedup.minhash_signatures(
+            spark.createDataFrame([(1, "a b")], "doc_id long, text string"),
+            num_hashes=64,
+        )
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iter with labels still moving must raise, not
+    return partially-propagated components."""
+    from imcs_spark.pipeline import dedup
+
+    chain = [(i, i + 1) for i in range(6)]  # path graph, diameter 6
+    pairs = spark.createDataFrame(chain, "left_id long, right_id long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(pairs, max_iter=2, driver_cutoff=0)
+    # and with enough rounds it converges to one component
+    labels = dedup.connected_components(pairs, max_iter=20, driver_cutoff=0)
+    assert {r["comp"] for r in labels.collect()} == {0}
+
+
+def test_embedding_dim_probe_guard(spark):
+    from imcs_spark.pipeline import dedup, similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dim"):
+        dedup.embedding_near_dups_lsh(empty, threshold=0.9)
+    with pytest.raises(ValueError, match="dim"):
+        similarity.lsh_index(empty)
