@@ -52,7 +52,12 @@ def div(a, b) -> Column:
     num, den = _c(a), _c(b)
     inf = F.lit(float("inf"))
     return (
-        F.when(den != 0, num / den)
+        # NULL in, NULL out — without the explicit guard a NULL divisor
+        # falls through `den != 0` (three-valued logic) into the
+        # sign-of-numerator branches and returns ±inf/NaN for missing
+        # data
+        F.when(num.isNull() | den.isNull(), F.lit(None).cast("double"))
+        .when(den != 0, num / den)
         .when(num.cast("double") > 0, inf)
         .when(num.cast("double") < 0, -inf)
         .otherwise(F.lit(float("nan")))

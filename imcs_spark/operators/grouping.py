@@ -195,7 +195,13 @@ def histogram(
     skips them). Output: (pos=bucket, count) with empty buckets as 0."""
     width = (high - low) / n_intervals
     keys = [*partition_by] if partition_by else []
-    bucket = F.floor((F.col(val_col) - low) / width).cast("long")
+    # clamp to the last bucket: float rounding can push a value just
+    # below `high` to floor(...) == n_intervals, a bucket the densify
+    # grid doesn't contain — the left join would silently drop its
+    # count (the reference's fixed-point loop always lands in-range)
+    bucket = F.least(
+        F.floor((F.col(val_col) - low) / width), F.lit(n_intervals - 1)
+    ).cast("long")
     counts = (
         df.filter((F.col(val_col) >= low) & (F.col(val_col) < high))
         .withColumn("_bucket", bucket)

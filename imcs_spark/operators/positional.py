@@ -175,6 +175,11 @@ def repeat(
 ) -> DataFrame:
     """cs_repeat: each element n times; new pos = pos*n + k. Pure
     narrow transform (explode), no shuffle."""
+    if n <= 0:
+        # F.sequence(0, n-1) would count DOWNWARD for n <= 0 (step
+        # defaults to -1 when start > stop), silently duplicating
+        # every row; zero repetitions is an empty series
+        return df.filter(F.lit(False))
     out = df.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
     return out.withColumn(pos_col, F.col(pos_col) * n + F.col("_k")).drop("_k")
 

@@ -58,11 +58,7 @@ def trend(
     carry = F.last(F.when(step != 0, step), ignorenulls=True).over(
         _w(partition_by).rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        df.withColumn("_step", step)
-        .withColumn(out_col, F.coalesce(carry, F.lit(0.0)).cast("tinyint"))
-        .drop("_step")
-    )
+    return df.withColumn(out_col, F.coalesce(carry, F.lit(0.0)).cast("tinyint"))
 
 
 def cross(
@@ -114,8 +110,8 @@ def cross(
         out = out.withColumn("_first_ok", first_ok).filter(
             F.col(POS) >= F.col("_first_ok")
         )
-    out = out.select(*keys, F.col(VAL + "_new").cast("long").alias(VAL), POS)
-    return renumber(out.drop(POS), keys or None, order_by=(VAL,))
+    out = out.select(*keys, F.col(VAL + "_new").cast("long").alias(VAL))
+    return renumber(out, keys or None, order_by=(VAL,))
 
 
 def extrema(

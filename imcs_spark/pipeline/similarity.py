@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 def _unit(vec_col: str):
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + (x * x).cast("double")))
-    return F.transform(vec_col, lambda x: x.cast("double") / norm)
+    # zero-norm guard: dividing by 0 yields NULL components (and NULL
+    # cosines that pad top-k outputs as ranked matches); treating the
+    # norm as 1 keeps the vector all-zero → cosine 0, matching the
+    # Arrow path's unit_bucket_udf (norms[norms == 0] = 1.0)
+    safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    return F.transform(vec_col, lambda x: x.cast("double") / safe)
 
 
 def _dot(a, b):

@@ -161,7 +161,12 @@ def seq(
     an RDD job. A literal plan carries exact tiny stats — Catalyst
     broadcasts the joins and the scan is a 1-row Range."""
     vals = list(values)
-    arr = F.array(*[F.lit(v).cast(elem_type) for v in vals])
+    # the outer cast matters for the EMPTY list: F.array() with no
+    # elements is array<void>, which breaks unions/joins downstream —
+    # an empty series must still carry its element type
+    arr = F.array(*[F.lit(v).cast(elem_type) for v in vals]).cast(
+        f"array<{elem_type}>"
+    )
     return spark.range(1).select(F.posexplode(arr).alias("_p", val_col)).select(
         F.col("_p").cast("long").alias(POS), val_col
     )

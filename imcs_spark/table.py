@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .series import with_pos
@@ -80,7 +80,11 @@ class TsTable:
         if high is not None:
             out = out.filter(F.col(self.ts_col) <= high)
         if limit is not None:
-            out = out.limit(limit)
+            # the reference returns a TIME-ORDERED prefix; a bare
+            # .limit() on an unsorted scan would return n arbitrary
+            # rows. orderBy+limit plans as TakeOrderedAndProject (a
+            # bounded heap per partition + merge — no global sort).
+            out = out.orderBy(self.ts_col, *self.tiebreak).limit(limit)
         return out
 
     def with_pos(self, df: DataFrame | None = None) -> DataFrame:
@@ -104,9 +108,17 @@ class TsTable:
             if till_pos is not None:
                 out = out.filter(F.col("pos") <= till_pos)
             return out
-        cnt = src.agg(F.count(F.lit(1)).alias("_span_n"))
+        if self.id_col and id_value is None:
+            # multi-series frame: pos is numbered PER SERIES, so the
+            # negative offset must resolve against each series' own
+            # length, not the global row count
+            n = F.count(F.lit(1)).over(Window.partitionBy(self.id_col))
+            out = posed.withColumn("_span_n", n)
+        else:
+            cnt = src.agg(F.count(F.lit(1)).alias("_span_n"))
+            out = posed.crossJoin(F.broadcast(cnt))
         lo = F.lit(from_pos) if from_pos >= 0 else F.col("_span_n") + from_pos
-        out = posed.crossJoin(F.broadcast(cnt)).filter(F.col("pos") >= lo)
+        out = out.filter(F.col("pos") >= lo)
         if till_pos is not None:
             hi = F.lit(till_pos) if till_pos >= 0 else F.col("_span_n") + till_pos
             out = out.filter(F.col("pos") <= hi)
@@ -253,7 +265,19 @@ class TsTable:
         tmp = os.path.join(base, "_VERSION.tmp")
         final = os.path.join(base, "_VERSION")
         with open(tmp, "w") as f:
-            json.dump({"version": version, "ts_col": self.ts_col, "id_col": self.id_col}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "ts_col": self.ts_col,
+                    "id_col": self.id_col,
+                    # persisted so open() restores deterministic
+                    # equal-timestamp ordering — dropping it made
+                    # with_pos()/span() positions nondeterministic
+                    # across a save/open round trip
+                    "tiebreak": list(self.tiebreak),
+                },
+                f,
+            )
         os.replace(tmp, final)  # atomic pointer swap
         return TsTable(
             self.spark, self.name, self.spark.read.parquet(data_dir),
@@ -268,7 +292,8 @@ class TsTable:
             meta = json.load(f)
         data_dir = os.path.join(base, f"v={meta['version']}")
         return cls(
-            spark, name, spark.read.parquet(data_dir), meta["ts_col"], meta["id_col"], base
+            spark, name, spark.read.parquet(data_dir), meta["ts_col"],
+            meta["id_col"], base, tuple(meta.get("tiebreak", ())),
         )
 
 

@@ -178,3 +178,44 @@ def test_approxdc_hll128_matches_python_model(spark, sf_dir):
 
     exact = li.distinct().count()
     assert abs(got - exact) <= 0.25 * exact  # m=128 → rse ~9.2%
+
+
+def test_span_negative_multi_series(spark):
+    """span(None, -k) on a multi-series table resolves negatives
+    against EACH series' length (pos is per-series), not the global
+    row count."""
+    from imcs_spark.table import TsTable
+
+    rows = [(u, t, float(u * 100 + t)) for u in (1, 2) for t in range(10)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    t = TsTable(spark, "ms", df, "ts", "user_id")
+    out = t.span(None, -3).collect()
+    got = {(r.user_id, r.ts) for r in out}
+    assert got == {(u, t) for u in (1, 2) for t in (7, 8, 9)}, got
+    # single-series selection still resolves against that series
+    out = t.span(1, -2).collect()
+    assert {(r.user_id, r.ts) for r in out} == {(1, 8), (1, 9)}
+
+
+def test_get_limit_is_time_ordered(spark):
+    from imcs_spark.table import TsTable
+
+    rows = [(i, float(i)) for i in range(100)]
+    df = spark.createDataFrame(rows, "ts long, value double").repartition(8)
+    t = TsTable(spark, "lim", df, "ts")
+    got = sorted(r.ts for r in t.get(limit=5).collect())
+    assert got == [0, 1, 2, 3, 4], got
+
+
+def test_save_open_preserves_tiebreak(spark, tmp_path):
+    from imcs_spark.table import TsTable
+
+    rows = [(1, 10, 100, 1.0), (1, 10, 99, 2.0), (1, 11, 98, 3.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, value double")
+    t = TsTable(spark, "tb", df, "ts", "user_id", tiebreak=("event_id",))
+    saved = t.save(str(tmp_path / "store"))
+    reopened = TsTable.open(spark, "tb", str(tmp_path / "store"))
+    assert reopened.tiebreak == ("event_id",)
+    # equal-ts rows keep deterministic positions after the round trip
+    pos = {(r.event_id): r.pos for r in reopened.with_pos().collect()}
+    assert pos == {99: 0, 100: 1, 98: 2}

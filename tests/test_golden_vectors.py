@@ -482,3 +482,58 @@ def test_cum_agg_global_int_and_null_partitions(spark):
     df = spark.createDataFrame(rows, "pos long, val double")
     out = {r.pos: r.cum_min for r in windows.cum_agg_global(df, "min", num_partitions=3).collect()}
     assert out == {0: None, 1: None, 2: None, 3: 4.0, 4: 2.0, 5: 2.0}
+
+
+def test_div_null_propagation(spark):
+    """NULL inputs must stay NULL — not become ±inf/NaN through the
+    div-by-zero branches."""
+    import math
+
+    from imcs_spark.functions import elementwise as E
+
+    rows = [(5.0, None), (None, 0.0), (None, None), (5.0, 0.0), (0.0, 0.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = [r.d for r in df.select(E.div("a", "b").alias("d")).collect()]
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert got[3] == float("inf") and math.isnan(got[4])
+
+
+def test_repeat_zero_is_empty(spark):
+    from imcs_spark.operators import positional
+    from imcs_spark.series import seq
+
+    assert positional.repeat(seq(spark, [1.0, 2.0]), 0).count() == 0
+    assert positional.repeat(seq(spark, [1.0, 2.0]), 2).count() == 4
+
+
+def test_histogram_float_boundary(spark):
+    """A value that floor()s to n_intervals through float rounding must
+    land in the LAST bucket, not vanish."""
+    from imcs_spark.operators import grouping
+    from imcs_spark.series import seq
+
+    s = seq(spark, [0.6999999999999999])
+    out = {r.pos: r["count"] for r in grouping.histogram(s, 0.0, 0.7, 7).collect()}
+    assert sum(out.values()) == 1 and out[6] == 1, out
+
+
+def test_seq_empty_keeps_element_type(spark):
+    from imcs_spark.series import seq
+
+    e = seq(spark, [], "bigint")
+    assert e.schema["val"].dataType.simpleString() == "bigint"
+    # and it unions cleanly with a populated series of the same type
+    assert e.unionByName(seq(spark, [1, 2], "bigint")).count() == 2
+
+
+def test_unit_zero_norm_vector(spark):
+    """A zero embedding must score cosine 0 (not NULL) and never pad
+    the top-k as a ranked NULL match."""
+    from imcs_spark.pipeline import similarity
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, embedding array<double>")
+    out = similarity.brute_force_topk(emb, q, k=3).collect()
+    scores = {r.vec_id: r.cosine for r in out}
+    assert scores[1] == 0.0 and scores[0] == 1.0
