@@ -122,12 +122,15 @@ def repetition_profile(
 
 def split_bucket(key_col: str | Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from the md5 of the key —
-    stable across engines (the first 4 hex digits of md5, i.e. 16 bits,
-    modulo `buckets`). Use a stable business key (id, URL), never a
-    row position."""
+    stable across engines (the first 12 hex digits of md5, i.e. 48
+    bits, modulo `buckets`; the old 16-bit prefix silently broke past
+    65,536 buckets and skewed badly approaching it). Use a stable
+    business key (id, URL), never a row position."""
+    if not 0 < buckets <= 1 << 32:
+        raise ValueError(f"split_bucket: buckets must be in (0, 2^32], got {buckets}")
     c = F.col(key_col) if isinstance(key_col, str) else key_col
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("int")
-    return h % buckets
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    return (h % buckets).cast("int")
 
 
 def dataset_split(
@@ -231,15 +234,20 @@ def pii_profile(
     """Per-document PII counts by category plus the redacted length
     delta — the audit artifact a curation run logs next to the
     redacted corpus. Column-expression only (regexp_count), so it
-    partially aggregates map-side when summed."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pattern)).alias(f"n_{name}")
-        for name, pattern, _ in PII_PATTERNS
-    ]
+    partially aggregates map-side when summed.
+
+    Each category is counted on the text with all PRIOR categories
+    already redacted — exactly what the sequential redact_pii pass
+    replaces — so the counts always agree with len_delta (counting
+    every category on the raw text would e.g. report a phone inside an
+    email address that redaction consumed as one [EMAIL])."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pattern)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pattern, token)
     return docs.select(
         id_col,
         *counts,
-        (
-            F.length(F.col(text_col)) - F.length(redact_pii(text_col))
-        ).alias("len_delta"),
+        (F.length(F.col(text_col)) - F.length(cur)).alias("len_delta"),
     )

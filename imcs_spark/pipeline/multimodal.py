@@ -60,6 +60,10 @@ def _pnm_header(b: bytes):
     while len(toks) < 4:
         while i < len(b) and b[i : i + 1].isspace():
             i += 1
+        if i >= len(b):
+            # fail loudly instead of appending empty tokens that later
+            # explode as a bare int(b'') ValueError
+            raise ValueError("truncated PNM header")
         if b[i : i + 1] == b"#":
             while i < len(b) and b[i] != 0x0A:
                 i += 1
@@ -274,9 +278,14 @@ def image_features(pixels: np.ndarray) -> np.ndarray:
         ch = pixels.shape[2]
     h, w = gray.shape
     cells = []
+    # disjoint thirds (the old `or 1` rescue made bands OVERLAP on
+    # h or w of 2, double-counting a row/column); a band that is empty
+    # because the image is smaller than 3px contributes 0.0
     for r in range(3):
+        r0, r1 = r * h // 3, (r + 1) * h // 3
         for c in range(3):
-            block = gray[r * h // 3 : (r + 1) * h // 3 or 1, c * w // 3 : (c + 1) * w // 3 or 1]
+            c0, c1 = c * w // 3, (c + 1) * w // 3
+            block = gray[r0:r1, c0:c1]
             cells.append(block.mean() if block.size else 0.0)
     head = [h, w, ch, gray.mean(), gray.std(), gray.min(), gray.max()]
     return np.asarray(head + cells, dtype=np.float32)
@@ -337,6 +346,14 @@ def _fake_decode(content: bytes | None, media_id: int) -> np.ndarray:
     seed = (len(content) if content is not None else 0) * 1_000_003 + media_id
     rng = np.random.RandomState(seed % (2**31 - 1))
     return rng.rand(FEATURE_DIM).astype("float32")
+
+
+def decode_stub(content: bytes | None, media_id: int = 0) -> np.ndarray:
+    """Public deterministic decode stand-in for formats real_decode
+    cannot handle in this environment (mp4 and other codec containers):
+    same FEATURE_DIM float32 contract, stable for a given (content
+    length, media_id). The name real_decode's error message points at."""
+    return _fake_decode(content, media_id)
 
 
 def extract_features(

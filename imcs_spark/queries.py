@@ -119,8 +119,14 @@ _ARTIFACTS: dict[tuple, object] = {}
 
 
 def _artifact(spark: SparkSession, key: tuple, build):
-    full_key = (spark.sparkContext.applicationId, *key)
+    app = spark.sparkContext.applicationId
+    full_key = (app, *key)
     if full_key not in _ARTIFACTS:
+        # evict entries of other (terminated) applications: their
+        # persisted frames are unreachable, and a long-lived process
+        # cycling SparkSessions would otherwise pin them forever
+        for k in [k for k in _ARTIFACTS if k[0] != app]:
+            del _ARTIFACTS[k]
         _ARTIFACTS[full_key] = build()
     return _ARTIFACTS[full_key]
 
@@ -1940,7 +1946,7 @@ def curate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH b AS (
   SELECT doc_id, source,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bkt
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bkt
   FROM documents
 ), t AS (
   SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS ntok
@@ -2140,39 +2146,28 @@ def _run_streams(legs, partitions: int = 8):
             )
         for q in queries:
             q.awaitTermination()
+    except BaseException:
+        # a failed start()/await must not leave SIBLING queries running
+        # against memory sinks for the rest of the session (they would
+        # also latch the restored batch partition count on any retry)
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return names
 
 
 def _run_stream(result: DataFrame, output_mode: str, partitions: int = 8):
-    """Run a stream to completion into a memory sink.
-
-    The stateful-operator partition count is fixed per streaming query
-    at its first start from spark.sql.shuffle.partitions, and EVERY
-    state partition pays per-micro-batch state-store overhead (delta +
-    commit file I/O) regardless of row count. Size it to the stream:
-    these testdata replays are a few thousand rows in one file, where
-    32 state stores cost ~2-3 s of pure bookkeeping per query; at
-    production volume the same knob is sized to executor cores x
-    backpressure instead. Restored after the query finishes so batch
-    queries keep the session default."""
-    spark = result.sparkSession
-    name = f"imcs_stream_{next(_STREAM_SEQ)}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    try:
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return name
+    """Run ONE stream to completion into a memory sink — see
+    _run_streams for the partition-sizing rationale (the stateful
+    partition count is latched per query at start; these few-thousand-
+    row replays would pay ~2-3 s of pure state-store bookkeeping at the
+    32-partition session default)."""
+    return _run_streams([(result, output_mode)], partitions)[0]
 
 
 @query(
@@ -2712,20 +2707,26 @@ WITH aug AS (
          || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' ELSE '' END
          AS text
   FROM documents
+), r1 AS (
+  -- staged: each category counts on the text with prior categories
+  -- already redacted, mirroring the engine's sequential pass
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+  FROM aug
+), r2 AS (
+  SELECT *, regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t2 FROM r1
+), r3 AS (
+  SELECT *, regexp_replace(t2, '(?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}\b|\+?\d{1,2}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t3 FROM r2
+), r4 AS (
+  SELECT *, regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t4 FROM r3
 ), prof AS (
   SELECT doc_id,
-    len(regexp_extract_all(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
-    len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
-    len(regexp_extract_all(text, '(?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}\b|\+?\d{1,2}-\d{3}-\d{4}\b')) AS n_phone,
-    len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-    length(text) - length(
-      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-        '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
-        '(?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}\b|\+?\d{1,2}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
-        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')
-    ) AS len_delta
-  FROM aug
+    len(regexp_extract_all(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+    len(regexp_extract_all(t2, '(?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}\b|\+?\d{1,2}-\d{3}-\d{4}\b')) AS n_phone,
+    len(regexp_extract_all(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+    length(t0) - length(t4) AS len_delta
+  FROM r4
 )
 SELECT CAST(SUM(n_email) AS BIGINT) AS emails,
        CAST(SUM(n_ssn) AS BIGINT) AS ssns,

@@ -342,7 +342,7 @@ def test_dataset_split_deterministic_and_weighted(spark):
     out = {r["doc_id"]: r["split"] for r in curate.dataset_split(docs).collect()}
     # membership depends only on the key: recompute with hashlib
     for i in (0, 1, 97, 499):
-        bkt = int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) % 100
+        bkt = int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) % 100
         expect = "train" if bkt < 80 else ("val" if bkt < 90 else "test")
         assert out[i] == expect
     from collections import Counter
@@ -676,3 +676,44 @@ def test_embedding_dim_probe_guard(spark):
         dedup.embedding_near_dups_lsh(empty, threshold=0.9)
     with pytest.raises(ValueError, match="dim"):
         similarity.lsh_index(empty)
+
+
+def test_split_bucket_large_bucket_counts(spark):
+    """48-bit md5 prefix: bucket counts past 65,536 must actually cover
+    the space (the 16-bit prefix left them empty)."""
+    import hashlib
+
+    from imcs_spark.pipeline import curate
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    out = docs.select("doc_id", curate.split_bucket("doc_id", 100_000).alias("b")).collect()
+    for r in out:
+        expect = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:12], 16) % 100_000
+        assert r.b == expect
+    assert max(r.b for r in out) > 65_536  # the old prefix capped here
+    with pytest.raises(ValueError, match="buckets"):
+        curate.split_bucket("doc_id", 0)
+
+
+def test_pii_profile_counts_sequentially(spark):
+    """Counts reflect the sequential redaction: a phone-shaped string
+    inside an email address is consumed by [EMAIL] and NOT also counted
+    as a phone."""
+    from imcs_spark.pipeline import curate
+
+    df = spark.createDataFrame(
+        [(1, "mail bob@example-555-123-4567.com now")], "doc_id long, text string"
+    )
+    row = curate.pii_profile(df).collect()[0]
+    assert row.n_email == 1 and row.n_phone == 0
+    red = df.select(curate.redact_pii("text").alias("r")).collect()[0]["r"]
+    assert red == "mail [EMAIL] now"
+
+
+def test_decode_stub_and_truncated_pnm():
+    from imcs_spark.pipeline import multimodal
+
+    feats = multimodal.decode_stub(b"anything", 7)
+    assert feats.shape == (multimodal.FEATURE_DIM,)
+    with pytest.raises(ValueError, match="truncated PNM"):
+        multimodal.decode_pnm(b"P6 4")
