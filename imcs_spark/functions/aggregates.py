@@ -127,8 +127,15 @@ def approxdc_hll128(df, a, by=None, out_col: str = "approxdc"):
     # trailing zeros via bit_count((h & -h) - 1); h=0 → 64, capped below
     tz = F.bit_count((h32.bitwiseAND(-h32)) - 1)
     rank = F.least(tz + 1, F.lit(26)).alias("_r")
-    regs = df.select(*keys, j, rank).groupBy(*keys, "_j").agg(
-        F.max("_r").alias("_mzb")
+    # NULLs don't count as a distinct value (xxhash64(NULL) returns the
+    # seed hash, which would otherwise populate a register and add one
+    # phantom distinct — diverging from approx_count_distinct and the
+    # reference, whose aggregate iterator skips nulls)
+    regs = (
+        df.filter(_c(a).isNotNull())
+        .select(*keys, j, rank)
+        .groupBy(*keys, "_j")
+        .agg(F.max("_r").alias("_mzb"))
     )
     # registers never touched by any row are 0 ⇒ contribute 2^-0 = 1
     # to the harmonic sum and count toward V (empty registers)

@@ -53,9 +53,14 @@ def _sorted_index(
         # stable descending: sort ascending on negated rank key is not
         # generally possible for arbitrary types; sort by (val desc) via
         # ascending zip on the inverse is type-specific, so fall back to
-        # count-1-asc_idx with ties re-stabilized by pos.
-        asc = zip_with_global_pos(df, [val_col, POS], pos_col="_aidx")
-        total = asc.count()
+        # count-1-asc_idx with ties re-stabilized by pos. The counting
+        # variant returns the total from the zip's own offset pass —
+        # a separate count() job would re-scan the series.
+        from ..series import zip_with_global_pos_and_total
+
+        asc, total = zip_with_global_pos_and_total(
+            df, [val_col, POS], pos_col="_aidx"
+        )
         # descending stable index: elements in (val desc, pos asc) order.
         # For equal values the ascending index already orders by pos, so
         # the block of equal values keeps relative order after reversal

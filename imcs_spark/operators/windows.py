@@ -322,38 +322,44 @@ def cum_agg_global(
     )
     c = F.col(val_col)
     c2 = c.cast("double") * c.cast("double")
-    local = (
-        pid.withColumn("_ls", F.sum(c).over(w))
-        .withColumn("_ls2", F.sum(c2).over(w))
-        .withColumn("_ln", F.count(c).over(w))
-        .withColumn("_lmin", F.min(c).over(w))
-        .withColumn("_lmax", F.max(c).over(w))
-    )
-    totals = (
-        pid.groupBy("_pid")
-        .agg(
-            F.sum(c).alias("_s"),
-            F.sum(c2).alias("_s2"),
-            F.count(c).alias("_n"),
-            F.min(c).alias("_mn"),
-            F.max(c).alias("_mx"),
-        )
-        .orderBy("_pid")
-        .collect()
-    )
+    # compute ONLY the running columns the requested agg reads — the
+    # old code evaluated all five local windows and all five totals for
+    # every call (Σx² multiplies for a cum_min, etc.)
+    need_s = agg in ("sum", "avg", "var", "dev")
+    need_s2 = agg in ("var", "dev")
+    need_n = agg in ("sum", "count", "avg", "var", "dev")
+    local = pid
+    tot_aggs = []
+    if need_s:
+        local = local.withColumn("_ls", F.sum(c).over(w))
+        tot_aggs.append(F.sum(c).alias("_s"))
+    if need_s2:
+        local = local.withColumn("_ls2", F.sum(c2).over(w))
+        tot_aggs.append(F.sum(c2).alias("_s2"))
+    if need_n:
+        local = local.withColumn("_ln", F.count(c).over(w))
+        tot_aggs.append(F.count(c).alias("_n"))
+    if agg == "min":
+        local = local.withColumn("_lmin", F.min(c).over(w))
+        tot_aggs.append(F.min(c).alias("_mn"))
+    if agg == "max":
+        local = local.withColumn("_lmax", F.max(c).over(w))
+        tot_aggs.append(F.max(c).alias("_mx"))
+    totals = pid.groupBy("_pid").agg(*tot_aggs).orderBy("_pid").collect()
     carry_rows, s_acc, s2_acc, n_acc, mn_acc, mx_acc = [], 0.0, 0.0, 0, None, None
     for r in totals:
+        d = r.asDict()
         carry_rows.append((r["_pid"], s_acc, s2_acc, n_acc, mn_acc, mx_acc))
-        s_acc += r["_s"] or 0
-        s2_acc += r["_s2"] or 0
-        n_acc += r["_n"]
+        s_acc += d.get("_s") or 0
+        s2_acc += d.get("_s2") or 0
+        n_acc += d.get("_n") or 0
         # a partition whose values are all NULL reports _mn/_mx = None —
         # skip it (min(float, None) would throw), and keep the carry
         # None until the first non-NULL partition
-        if r["_mn"] is not None:
-            mn_acc = r["_mn"] if mn_acc is None else min(mn_acc, r["_mn"])
-        if r["_mx"] is not None:
-            mx_acc = r["_mx"] if mx_acc is None else max(mx_acc, r["_mx"])
+        if d.get("_mn") is not None:
+            mn_acc = d["_mn"] if mn_acc is None else min(mn_acc, d["_mn"])
+        if d.get("_mx") is not None:
+            mx_acc = d["_mx"] if mx_acc is None else max(mx_acc, d["_mx"])
     carries = spark.createDataFrame(
         [
             (
@@ -371,22 +377,39 @@ def cum_agg_global(
         "_pid int, _cs double, _cs2 double, _cn long, _cmn double, _cmx double",
     )
     joined = local.join(F.broadcast(carries), "_pid")
-    tot_s = F.col("_ls") + F.col("_cs")
-    tot_s2 = F.col("_ls2") + F.col("_cs2")
-    tot_n = F.col("_ln") + F.col("_cn")
-    var_expr = tot_s2 / tot_n - (tot_s / tot_n) * (tot_s / tot_n)
-    expr = {
-        "sum": tot_s,
-        "count": tot_n,
-        "avg": tot_s / tot_n,
-        "min": F.least(F.col("_lmin"), F.coalesce(F.col("_cmn"), F.col("_lmin"))),
-        "max": F.greatest(F.col("_lmax"), F.coalesce(F.col("_cmx"), F.col("_lmax"))),
-        "var": F.greatest(var_expr, F.lit(0.0)),
-        "dev": F.sqrt(F.greatest(var_expr, F.lit(0.0))),
-    }[agg]
-    return joined.withColumn(out_name, expr).drop(
-        "_pid", "_ls", "_ls2", "_ln", "_lmin", "_lmax", "_cs", "_cs2", "_cn", "_cmn", "_cmx"
+    # coalesce the LOCAL running sums to 0: a within-partition prefix of
+    # all NULLs is a NULL window sum, which would poison `local + carry`
+    # to NULL even when earlier partitions carried real values. The
+    # null-until-first-value contract (matching the plain cum_agg
+    # window) is restored via the tot_n == 0 guard.
+    tot_s = F.coalesce(F.col("_ls"), F.lit(0.0)) + F.col("_cs") if need_s else None
+    tot_s2 = (
+        F.coalesce(F.col("_ls2"), F.lit(0.0)) + F.col("_cs2") if need_s2 else None
     )
+    tot_n = F.col("_ln") + F.col("_cn") if need_n else None
+    null_d = F.lit(None).cast("double")
+    if agg == "count":
+        expr = tot_n
+    elif agg == "sum":
+        expr = F.when(tot_n == 0, null_d).otherwise(tot_s)
+    elif agg == "avg":
+        expr = F.when(tot_n == 0, null_d).otherwise(tot_s / tot_n)
+    elif agg == "min":
+        expr = F.least(F.col("_lmin"), F.coalesce(F.col("_cmn"), F.col("_lmin")))
+    elif agg == "max":
+        expr = F.greatest(F.col("_lmax"), F.coalesce(F.col("_cmx"), F.col("_lmax")))
+    else:  # var / dev
+        var_expr = tot_s2 / tot_n - (tot_s / tot_n) * (tot_s / tot_n)
+        clamped = F.greatest(var_expr, F.lit(0.0))
+        expr = F.when(
+            tot_n == 0, null_d
+        ).otherwise(clamped if agg == "var" else F.sqrt(clamped))
+    drop_cols = [
+        x for x in
+        ("_pid", "_ls", "_ls2", "_ln", "_lmin", "_lmax")
+        if x in joined.columns
+    ] + ["_cs", "_cs2", "_cn", "_cmn", "_cmx"]
+    return joined.withColumn(out_name, expr).drop(*drop_cols)
 
 
 def _cum_prd_global(
@@ -526,19 +549,27 @@ def moving_agg_global(
         )
     )
     head = head.withColumn("_win", F.concat(prev_part, own_prefix))
-    vals = F.transform(F.col("_win"), lambda s: s["v"])
+    # drop NULL values before aggregating — the collected structs keep
+    # v = NULL entries, which would poison the fold to NULL and inflate
+    # size(); interior rows use null-skipping window functions, and
+    # head rows of the same series must agree with them
+    vals = F.filter(
+        F.transform(F.col("_win"), lambda s: s["v"]), lambda x: x.isNotNull()
+    )
     _sum = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
     _sum2 = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x * x)
     _cnt = F.size(vals)
+    _null_d = F.lit(None).cast("double")
     _var = F.greatest(_sum2 / _cnt - (_sum / _cnt) * (_sum / _cnt), F.lit(0.0))
+    _empty = _cnt == 0  # all-NULL window -> NULL, like F.sum(...).over
     combined = {
-        "sum": _sum,
+        "sum": F.when(_empty, _null_d).otherwise(_sum),
         "count": _cnt.cast("long"),
         "min": F.array_min(vals),
         "max": F.array_max(vals),
-        "avg": _sum / _cnt,
-        "var": _var,
-        "dev": F.sqrt(_var),
+        "avg": F.when(_empty, _null_d).otherwise(_sum / _cnt),
+        "var": F.when(_empty, _null_d).otherwise(_var),
+        "dev": F.when(_empty, _null_d).otherwise(F.sqrt(_var)),
     }[agg]
     head_fixed = head.withColumn("_local", combined).drop("_tail", "_win")
     interior = local.filter(F.col("_lrn") >= n - 1)

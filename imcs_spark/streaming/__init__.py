@@ -38,13 +38,19 @@ def append_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        try:
+        import os
+
+        # probe existence explicitly: a blanket except around the read
+        # would treat ANY failure (permissions, corrupt footer, transient
+        # storage error) as "first batch" and silently skip the
+        # ordered-append check — the one invariant this sink exists for
+        if os.path.exists(target_path):
             current = spark.read.parquet(target_path)
             if id_col:
                 maxes = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
             else:
                 maxes = current.agg(F.max(ts_col).alias("_maxts"))
-        except Exception:  # first batch, empty table
+        else:  # first batch, table not created yet
             maxes = None
         out = batch
         if maxes is not None:
@@ -231,10 +237,17 @@ def sessionize_stream(
         seg_end = ts_arr[bounds[1:] - 1]
         seg_n = np.diff(bounds)
         if n > 0 and not gaps[0]:
-            # first segment extends the open session
+            # first segment extends the open session. min/max-merge the
+            # boundaries: a LATE but in-watermark event can sort before
+            # the stored session (start must move back) or the whole
+            # batch can predate the stored end (end must NOT regress —
+            # blindly storing the batch end shrank last_ts and the
+            # timeout, closing sessions early with a wrong session_end)
             seg_start = seg_start.copy()
+            seg_end = seg_end.copy()
             seg_n = seg_n.copy()
-            seg_start[0] = s0
+            seg_start[0] = min(s0, int(seg_start[0]))
+            seg_end[0] = max(s1, int(seg_end[0]))
             seg_n[0] += n
         prepend = n > 0 and bool(gaps[0])  # open session closes as-is
         # all segments but the last close now; the last stays in state

@@ -537,3 +537,41 @@ def test_unit_zero_norm_vector(spark):
     out = similarity.brute_force_topk(emb, q, k=3).collect()
     scores = {r.vec_id: r.cosine for r in out}
     assert scores[1] == 0.0 and scores[0] == 1.0
+
+
+def test_moving_and_cum_global_null_parity(spark):
+    """Global partition-carry paths must agree with the plain
+    null-skipping window on series containing NULLs (head rows used to
+    poison to NULL / count NULL elements; all-NULL local prefixes used
+    to erase the carry)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imcs_spark.operators import windows
+
+    rows = [(i, v) for i, v in enumerate([1.0, None, 3.0, None, 5.0, 6.0, None, 8.0])]
+    df = spark.createDataFrame(rows, "pos long, val double")
+    wmov = Window.orderBy("pos").rowsBetween(-2, 0)
+    wcum = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    for agg, fn in [("sum", F.sum), ("count", F.count), ("min", F.min),
+                    ("max", F.max), ("avg", F.avg)]:
+        ref = {r.pos: r.ref for r in df.withColumn("ref", fn("val").over(wmov)).collect()}
+        got = {
+            r.pos: r[f"window_{agg}"]
+            for r in windows.moving_agg_global(df, agg, 3, num_partitions=3).collect()
+        }
+        assert got == ref, ("moving", agg, got, ref)
+        ref = {r.pos: r.ref for r in df.withColumn("ref", fn("val").over(wcum)).collect()}
+        got = {
+            r.pos: r[f"cum_{agg}"]
+            for r in windows.cum_agg_global(df, agg, num_partitions=3).collect()
+        }
+        assert got == ref, ("cum", agg, got, ref)
+
+
+def test_approxdc_hll128_ignores_nulls(spark):
+    from imcs_spark.functions import aggregates as A
+
+    df = spark.createDataFrame([(1,), (2,), (None,), (None,)], "v int")
+    n = A.approxdc_hll128(df, "v").collect()[0]["approxdc"]
+    assert n == 2, n

@@ -317,3 +317,59 @@ def test_sessionize_stream_native_boundaries(spark):
         assert 6 not in emitted_users and 9 not in emitted_users, got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_stream_late_event_keeps_boundaries(spark):
+    """A late-but-in-watermark event that sorts BEFORE the stored
+    session must extend session_start backwards and must NOT regress
+    the stored end/timeout (which used to close the session early with
+    session_end = the late timestamp)."""
+    import json
+    import time as _time
+
+    from imcs_spark.streaming import sessionize_stream
+
+    tmp = tempfile.mkdtemp(prefix="imcs_sess_late_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    name = f"sess_late_{int(_time.time() * 1000)}"
+
+    def feed(fname, rows):
+        p = os.path.join(src, fname)
+        with open(p + ".tmp", "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    try:
+        feed("b1.json", [(1, "2024-01-01 10:00:00")])
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(src)
+        sess = sessionize_stream(stream, "ts", "user_id",
+                                 gap_seconds=60, watermark="30 minutes")
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        # late event 30 s BEFORE the stored session start (in watermark,
+        # within gap): extends the session backwards
+        feed("b2.json", [(1, "2024-01-01 09:59:30")])
+        q.processAllAvailable()
+        # advance event time far enough that watermark (max - 30min)
+        # passes the session timeout (end + 60s)
+        feed("b3.json", [(9, "2024-01-01 12:00:00")])
+        q.processAllAvailable()
+        feed("b4.json", [(9, "2024-01-01 13:00:00")])
+        q.processAllAvailable()
+        q.stop()
+        rows = [r for r in spark.sql(f"select * from {name}").collect()
+                if r["user_id"] == 1]
+        assert len(rows) == 1, rows
+        r = rows[0]
+        assert str(r["session_start"]) == "2024-01-01 09:59:30", r
+        assert str(r["session_end"]) == "2024-01-01 10:00:00", r  # no regress
+        assert r["n_events"] == 2, r
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

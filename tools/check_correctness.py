@@ -111,6 +111,13 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo would otherwise skip everything and exit 0 (vacuous
+        # success for any CI invocation checking one query)
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        print(f"registered: {sorted(qs)}")
+        sys.exit(2)
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
         if only and name not in only:
