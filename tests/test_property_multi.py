@@ -443,3 +443,53 @@ def test_cum_prd_global_matches_sequential(spark):
     for i, v in enumerate(vals):
         run *= v
         assert got[i] == pytest.approx(run, rel=1e-9, abs=1e-12), i
+
+
+def test_global_carries_with_random_nulls(spark):
+    """Randomized NULL-bearing series: every global partition-carry
+    aggregate must equal the plain single-window (null-skipping)
+    semantics — heads, interiors, all-NULL prefixes, and all-NULL
+    partitions alike."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imcs_spark.operators import windows
+
+    rng = random.Random(99)
+    vals = [
+        None if rng.random() < 0.3 else round(rng.uniform(-50, 50), 3)
+        for _ in range(200)
+    ]
+    # force an all-NULL leading block (spans the first partition)
+    for i in range(30):
+        vals[i] = None
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, val double"
+    )
+    wcum = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    wmov = Window.orderBy("pos").rowsBetween(-4, 0)
+    aggs = [("sum", F.sum), ("count", F.count), ("min", F.min),
+            ("max", F.max), ("avg", F.avg)]
+    for agg, fn in aggs:
+        ref = {r.pos: r.ref for r in df.withColumn("ref", fn("val").over(wcum)).collect()}
+        got = {
+            r.pos: r[f"cum_{agg}"]
+            for r in windows.cum_agg_global(df, agg, num_partitions=6).collect()
+        }
+        for p in ref:
+            if ref[p] is None or got[p] is None:
+                assert ref[p] == got[p], ("cum", agg, p, ref[p], got[p])
+            else:
+                assert got[p] == pytest.approx(ref[p], rel=1e-9), ("cum", agg, p)
+        ref = {r.pos: r.ref for r in df.withColumn("ref", fn("val").over(wmov)).collect()}
+        got = {
+            r.pos: r[f"window_{agg}"]
+            for r in windows.moving_agg_global(df, agg, 5, num_partitions=6).collect()
+        }
+        for p in ref:
+            if ref[p] is None or got[p] is None:
+                assert ref[p] == got[p], ("mov", agg, p, ref[p], got[p])
+            else:
+                assert got[p] == pytest.approx(ref[p], rel=1e-9), ("mov", agg, p)
