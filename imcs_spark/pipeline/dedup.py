@@ -17,6 +17,16 @@ Beyond the reference's surface (it has no document ops); designed for
 
 All hashes are deterministic (xxhash64 with literal salts), so results
 are reproducible across runs and cluster sizes.
+
+Cache ownership: several operators persist intermediates that the
+RETURNED DataFrame's lineage still references (candidate sets,
+signatures, bucketed units) — they cannot be unpersisted here without
+breaking the caller's plan. Ownership transfers to the caller: after
+materializing the result, reclaim storage with
+spark.catalog.clearCache() (or unpersist the returned frame's
+dependencies); long-lived sessions running dedup over many corpora
+should do this between corpora. The query registry's artifact model
+(queries.py:_artifact) relies on exactly this retention.
 """
 
 from __future__ import annotations
@@ -52,6 +62,8 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact dedup on normalized content digest; keeps the min (or max)
     id per digest. Returns the surviving rows."""
+    if keep not in ("min", "max"):
+        raise ValueError(f"exact_dedup: keep must be 'min' or 'max', got {keep!r}")
     digest = F.md5(_normalize(text_col))
     w = Window.partitionBy("_digest").orderBy(
         F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
@@ -356,9 +368,11 @@ def simhash_near_pairs(
     offsets = [sum(widths[:b]) for b in range(blocks)]
 
     def chunk_expr(b):
-        return F.shiftrightunsigned("simhash", offsets[b]).bitwiseAND(
-            F.lit((1 << widths[b]) - 1)
-        )
+        # a 64-bit band (blocks=1, i.e. max_hamming=0) needs the
+        # all-ones mask as -1 — the unsigned literal 2^64-1 overflows
+        # the long literal and crashes in py4j
+        mask = -1 if widths[b] == 64 else (1 << widths[b]) - 1
+        return F.shiftrightunsigned("simhash", offsets[b]).bitwiseAND(F.lit(mask))
 
     exact = sig.select(
         id_col,
@@ -381,7 +395,11 @@ def simhash_near_pairs(
                 probe_structs.append(
                     F.struct(
                         F.lit(b).alias("band"),
-                        c.bitwiseXOR(F.lit(1 << j)).alias("chunk"),
+                        # bit 63 as a signed-long literal (1<<63
+                        # overflows; -(1<<63) is the same bit pattern)
+                        c.bitwiseXOR(
+                            F.lit((1 << j) if j < 63 else -(1 << 63))
+                        ).alias("chunk"),
                     )
                 )
         probes = sig.select(
@@ -407,7 +425,9 @@ def simhash_near_pairs(
     xor = F.col("_lsig").bitwiseXOR(F.col("_rsig"))
     band_ok = [
         F.bit_count(
-            F.shiftrightunsigned(xor, offsets[b]).bitwiseAND(F.lit((1 << widths[b]) - 1))
+            F.shiftrightunsigned(xor, offsets[b]).bitwiseAND(
+                F.lit(-1 if widths[b] == 64 else (1 << widths[b]) - 1)
+            )
         )
         <= probe_errors
         for b in range(blocks)
@@ -437,9 +457,14 @@ def embedding_near_dups(
     :func:`embedding_near_dups_lsh`, which gates the same exact filter
     behind an LSH bucket join."""
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
+    # zero-norm guard: an all-zero embedding would raise DIVIDE_BY_ZERO
+    # under ANSI mode (Spark 4 default) and NULL-poison cosines
+    # otherwise; norm->1 keeps the vector zero and its cosines 0, same
+    # convention as similarity._unit / unit_bucket_udf
+    safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
     unit = df.select(
         id_col,
-        F.transform(vec_col, lambda x: x / norm).alias("_unit"),
+        F.transform(vec_col, lambda x: x / safe).alias("_unit"),
     )
     l = unit.select(F.col(id_col).alias("left_id"), F.col("_unit").alias("_lv"))
     r = unit.select(F.col(id_col).alias("right_id"), F.col("_unit").alias("_rv"))
@@ -625,7 +650,10 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    if max_iter < 1:
+        raise ValueError(f"connected_components: max_iter must be >= 1, got {max_iter}")
     prev = None
+    changed = -1  # set by every loop iteration; read by the else branch
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["node"])

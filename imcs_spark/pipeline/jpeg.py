@@ -440,6 +440,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if d[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(d):
+            raise ValueError("truncated JPEG stream (lone 0xFF at end)")
         marker = d[pos + 1]
         if marker == 0xFF:  # fill byte (T.81 B.1.1.2): skip one 0xFF
             pos += 1
@@ -449,7 +451,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             continue
         if marker == 0xD9:  # EOI
             break
+        if pos + 2 > len(d):
+            raise ValueError("truncated JPEG stream (marker without length)")
         (seglen,) = struct.unpack(">H", d[pos : pos + 2])
+        if pos + seglen > len(d):
+            raise ValueError("truncated JPEG stream (segment exceeds data)")
         payload = d[pos + 2 : pos + seglen]
         if marker in (0xC2, 0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
@@ -461,6 +467,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 "non-baseline JPEG frame marker 0xFF%02X not supported" % marker
             )
         if marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
+            if len(payload) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG not supported")
@@ -503,6 +511,8 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 huff[(tclass, tid)] = _decode_table(bits, values)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
             if frame is None:

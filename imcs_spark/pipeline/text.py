@@ -88,7 +88,19 @@ def lang_id(text_col: str = "text", default: str = "unknown", min_score: float =
         ]
     )
     best = F.array_max(pairs)
-    return F.when(best["s"] > min_score, best["l"]).otherwise(F.lit(default))
+    # CJK script detection must run at the CHARACTER level: real
+    # Chinese text has no whitespace between words, so the token-based
+    # zh stopword ratio above can never fire on unsegmented input.
+    # When a third of the characters are CJK ideographs, that signal
+    # dominates any stopword ratio.
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.greatest(F.length(c), F.lit(1))
+    cjk_ratio = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) / n_chars
+    return (
+        F.when(cjk_ratio > 0.33, F.lit("zh"))
+        .when(best["s"] > min_score, best["l"])
+        .otherwise(F.lit(default))
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -72,6 +72,20 @@ def parse(spark: SparkSession, literal: str) -> DataFrame:
     elif type_name == "money":
         from decimal import Decimal
 
+        # UNQUOTED amounts with thousands separators would be split
+        # apart at their commas — '$1,000.50' becomes ['$1', '000.50'],
+        # both of which LOOK like valid items (silently wrong by 999).
+        # The thousands-group shape — a comma followed by EXACTLY three
+        # digits — outside quotes is ambiguous with an item separator:
+        # refuse it and require quoting ('"$1,000.50"'). Ordinary
+        # separators between decimal amounts ('100.99,99.01') don't
+        # match the shape.
+        unquoted = re.sub(r'"[^"]*"|\'[^\']*\'', "", body)
+        if re.search(r"\d,\d{3}(?!\d)", unquoted):
+            raise ValueError(
+                "ambiguous money literal: quote amounts containing"
+                f" thousands separators ({literal!r})"
+            )
         vals = [
             Decimal(x.strip("'\"").replace("$", "").replace(",", "")).quantize(
                 Decimal("0.01")
@@ -86,6 +100,13 @@ def parse(spark: SparkSession, literal: str) -> DataFrame:
 def to_array(df: DataFrame, val_col: str = VAL, pos_col: str = POS) -> Column:
     """cs_to_array: aggregate the series into one array column (ordered
     by pos). Use inside .agg(); collects per group, so size-bounded."""
+    missing = [c for c in (val_col, pos_col) if c not in df.columns]
+    if missing:
+        # the returned Column resolves against whatever frame the .agg
+        # runs on, so validate against the frame the caller named — a
+        # name mismatch would otherwise surface later as a confusing
+        # UNRESOLVED_COLUMN on a different DataFrame
+        raise ValueError(f"to_array: column(s) {missing} not in frame")
     return F.array_sort(
         F.collect_list(F.struct(F.col(pos_col), F.col(val_col)))
     ).getField(val_col)
@@ -121,13 +142,17 @@ def call(
 def str2code(df: DataFrame, str_col: str, code_col: str = "code") -> DataFrame:
     """cs_str2code compat: dense integer codes for strings (dictionary
     encoding made explicit). Deterministic: codes assigned by sorted
-    string order."""
+    NON-NULL string order; NULL strings keep their rows with a NULL
+    code (an inner join silently dropped them — and let a NULL consume
+    a dictionary slot)."""
     from ..series import zip_with_global_pos
 
     dictionary = zip_with_global_pos(
-        df.select(str_col).distinct(), [str_col], pos_col=code_col
+        df.select(str_col).filter(F.col(str_col).isNotNull()).distinct(),
+        [str_col],
+        pos_col=code_col,
     )
-    return df.join(dictionary, str_col)
+    return df.join(dictionary, str_col, "left")
 
 
 def code2str(coded: DataFrame, dictionary: DataFrame, code_col: str = "code") -> DataFrame:

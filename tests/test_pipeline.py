@@ -717,3 +717,55 @@ def test_decode_stub_and_truncated_pnm():
     assert feats.shape == (multimodal.FEATURE_DIM,)
     with pytest.raises(ValueError, match="truncated PNM"):
         multimodal.decode_pnm(b"P6 4")
+
+
+def test_sixth_batch_edge_guards(spark):
+    """Edge guards from the high-effort review: zero-norm embeddings in
+    the exact path, 64-bit simhash band (max_hamming=0), NULL strings
+    in str2code, invalid keep/max_iter, money literal validation."""
+    import numpy as np
+
+    from imcs_spark import sources
+    from imcs_spark.pipeline import dedup
+
+    # zero vector must not crash nor pair with anything
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r.left_id, r.right_id) for r in dedup.embedding_near_dups(df, threshold=0.9).collect()}
+    assert pairs == {(0, 2)}
+
+    # max_hamming=0: exact-duplicate simhash pairs via one 64-bit band
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    got = {(r.left_id, r.right_id) for r in dedup.simhash_near_pairs(docs, max_hamming=0).collect()}
+    assert got == {(0, 1)}
+
+    # NULL strings keep their rows with NULL codes
+    sdf = spark.createDataFrame([("a",), (None,), ("b",), ("a",)], "s string")
+    coded = sources.str2code(sdf, "s").collect()
+    assert len(coded) == 4
+    assert sum(1 for r in coded if r["code"] is None) == 1
+
+    with pytest.raises(ValueError, match="keep"):
+        dedup.exact_dedup(docs, keep="mim")
+    with pytest.raises(ValueError, match="max_iter"):
+        dedup.connected_components(
+            spark.createDataFrame([(1, 2)], "left_id long, right_id long"),
+            max_iter=0, driver_cutoff=0,
+        )
+    with pytest.raises(ValueError, match="money"):
+        sources.parse(spark, "money:{$1,000.50,$2.00}")
+    # quoted grouped amounts still parse
+    vals = [r["val"] for r in sources.parse(spark, "money:{\"$1,000.50\",$2.00}").collect()]
+    assert [float(v) for v in vals] == [1000.50, 2.00]
+
+
+def test_lang_id_unsegmented_chinese(spark):
+    from imcs_spark.pipeline import text
+
+    rows = [(0, "的是了在和有我不人这的是了在和有我不"),
+            (1, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang for r in df.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert got[0] == "zh" and got[1] == "en", got
