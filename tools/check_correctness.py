@@ -45,6 +45,13 @@ def norm_cell(v):
 
 
 def rows_to_multiset(rows, colnames):
+    # Alignment caveat: both sides sort by the stringified rounded row,
+    # then compare pairwise with tolerance. Rows whose float cells
+    # straddle a rounding/sort boundary could misalign — every
+    # registered query guards against this by rounding its float
+    # outputs to 6 decimals IN THE QUERY (Spark and oracle alike), so
+    # the sort keys are bit-identical whenever values match. Keep that
+    # convention when adding queries.
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for r in rows:
