@@ -81,26 +81,29 @@ def lang_id(text_col: str = "text", default: str = "unknown", min_score: float =
     toks = _tokens(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
     counts = _lang_counts(text_col)
-    pairs = F.array(
-        *[
-            F.struct((counts[lang] / n).alias("s"), F.lit(lang).alias("l"))
-            for lang in _STOPWORDS
-        ]
-    )
-    best = F.array_max(pairs)
     # CJK script detection must run at the CHARACTER level: real
     # Chinese text has no whitespace between words, so the token-based
-    # zh stopword ratio above can never fire on unsegmented input.
-    # When a third of the characters are CJK ideographs, that signal
-    # dominates any stopword ratio.
+    # zh stopword ratio can never fire on unsegmented input. The signal
+    # joins the candidate array as a dominating zh entry (score 9 when
+    # over a third of the characters are CJK ideographs) rather than an
+    # outer when() — wrapping the argmax in another conditional pushed
+    # the generated code past the codegen method limit and ran the
+    # whole expression interpreted (~4x slower at sf0.1).
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     n_chars = F.greatest(F.length(c), F.lit(1))
     cjk_ratio = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) / n_chars
-    return (
-        F.when(cjk_ratio > 0.33, F.lit("zh"))
-        .when(best["s"] > min_score, best["l"])
-        .otherwise(F.lit(default))
+    entries = [
+        F.struct((counts[lang] / n).alias("s"), F.lit(lang).alias("l"))
+        for lang in _STOPWORDS
+    ]
+    entries.append(
+        F.struct(
+            F.when(cjk_ratio > 0.33, F.lit(9.0)).otherwise(F.lit(-1.0)).alias("s"),
+            F.lit("zh").alias("l"),
+        )
     )
+    best = F.array_max(F.array(*entries))
+    return F.when(best["s"] > min_score, best["l"]).otherwise(F.lit(default))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
