@@ -439,6 +439,7 @@ def _cum_prd_global(
         pid.withColumn("_lls", F.coalesce(F.sum(log_abs).over(w), F.lit(0.0)))
         .withColumn("_lnz", F.sum(is_zero).over(w))
         .withColumn("_lnn", F.sum(is_neg).over(w))
+        .withColumn("_lc", F.count(c).over(w))
     )
     totals = (
         pid.groupBy("_pid")
@@ -446,27 +447,37 @@ def _cum_prd_global(
             F.coalesce(F.sum(log_abs), F.lit(0.0)).alias("_s"),
             F.sum(is_zero).alias("_z"),
             F.sum(is_neg).alias("_n"),
+            F.count(c).alias("_c"),
         )
         .orderBy("_pid")
         .collect()
     )
-    rows, s_acc, z_acc, n_acc = [], 0.0, 0, 0
+    rows, s_acc, z_acc, n_acc, c_acc = [], 0.0, 0, 0, 0
     for r in totals:
-        rows.append((r["_pid"], s_acc, z_acc, n_acc))
+        rows.append((r["_pid"], s_acc, z_acc, n_acc, c_acc))
         s_acc += r["_s"]
         z_acc += r["_z"]
         n_acc += r["_n"]
+        c_acc += r["_c"]
     carries = spark.createDataFrame(
-        rows, "_pid int, _cs double, _cz long, _cn long"
+        rows, "_pid int, _cs double, _cz long, _cn long, _cc long"
     )
     joined = local.join(F.broadcast(carries), "_pid")
     tot_log = F.col("_lls") + F.col("_cs")
     tot_zero = F.col("_lnz") + F.col("_cz")
     tot_neg = F.col("_lnn") + F.col("_cn")
+    tot_cnt = F.col("_lc") + F.col("_cc")
     sign = F.when(tot_neg % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-    expr = F.when(tot_zero > 0, F.lit(0.0)).otherwise(sign * F.exp(tot_log))
+    # null-until-first-value, matching the plain cum window and the
+    # sum/avg paths of cum_agg_global (an all-NULL prefix used to
+    # return exp(0) = 1.0 through the coalesced log sum)
+    expr = (
+        F.when(tot_cnt == 0, F.lit(None).cast("double"))
+        .when(tot_zero > 0, F.lit(0.0))
+        .otherwise(sign * F.exp(tot_log))
+    )
     return joined.withColumn(out_name, expr).drop(
-        "_pid", "_lls", "_lnz", "_lnn", "_cs", "_cz", "_cn"
+        "_pid", "_lls", "_lnz", "_lnn", "_lc", "_cs", "_cz", "_cn", "_cc"
     )
 
 
@@ -617,23 +628,31 @@ def _ewm_global(
     )
     carries, carry = [], carry0
     for r in stats:
-        carries.append((r["_pid"], None if carry is None else float(carry)))
+        # ship each partition's first value with its carry: it is
+        # already known from the stats pass, and re-deriving it with an
+        # unbounded first() window at execution time cost a full extra
+        # window evaluation over every row
+        carries.append(
+            (
+                r["_pid"],
+                None if carry is None else float(carry),
+                None if r["_xf"] is None else float(r["_xf"]),
+            )
+        )
         if carry is None:
             carry = r["_ll"]
         else:
             carry = r["_ll"] + (a ** r["_len"]) * (carry - r["_xf"])
     spark = df.sparkSession
-    cdf = spark.createDataFrame(carries, "_pid int, _carry double")
+    cdf = spark.createDataFrame(carries, "_pid int, _carry double, _xf double")
     joined = local.join(F.broadcast(cdf), "_pid")
     fixed = F.when(
         F.col("_carry").isNull(), F.col("_l")
     ).otherwise(
         F.col("_l")
-        + F.pow(F.lit(a), F.col("_k") + 1) * (F.col("_carry") - F.first(val_col).over(
-            Window.partitionBy("_pid").orderBy(pos_col).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ))
+        + F.pow(F.lit(a), F.col("_k") + 1) * (F.col("_carry") - F.col("_xf"))
     )
-    return joined.withColumn(out_col, fixed).drop("_pid", "_l", "_k", "_carry")
+    return joined.withColumn(out_col, fixed).drop("_pid", "_l", "_k", "_carry", "_xf")
 
 
 def ema_global(

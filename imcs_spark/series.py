@@ -204,7 +204,14 @@ def run_id(
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
     else:
         w = Window.orderBy(*order_by)
-    change = F.when(g.eqNullSafe(F.lag(g).over(w)), F.lit(0)).otherwise(F.lit(1))
+    # first-row detection must be independent of the group value:
+    # lag(g) is NULL both for "no previous row" and "previous value is
+    # NULL", and eqNullSafe(NULL, NULL) is true — a series STARTING with
+    # NULL group values would count no change and emit run_id = -1.
+    first_row = F.lag(F.lit(1)).over(w).isNull()
+    change = F.when(
+        first_row | ~g.eqNullSafe(F.lag(g).over(w)), F.lit(1)
+    ).otherwise(F.lit(0))
     return df.withColumn(out_col, F.sum(change).over(w) - F.lit(1))
 
 
@@ -224,17 +231,23 @@ def sessionize(
     else:
         w = Window.orderBy(ts_col)
     # Type-aware gap arithmetic: TIMESTAMP / TIMESTAMP_NTZ forbid numeric
-    # casts (Spark 4); normalize both to epoch seconds via unix_micros
-    # (NTZ -> TIMESTAMP cast is allowed and value-preserving under the
-    # session timezone). Numeric ts columns pass through as double, so
-    # `gap` keeps its "same units as ts differences" contract: seconds
-    # for timestamps, raw units otherwise.
+    # casts (Spark 4). TIMESTAMP normalizes via unix_micros; NTZ uses
+    # LINEAR wall-clock seconds (interval since the NTZ epoch) — a cast
+    # through TIMESTAMP would map wall time to instants via the session
+    # timezone, distorting gap differences across DST transitions (a
+    # 75-minute wall gap reads as 15 minutes over spring-forward).
+    # Numeric ts columns pass through as double, so `gap` keeps its
+    # "same units as ts differences" contract: seconds for timestamps,
+    # raw units otherwise.
     dt = df.schema[ts_col].dataType
     tsn = F.col(ts_col)
     if isinstance(dt, T.TimestampNTZType):
-        tsn = tsn.cast("timestamp")
-        dt = T.TimestampType()
-    if isinstance(dt, T.TimestampType):
+        tsn = (
+            (tsn - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+            .cast("decimal(30,6)")
+            .cast("double")
+        )
+    elif isinstance(dt, T.TimestampType):
         tsn = F.unix_micros(tsn) / F.lit(1000000.0)
     else:
         tsn = tsn.cast("double")

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -36,27 +37,63 @@ def append_stream(
     matching the reference trigger's behavior."""
     state: dict = {}
 
+    def _table_exists(spark, path: str) -> bool:
+        # Hadoop FileSystem probe — works for any scheme (s3a://,
+        # hdfs://, file:). os.path.exists is local-only and would
+        # silently disable the ordered-append check on remote storage;
+        # a blanket except around the read would likewise treat ANY
+        # failure (permissions, corrupt footer) as "first batch".
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        import os
-
-        # probe existence explicitly: a blanket except around the read
-        # would treat ANY failure (permissions, corrupt footer, transient
-        # storage error) as "first batch" and silently skip the
-        # ordered-append check — the one invariant this sink exists for
-        if os.path.exists(target_path):
-            current = spark.read.parquet(target_path)
-            if id_col:
-                maxes = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
-            else:
-                maxes = current.agg(F.max(ts_col).alias("_maxts"))
-        else:  # first batch, table not created yet
-            maxes = None
+        # Incremental max tracking: the stored per-series maxes are read
+        # from the table ONCE (first batch of this run) and then updated
+        # from each appended batch — re-scanning the whole table per
+        # micro-batch would cost O(total history) per batch on a
+        # growing table. State is bounded by series count (same order
+        # as the broadcast the check needs anyway).
+        if "maxes" not in state:
+            if _table_exists(spark, target_path):
+                current = spark.read.parquet(target_path)
+                if id_col:
+                    rows = (
+                        current.groupBy(id_col)
+                        .agg(F.max(ts_col).alias("_maxts"))
+                        .collect()
+                    )
+                    state["maxes"] = {r[id_col]: r["_maxts"] for r in rows}
+                else:
+                    r = current.agg(F.max(ts_col).alias("_maxts")).collect()[0]
+                    state["maxes"] = (
+                        {} if r["_maxts"] is None else {None: r["_maxts"]}
+                    )
+            else:  # first batch, table not created yet
+                state["maxes"] = {}
+        known = state["maxes"]
         out = batch
-        if maxes is not None:
+        if known:
+            ts_type = batch.schema[ts_col].dataType
             if id_col:
+                id_type = batch.schema[id_col].dataType
+                maxes = spark.createDataFrame(
+                    list(known.items()),
+                    T.StructType(
+                        [
+                            T.StructField(id_col, id_type),
+                            T.StructField("_maxts", ts_type),
+                        ]
+                    ),
+                )
                 out = batch.join(F.broadcast(maxes), id_col, "left")
             else:
+                maxes = spark.createDataFrame(
+                    [(list(known.values())[0],)],
+                    T.StructType([T.StructField("_maxts", ts_type)]),
+                )
                 out = batch.crossJoin(F.broadcast(maxes))
             late = out.filter(F.col(ts_col) < F.col("_maxts"))
             if on_violation == "error":
@@ -71,6 +108,18 @@ def append_stream(
                 )
             out = out.drop("_maxts")
         out.write.mode("append").parquet(target_path)
+        # fold the appended batch's maxes into the tracked state
+        if id_col:
+            for r in out.groupBy(id_col).agg(F.max(ts_col).alias("_m")).collect():
+                prev = known.get(r[id_col])
+                if prev is None or (r["_m"] is not None and r["_m"] > prev):
+                    known[r[id_col]] = r["_m"]
+        else:
+            r = out.agg(F.max(ts_col).alias("_m")).collect()[0]
+            if r["_m"] is not None:
+                prev = known.get(None)
+                if prev is None or r["_m"] > prev:
+                    known[None] = r["_m"]
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:
@@ -167,8 +216,19 @@ def sessionize_stream(
     insert trigger is row-at-a-time, imcs.c:4617-4812)."""
     import pandas as pd
 
+    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_dt = stream_df.schema[user_col].dataType
+    if not isinstance(key_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # the numpy kernel and output schema carry the key as int64; a
+        # string key would die mid-query inside the state worker with an
+        # opaque Arrow error — fail upfront with the alternative
+        raise TypeError(
+            f"sessionize_stream: {user_col} must be an integer type, got"
+            f" {key_dt.simpleString()}; use sessionize_stream_native for"
+            " arbitrary key types"
+        )
     out_schema = (
         f"{user_col} long, session_start timestamp, "
         "session_end timestamp, n_events long"
@@ -216,55 +276,48 @@ def sessionize_stream(
             # non-empty chunk list of zero-length arrays (empty Arrow
             # batches) — nothing to do, and gaps[0] below would throw
             return
-        if state.exists:
-            s0, s1, n = state.get
-        else:
-            s0, s1, n = int(ts_arr[0]), int(ts_arr[0]), 0
-        gaps = np.empty(ts_arr.size, dtype=bool)
-        gaps[0] = n > 0 and (int(ts_arr[0]) - s1) > gap_us
-        if ts_arr.size > 1:
-            gaps[1:] = np.diff(ts_arr) > gap_us
-        # segment boundaries WITHIN the batch only (gaps[0] is not a
-        # boundary between batch elements — it says whether the open
-        # session closes before element 0, handled via prepend below;
-        # including index 0 here produced a phantom zero-event segment
-        # whenever a batch opened past the gap)
-        interior = (np.flatnonzero(gaps[1:]) + 1).astype("int64")
+        # within-batch gap segmentation (vectorized): segment boundaries
+        # wherever consecutive sorted events are > gap apart
+        interior = (np.flatnonzero(np.diff(ts_arr) > gap_us) + 1).astype("int64")
         bounds = np.concatenate(
             (np.array([0], dtype="int64"), interior, np.array([ts_arr.size], dtype="int64"))
         )
-        seg_start = ts_arr[bounds[:-1]]
-        seg_end = ts_arr[bounds[1:] - 1]
-        seg_n = np.diff(bounds)
-        if n > 0 and not gaps[0]:
-            # first segment extends the open session. min/max-merge the
-            # boundaries: a LATE but in-watermark event can sort before
-            # the stored session (start must move back) or the whole
-            # batch can predate the stored end (end must NOT regress —
-            # blindly storing the batch end shrank last_ts and the
-            # timeout, closing sessions early with a wrong session_end)
-            seg_start = seg_start.copy()
-            seg_end = seg_end.copy()
-            seg_n = seg_n.copy()
-            seg_start[0] = min(s0, int(seg_start[0]))
-            seg_end[0] = max(s1, int(seg_end[0]))
-            seg_n[0] += n
-        prepend = n > 0 and bool(gaps[0])  # open session closes as-is
-        # all segments but the last close now; the last stays in state
-        c_start, c_end, c_n = seg_start[:-1], seg_end[:-1], seg_n[:-1]
-        if prepend:
-            c_start = np.concatenate(([s0], c_start))
-            c_end = np.concatenate(([s1], c_end))
-            c_n = np.concatenate(([n], c_n))
-        state.update((int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1])))
-        state.setTimeoutTimestamp((int(seg_end[-1]) + gap_us) // 1000)
-        if c_n.size:
+        segs = [
+            [int(ts_arr[bounds[i]]), int(ts_arr[bounds[i + 1] - 1]),
+             int(bounds[i + 1] - bounds[i])]
+            for i in range(len(bounds) - 1)
+        ]
+        # merge the stored open session as an INTERVAL into the sorted
+        # segment list. Comparing only against the stored end (the old
+        # gaps[0] test) mishandled late events: an event long BEFORE the
+        # open session unconditionally "extended" it (one wrong merged
+        # span) instead of forming its own earlier session. The interval
+        # merge places the stored session by start time and coalesces
+        # any neighbors within the gap on either side.
+        if state.exists:
+            segs.append([int(v) for v in state.get])
+            segs.sort()
+            merged = [segs[0]]
+            for st, en, cn in segs[1:]:
+                if st - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], en)
+                    merged[-1][2] += cn
+                else:
+                    merged.append([st, en, cn])
+            segs = merged
+        # all sessions but the time-latest close now; the latest stays
+        # open in state with its timeout at end + gap
+        closed, last = segs[:-1], segs[-1]
+        state.update((last[0], last[1], last[2]))
+        state.setTimeoutTimestamp((last[1] + gap_us) // 1000)
+        if closed:
+            c = np.asarray(closed, dtype="int64")
             yield pd.DataFrame(
                 {
-                    user_col: np.full(c_n.size, uid, dtype="int64"),
-                    "session_start": c_start.astype("datetime64[us]"),
-                    "session_end": c_end.astype("datetime64[us]"),
-                    "n_events": c_n.astype("int64"),
+                    user_col: np.full(len(closed), uid, dtype="int64"),
+                    "session_start": c[:, 0].astype("datetime64[us]"),
+                    "session_end": c[:, 1].astype("datetime64[us]"),
+                    "n_events": c[:, 2],
                 }
             )
 

@@ -373,3 +373,71 @@ def test_sessionize_stream_late_event_keeps_boundaries(spark):
         assert r["n_events"] == 2, r
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_stream_late_event_beyond_gap_is_own_session(spark):
+    """A late in-watermark event arriving more than a gap BEFORE the
+    stored session must form its OWN earlier session (the old end-only
+    comparison merged it unconditionally into one wrong span)."""
+    import json
+    import time as _time
+
+    from imcs_spark.streaming import sessionize_stream
+
+    tmp = tempfile.mkdtemp(prefix="imcs_sess_late2_")
+    src = os.path.join(tmp, "in")
+    os.makedirs(src)
+    name = f"sess_late2_{int(_time.time() * 1000)}"
+
+    def feed(fname, rows):
+        p = os.path.join(src, fname)
+        with open(p + ".tmp", "w") as f:
+            for uid, ts in rows:
+                f.write(json.dumps({"user_id": uid, "ts": ts}) + "\n")
+        os.rename(p + ".tmp", p)
+
+    try:
+        feed("b1.json", [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00")])
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(src)
+        sess = sessionize_stream(stream, "ts", "user_id",
+                                 gap_seconds=60, watermark="2 hours")
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        # b1 formed two sessions (10:00 and 10:10 are > 60s apart); the
+        # 10:00 one closed, 10:10 stays open. Now a late event one hour
+        # earlier (in the 2h watermark) must be ITS OWN closed session,
+        # not a merge into [09:00, 10:10].
+        feed("b2.json", [(1, "2024-01-01 09:00:00")])
+        q.processAllAvailable()
+        # flush the open session via timeout
+        feed("b3.json", [(9, "2024-01-01 15:00:00")])
+        q.processAllAvailable()
+        feed("b4.json", [(9, "2024-01-01 16:00:00")])
+        q.processAllAvailable()
+        q.stop()
+        rows = [r for r in spark.sql(f"select * from {name}").collect()
+                if r["user_id"] == 1]
+        got = {str(r["session_start"]): (str(r["session_end"]), r["n_events"])
+               for r in rows}
+        assert got == {
+            "2024-01-01 09:00:00": ("2024-01-01 09:00:00", 1),
+            "2024-01-01 10:00:00": ("2024-01-01 10:00:00", 1),
+            "2024-01-01 10:10:00": ("2024-01-01 10:10:00", 1),
+        }, got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_stream_rejects_string_key(spark):
+    from imcs_spark.streaming import sessionize_stream
+
+    stream = spark.readStream.schema("user_id string, ts timestamp").format("rate").load() \
+        if False else None
+    df = spark.createDataFrame([], "user_id string, ts timestamp")
+    with pytest.raises(TypeError, match="integer type"):
+        sessionize_stream(df, "ts", "user_id")
