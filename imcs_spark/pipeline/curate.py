@@ -126,8 +126,10 @@ def split_bucket(key_col: str | Column, buckets: int = 100) -> Column:
     bits, modulo `buckets`; the old 16-bit prefix silently broke past
     65,536 buckets and skewed badly approaching it). Use a stable
     business key (id, URL), never a row position."""
-    if not 0 < buckets <= 1 << 32:
-        raise ValueError(f"split_bucket: buckets must be in (0, 2^32], got {buckets}")
+    if not 0 < buckets <= 1 << 31:
+        # 2^31 still yields int-safe bucket ids (max id 2^31 - 1); past
+        # that the int cast below would overflow
+        raise ValueError(f"split_bucket: buckets must be in (0, 2^31], got {buckets}")
     c = F.col(key_col) if isinstance(key_col, str) else key_col
     h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
     return (h % buckets).cast("int")
@@ -192,11 +194,43 @@ def pack_sequences(
 # Pattern dialect note: every regex below sticks to the intersection of
 # Java regex (Spark executors) and RE2 (DuckDB oracle / Go tooling) —
 # character classes, bounded quantifiers, \b, \d — no lookarounds, no
-# backreferences — so redaction is bit-identical across engines.
+# backreferences in the PATTERN (Java `$1` / RE2 `\1` in the
+# REPLACEMENT is fine: each engine spells it its own way) — so
+# redaction is bit-identical across engines.
+#
+# Phone boundary note: \b can't anchor the start of a digit-run
+# pattern that may begin with '+' (non-word char), so the phone rule
+# uses a match-and-keep leading guard `(^|[^0-9])` with `$1` in the
+# replacement — a digit-glued run like '8555-123-4567' is now left
+# alone (symmetric with the SSN rule) instead of half-redacted.
+#
+# IPv6 subset (documented): full 8-group form, and `::`-compressed
+# forms whose FIRST group contains at least one digit (2001:, fe80:,
+# fd00:, ... all qualify). The digit requirement keeps all-hex-letter
+# identifiers like C++ `a::b` / `std::vector` ('d' is hex!) from
+# being eaten; the cost is missing `::1` / `abcd:beef::1`-style
+# addresses with no digit before the `::`.
+_HEXG = "[0-9A-Fa-f]{1,4}"
+# exactly 1-4 hex chars, at least one of them a decimal digit
+_HEXG_DIG = (
+    "(?:[0-9][0-9A-Fa-f]{0,3}|[A-Fa-f][0-9][0-9A-Fa-f]{0,2}"
+    "|[A-Fa-f]{2}[0-9][0-9A-Fa-f]?|[A-Fa-f]{3}[0-9])"
+)
+IPV6_PATTERN = (
+    rf"\b(?:{_HEXG}:){{7}}{_HEXG}\b"  # full 8-group form
+    # compressed, hex present after the '::' (leftmost-first: before
+    # the trailing-:: alternative so '2001:db8::1' takes the long form)
+    rf"|\b{_HEXG_DIG}(?::{_HEXG}){{0,5}}::{_HEXG}(?::{_HEXG}){{0,5}}\b"
+    rf"|\b{_HEXG_DIG}(?::{_HEXG}){{0,6}}::"  # trailing '::' (fe80::)
+)
+
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    # (category, pattern, replacement token); order matters — emails
-    # are consumed before phone/IP rules can bite their digit runs,
-    # SSNs before the phone rule (both are dashed digit groups).
+    # (category, pattern, replacement); order matters — emails are
+    # consumed before phone/IP rules can bite their digit runs, SSNs
+    # before the phone rule (both are dashed digit groups); the
+    # Luhn-gated credit-card stage (not a plain regex — see
+    # redact_pii) runs between ssn and phone so 4-4-4-4 card groups
+    # are consumed before the phone rule can nibble their tail.
     (
         "email",
         r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
@@ -208,23 +242,84 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
     # can't half-match and leak digits beside the token
     (
         "phone",
-        r"(?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}\b|\+?\d{1,2}-\d{3}-\d{4}\b",
-        "[PHONE]",
+        r"(^|[^0-9])((?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}|\+?\d{1,2}-\d{3}-\d{4})\b",
+        "$1[PHONE]",
     ),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("ipv6", IPV6_PATTERN, "[IPV6]"),
 ]
+
+# 13-19 digits with optional single space/dash separators, \b-bounded:
+# longer digit runs fail the trailing \b at every greedy retry, so a
+# 20+-digit run is (correctly) never partially matched.
+CCARD_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_check(col: str | Column) -> Column:
+    """True when the digits of `col` (separators stripped) pass the
+    Luhn checksum — pure Column algebra (reverse → per-char transform
+    with index → aggregate), no Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.filter(
+        F.split(F.reverse(F.regexp_replace(c, "[^0-9]", "")), ""),
+        lambda x: x != "",
+    )
+    digs = F.transform(chars, lambda x: x.cast("int"))
+    s = F.aggregate(
+        F.transform(
+            digs,
+            lambda d, i: F.when(i % 2 == 0, d).otherwise(
+                F.when(d < 5, d * 2).otherwise(d * 2 - 9)
+            ),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return s % 10 == 0
+
+
+def _ccard_valid(text: Column) -> Column:
+    """Array of Luhn-valid card-number spans found in `text`."""
+    cands = F.regexp_extract_all(text, F.lit(CCARD_PATTERN), 0)
+    return F.filter(cands, luhn_check)
+
+
+def _ccard_redact(text: Column, valid: Column) -> Column:
+    """Literal-replace each Luhn-valid span with [CCARD] (fold over
+    the candidate array; non-regex replace, so card digits can't
+    re-trigger)."""
+    return F.aggregate(
+        valid, text, lambda acc, cand: F.replace(acc, cand, F.lit("[CCARD]"))
+    )
+
+
+# stage list actually applied, in order: regex categories from
+# PII_PATTERNS with the Luhn-gated ccard stage spliced after ssn
+PII_CATEGORIES = ["email", "ssn", "ccard", "phone", "ipv4", "ipv6"]
+
+
+def _pii_stages():
+    pat = {name: (p, r) for name, p, r in PII_PATTERNS}
+    for name in PII_CATEGORIES:
+        yield (name, None) if name == "ccard" else (name, pat[name])
 
 
 def redact_pii(text_col: str | Column) -> Column:
-    """Replace PII spans with category tokens — pure JVM-side
-    regexp_replace chain (one generated-code pass per category, no
-    Python, no shuffle; at 100 TB this is a map-only stage that
-    pipelines into whatever scan feeds it). Categories and order are
-    `PII_PATTERNS`; apply before tokenization so the replacement
-    tokens survive into training data as explicit markers."""
+    """Replace PII spans with category tokens — JVM-side Column chain
+    (one generated-code pass per category, no Python, no shuffle; at
+    100 TB this is a map-only stage that pipelines into whatever scan
+    feeds it). Regex categories are `PII_PATTERNS`; the credit-card
+    category is Luhn-gated (regex candidates → Column-algebra checksum
+    → literal replace), so look-alike digit runs that fail the
+    checksum are left untouched. Apply before tokenization so the
+    replacement tokens survive into training data as explicit
+    markers."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    for _, pattern, token in PII_PATTERNS:
-        c = F.regexp_replace(c, pattern, token)
+    for name, pr in _pii_stages():
+        if name == "ccard":
+            c = _ccard_redact(c, _ccard_valid(c))
+        else:
+            c = F.regexp_replace(c, pr[0], pr[1])
     return c
 
 
@@ -233,8 +328,8 @@ def pii_profile(
 ) -> DataFrame:
     """Per-document PII counts by category plus the redacted length
     delta — the audit artifact a curation run logs next to the
-    redacted corpus. Column-expression only (regexp_count), so it
-    partially aggregates map-side when summed.
+    redacted corpus. Column-expression only (regexp_count /
+    array-size), so it partially aggregates map-side when summed.
 
     Each category is counted on the text with all PRIOR categories
     already redacted — exactly what the sequential redact_pii pass
@@ -243,9 +338,14 @@ def pii_profile(
     email address that redaction consumed as one [EMAIL])."""
     cur = F.col(text_col)
     counts = []
-    for name, pattern, token in PII_PATTERNS:
-        counts.append(F.regexp_count(cur, F.lit(pattern)).alias(f"n_{name}"))
-        cur = F.regexp_replace(cur, pattern, token)
+    for name, pr in _pii_stages():
+        if name == "ccard":
+            valid = _ccard_valid(cur)
+            counts.append(F.size(valid).alias(f"n_{name}"))
+            cur = _ccard_redact(cur, valid)
+        else:
+            counts.append(F.regexp_count(cur, F.lit(pr[0])).alias(f"n_{name}"))
+            cur = F.regexp_replace(cur, pr[0], pr[1])
     return docs.select(
         id_col,
         *counts,

@@ -279,8 +279,9 @@ def simhash(
     aggregated (no ±1 CASE per bit), and the 64 counters are packed
     into 32 longs of 2 thirty-two-bit lanes each — whole-stage codegen
     compile time scales with aggregate count (65 separate sums cost
-    ~2.5 s of janino alone). 32-bit lanes hold 2^31 tokens per doc
-    with no lane-to-lane carry and no signed-long overflow, so the
+    ~2.5 s of janino alone). 32-bit lanes hold < 2^31 tokens per doc
+    with no lane-to-lane carry and no signed-long overflow (at exactly
+    2^31 tokens the upper lane's packed sum reaches 2^63), so the
     aggregation is safe under spark.sql.ansi.enabled too (16-bit
     lanes crashed ANSI mode past 32,767 tokens when the top lane's
     packed sum exceeded Long.MAX). One groupBy(id): a doc's exploded

@@ -251,6 +251,8 @@ def encode_jpeg(
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
+    if h > 65535 or w > 65535:
+        raise ValueError(f"image exceeds 65535x65535: {h}x{w}")
     qluma, qchroma = _quality_tables(quality)
 
     if gray:
@@ -541,6 +543,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 def _decode_scan(d, pos, frame, scan_comps, qt, huff, restart_interval):
     h, w = frame["h"], frame["w"]
+    for _, td, ta in scan_comps:
+        for sel in ((0, td), (1, ta)):
+            if sel not in huff:
+                raise ValueError(f"missing Huffman table (class, id)={sel}")
     hmax = max(c["h"] for c, _, _ in scan_comps)
     vmax = max(c["v"] for c, _, _ in scan_comps)
     mcux = -(-w // (8 * hmax))

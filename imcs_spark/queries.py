@@ -2690,53 +2690,85 @@ def udaf_wgeomean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PII redaction (pipeline.curate.redact_pii / pii_profile) — the
 # curation stage a training-data pipeline runs before tokenization.
 # Deterministic PII is synthesized into the corpus IDENTICALLY on both
-# sides (pure ||/lpad/CAST string algebra over doc_id), then redaction
-# counts and length deltas are computed with the same regex patterns —
-# restricted to the Java∩RE2 dialect so Spark executors and the DuckDB
-# oracle agree bit-for-bit.
+# sides (pure ||/lpad/CAST string algebra over doc_id) — including a
+# Luhn-VALID credit card (4111...) and a Luhn-INVALID look-alike
+# (1234-5678-...) so the checksum gate is exercised, plus compressed
+# and trailing-:: IPv6 forms — then redaction counts and length deltas
+# are computed with the same regex patterns, restricted to the
+# Java∩RE2 dialect so Spark executors and the DuckDB oracle agree
+# bit-for-bit (backreference replacement is spelled $1 / \1 per
+# engine; the Luhn checksum is re-derived in DuckDB list algebra).
 # ---------------------------------------------------------------------------
-@query(
-    "pii_redact",
-    oracle=r"""
+def _pii_oracle() -> str:
+    from .pipeline.curate import CCARD_PATTERN, IPV6_PATTERN, PII_PATTERNS
+
+    pat = {name: p for name, p, _ in PII_PATTERNS}
+    # Luhn over the reversed digit string of candidate c (1-based i:
+    # odd = keep, even = double-and-fold)
+    dg = "reverse(regexp_replace(c, '[^0-9]', '', 'g'))"
+    luhn = (
+        f"list_sum(list_transform(range(1, length({dg}) + 1), i -> "
+        f"CASE WHEN i % 2 = 1 THEN CAST({dg}[i] AS INT) "
+        f"WHEN CAST({dg}[i] AS INT) < 5 THEN 2 * CAST({dg}[i] AS INT) "
+        f"ELSE 2 * CAST({dg}[i] AS INT) - 9 END)) % 10 = 0"
+    )
+    return f"""
 WITH aug AS (
   SELECT doc_id,
          text
          || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
          || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 ok' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0 THEN ' num 1234-5678-9012-3456 no' ELSE '' END
          || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' x' ELSE '' END
          || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' ELSE '' END
+         || CASE WHEN doc_id % 23 = 0 THEN ' v6 2001:db8::' || CAST(doc_id % 9 + 1 AS VARCHAR) || ' end' ELSE '' END
+         || CASE WHEN doc_id % 29 = 0 THEN ' ll fe80:: up' ELSE '' END
          AS text
   FROM documents
 ), r1 AS (
   -- staged: each category counts on the text with prior categories
   -- already redacted, mirroring the engine's sequential pass
   SELECT doc_id, text AS t0,
-         regexp_replace(text, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+         regexp_replace(text, '{pat["email"]}', '[EMAIL]', 'g') AS t1
   FROM aug
 ), r2 AS (
-  SELECT *, regexp_replace(t1, '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t2 FROM r1
+  SELECT *, regexp_replace(t1, '{pat["ssn"]}', '[SSN]', 'g') AS t2 FROM r1
+), c0 AS (
+  SELECT *, list_filter(regexp_extract_all(t2, '{CCARD_PATTERN}'), c -> {luhn}) AS cc_valid
+  FROM r2
 ), r3 AS (
-  SELECT *, regexp_replace(t2, '(?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}\b|\+?\d{1,2}-\d{3}-\d{4}\b', '[PHONE]', 'g') AS t3 FROM r2
+  SELECT *, list_reduce(list_prepend(t2, cc_valid), (acc, x) -> replace(acc, x, '[CCARD]')) AS t3 FROM c0
 ), r4 AS (
-  SELECT *, regexp_replace(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS t4 FROM r3
+  SELECT *, regexp_replace(t3, '{pat["phone"]}', '\\1[PHONE]', 'g') AS t4 FROM r3
+), r5 AS (
+  SELECT *, regexp_replace(t4, '{pat["ipv4"]}', '[IP]', 'g') AS t5 FROM r4
+), r6 AS (
+  SELECT *, regexp_replace(t5, '{IPV6_PATTERN}', '[IPV6]', 'g') AS t6 FROM r5
 ), prof AS (
   SELECT doc_id,
-    len(regexp_extract_all(t0, '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}')) AS n_email,
-    len(regexp_extract_all(t1, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
-    len(regexp_extract_all(t2, '(?:\+?\d{1,2}-)?\d{3}-\d{3}-\d{4}\b|\+?\d{1,2}-\d{3}-\d{4}\b')) AS n_phone,
-    len(regexp_extract_all(t3, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-    length(t0) - length(t4) AS len_delta
-  FROM r4
+    len(regexp_extract_all(t0, '{pat["email"]}')) AS n_email,
+    len(regexp_extract_all(t1, '{pat["ssn"]}')) AS n_ssn,
+    len(cc_valid) AS n_ccard,
+    len(regexp_extract_all(t3, '{pat["phone"]}')) AS n_phone,
+    len(regexp_extract_all(t4, '{pat["ipv4"]}')) AS n_ipv4,
+    len(regexp_extract_all(t5, '{IPV6_PATTERN}')) AS n_ipv6,
+    length(t0) - length(t6) AS len_delta
+  FROM r6
 )
 SELECT CAST(SUM(n_email) AS BIGINT) AS emails,
        CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+       CAST(SUM(n_ccard) AS BIGINT) AS ccards,
        CAST(SUM(n_phone) AS BIGINT) AS phones,
        CAST(SUM(n_ipv4) AS BIGINT) AS ips,
-       CAST(SUM(CASE WHEN n_email + n_ssn + n_phone + n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(n_ipv6) AS BIGINT) AS ipv6s,
+       CAST(SUM(CASE WHEN n_email + n_ssn + n_ccard + n_phone + n_ipv4 + n_ipv6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
        CAST(SUM(len_delta) AS BIGINT) AS len_delta
 FROM prof
-""",
-)
+"""
+
+
+@query("pii_redact", oracle=_pii_oracle())
 def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import curate as C
 
@@ -2755,6 +2787,8 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(" contact user"), did.cast("string"), F.lit("@example.com now"),
             ),
             maybe(did % 13 == 0, F.lit(" ssn 123-45-6789 ok")),
+            maybe(did % 17 == 0, F.lit(" card 4111-1111-1111-1111 ok")),
+            maybe(did % 19 == 0, F.lit(" num 1234-5678-9012-3456 no")),
             maybe(
                 did % 5 == 0,
                 F.lit(" call +1-555-"),
@@ -2765,17 +2799,25 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 did % 11 == 0,
                 F.lit(" ip 10."), (did % 256).cast("string"), F.lit(".0.1 end"),
             ),
+            maybe(
+                did % 23 == 0,
+                F.lit(" v6 2001:db8::"), (did % 9 + 1).cast("string"), F.lit(" end"),
+            ),
+            maybe(did % 29 == 0, F.lit(" ll fe80:: up")),
         ).alias("text"),
     )
     prof = C.pii_profile(aug)
     any_pii = (
-        F.col("n_email") + F.col("n_ssn") + F.col("n_phone") + F.col("n_ipv4") > 0
+        F.col("n_email") + F.col("n_ssn") + F.col("n_ccard")
+        + F.col("n_phone") + F.col("n_ipv4") + F.col("n_ipv6") > 0
     )
     return prof.agg(
         F.sum("n_email").cast("long").alias("emails"),
         F.sum("n_ssn").cast("long").alias("ssns"),
+        F.sum("n_ccard").cast("long").alias("ccards"),
         F.sum("n_phone").cast("long").alias("phones"),
         F.sum("n_ipv4").cast("long").alias("ips"),
+        F.sum("n_ipv6").cast("long").alias("ipv6s"),
         F.sum(any_pii.cast("int")).cast("long").alias("docs_with_pii"),
         F.sum("len_delta").cast("long").alias("len_delta"),
     )

@@ -537,6 +537,56 @@ def test_redact_pii_categories(spark):
     assert red2 == red
 
 
+def test_redact_pii_ccard_luhn_and_ipv6(spark):
+    """Round-5 categories: Luhn-gated credit cards (valid numbers
+    redact, checksum-failing look-alikes are untouched) and the
+    documented IPv6 subset (full / compressed / trailing-:: forms with
+    a digit in the first group; hex-letter `::` identifiers and times
+    are never eaten), plus the symmetric phone boundary (digit-glued
+    runs no longer half-redact)."""
+    from imcs_spark.pipeline import curate
+
+    rows = [
+        (1, "pay 4111-1111-1111-1111 now"),  # Luhn-valid 16-digit
+        (2, "num 1234-5678-9012-3456 fake"),  # fails Luhn -> untouched
+        (3, "amex 3782 822463 10005 ok"),  # Luhn-valid 15-digit, spaces
+        (4, "v6 2001:db8::1 and full 1:2:3:4:5:6:7:8 end"),
+        (5, "ll fe80:: up"),
+        (6, "code std::vector<int> stays"),  # all-hex-letter :: kept
+        (7, "glued 8555-123-4567 stays"),  # no partial phone redaction
+        (8, "time 12:30:45 stays"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    red = {
+        r.doc_id: r.red
+        for r in df.select(
+            "doc_id", curate.redact_pii("text").alias("red")
+        ).collect()
+    }
+    keep = dict((i, t) for i, t in rows)
+    assert red[1] == "pay [CCARD] now"
+    assert red[2] == keep[2]
+    assert red[3] == "amex [CCARD] ok"
+    assert red[4] == "v6 [IPV6] and full [IPV6] end"
+    assert red[5] == "ll [IPV6] up"
+    assert red[6] == keep[6]
+    assert red[7] == keep[7]
+    assert red[8] == keep[8]
+    prof = {
+        r.doc_id: r
+        for r in curate.pii_profile(df).collect()
+    }
+    assert prof[1].n_ccard == 1 and prof[2].n_ccard == 0
+    assert prof[4].n_ipv6 == 2 and prof[5].n_ipv6 == 1
+    assert prof[7].n_phone == 0
+    # Luhn column itself, directly
+    lu = spark.createDataFrame(
+        [("4111111111111111",), ("4111111111111112",), ("378282246310005",)],
+        "c string",
+    ).select(curate.luhn_check("c").alias("ok")).collect()
+    assert [r.ok for r in lu] == [True, False, True]
+
+
 def test_pii_profile_counts(spark):
     from imcs_spark.pipeline import curate
 
