@@ -99,19 +99,70 @@ def approxdc(a, rsd: float = 0.05) -> Column:
     return F.approx_count_distinct(_c(a), rsd)
 
 
-def approxdc_hll128(df, a, by=None, out_col: str = "approxdc"):
+# --- murmur3_32 in Column algebra (reference func.c:4806-4860) -----------
+# The reference's HLL hashes raw value bytes with murmur3_32 seed
+# 0x5C1DB. Re-deriving it JVM-side makes approxdc_hll128 estimates
+# bit-identical to the C engine. Every intermediate stays a
+# non-negative long < 2^48, so the chain is safe under
+# spark.sql.ansi.enabled: the 32-bit modular multiply is split into
+# 16-bit halves instead of relying on 64-bit wraparound.
+MURMUR_SEED = 0x5C1DB
+_M3_C1, _M3_C2 = 0xCC9E2D51, 0x1B873593
+_MASK32 = 0xFFFFFFFF
+
+
+def _mul32(a: Column, c: int) -> Column:
+    """(a * c) mod 2^32 for 0 <= a < 2^32 without 64-bit overflow."""
+    hi = (F.shiftrightunsigned(a, 16) * F.lit(c)).bitwiseAND(F.lit(0xFFFF))
+    lo = a.bitwiseAND(F.lit(0xFFFF)) * F.lit(c)
+    return (F.shiftleft(hi, 16) + lo).bitwiseAND(F.lit(_MASK32))
+
+
+def _rotl32(x: Column, r: int) -> Column:
+    return F.shiftleft(x, r).bitwiseAND(F.lit(_MASK32)).bitwiseOR(
+        F.shiftrightunsigned(x, 32 - r)
+    )
+
+
+def _m3_mix(h1: Column, block: Column) -> Column:
+    k1 = _mul32(_rotl32(_mul32(block, _M3_C1), 15), _M3_C2)
+    h1 = _rotl32(h1.bitwiseXOR(k1), 13)
+    return (h1 * 5 + F.lit(0xE6546B64)).bitwiseAND(F.lit(_MASK32))
+
+
+def murmur3_32_long(x, seed: int = MURMUR_SEED) -> Column:
+    """murmur3_32 of the 8-byte little-endian two's-complement
+    representation of a 64-bit integer — bit-identical to the
+    reference's murmur_hash3_32(&val, 8, seed) on little-endian
+    hardware (func.c:4807-4860): two 4-byte blocks (low word then high
+    word), no tail, len-xor 8, fmix32 avalanche. Pure Column algebra
+    (whole-stage codegen; runtime subexpression elimination collapses
+    the repeated halves)."""
+    v = _c(x).cast("long")
+    h1 = F.lit(seed)
+    h1 = _m3_mix(h1, v.bitwiseAND(F.lit(_MASK32)))
+    h1 = _m3_mix(h1, F.shiftrightunsigned(v, 32))
+    h1 = h1.bitwiseXOR(F.lit(8))
+    h1 = h1.bitwiseXOR(F.shiftrightunsigned(h1, 16))
+    h1 = _mul32(h1, 0x85EBCA6B)
+    h1 = h1.bitwiseXOR(F.shiftrightunsigned(h1, 13))
+    h1 = _mul32(h1, 0xC2B2AE35)
+    return h1.bitwiseXOR(F.shiftrightunsigned(h1, 16))
+
+
+def approxdc_hll128(df, a, by=None, out_col: str = "approxdc", hash: str = "murmur3"):
     """The reference's own HLL, re-expressed declaratively
     (func.c:4802-4936): m=128 registers indexed by the TOP 7 bits of a
     32-bit hash, register value = trailing-zero count + 1 capped at 26,
     classic Flajolet estimator with the small-range (linear counting)
     and large-range (32-bit saturation) corrections, result truncated
-    to an integer. The hash itself is the one necessary divergence:
-    the reference uses murmur3_32(seed 0x5C1DB); here the HIGH 32 bits
-    of xxhash64 (empirically the low 32 bits under-mix through XXH64's
-    final avalanche — +20% systematic overestimate on sequential keys;
-    the high word is clean: −5%…+2% across 10³–10⁵ cardinalities) —
-    register statistics then match the random-hash distribution, so
-    the estimator and its error bounds carry over exactly.
+    to an integer. With the default ``hash='murmur3'`` the hash is the
+    reference's own murmur3_32(seed 0x5C1DB) over the value's 8-byte
+    integer representation, so estimates are bit-identical to the C
+    engine for integer series (and re-derivable in any engine — the
+    driver oracle recomputes them in DuckDB SQL). ``hash='xxhash64'``
+    keeps the previous high-word-of-xxhash64 variant for non-integer
+    types the byte-layout contract doesn't cover.
 
     Two hash aggregates: (by?, register) → max rank, then (by?) →
     the closed-form estimate. The shuffle carries at most 128 rows per
@@ -122,7 +173,14 @@ def approxdc_hll128(df, a, by=None, out_col: str = "approxdc"):
     alpha_m = 0.7213 / (1 + 1.079 / m)
     pow_2_32 = float(0xFFFFFFFF)
     keys = list(by) if by else []
-    h32 = F.shiftrightunsigned(F.xxhash64(_c(a)), 32)
+    if hash == "murmur3":
+        h32 = murmur3_32_long(_c(a))
+    elif hash == "xxhash64":
+        # high word: the low 32 bits under-mix through XXH64's final
+        # avalanche (+20% systematic overestimate on sequential keys)
+        h32 = F.shiftrightunsigned(F.xxhash64(_c(a)), 32)
+    else:
+        raise ValueError(f"approxdc_hll128: unknown hash {hash!r}")
     j = F.shiftrightunsigned(h32, 25).alias("_j")
     # trailing zeros via bit_count((h & -h) - 1); h=0 → 64, capped below
     tz = F.bit_count((h32.bitwiseAND(-h32)) - 1)

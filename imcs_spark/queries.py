@@ -1125,23 +1125,78 @@ def win_group_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # composite: Spark's native HLL++ (the scale path; deterministic
 # register-max merge → pinnable constant, true count 150/type, +0.7%
 # error inside the default 5% rsd) and the reference-layout m=128 HLL
-# (aggregates.approxdc_hll128: trailing-zero ranks, Flajolet estimator
-# with the reference's corrections, func.c:4802-4936; exact-equality
-# tested against a Python transcription in tests/test_core.py; true
-# counts A 11012 / N 11062 / R 11058 sit inside the m=128 ±9.2% rse
-# band of the pinned estimates).
+# (aggregates.approxdc_hll128: murmur3_32 seed 0x5C1DB over the 8-byte
+# value, trailing-zero ranks, Flajolet estimator with the reference's
+# corrections, func.c:4802-4936). Since round 5 the hll128 legs are a
+# TRUE cross-engine oracle: DuckDB re-derives murmur3_32 (lateral-alias
+# step chain, split-multiply mod 2^32), the register maxima, and the
+# estimator from scratch — every arithmetic step is dyadic-exact or
+# IEEE-deterministic, so the integer estimates match bit-for-bit.
+# Only the hllpp legs stay pinned (Spark-internal HLL++ constants).
 # ---------------------------------------------------------------------------
-@query(
-    "approxdc",
-    oracle="""
+def _approxdc_oracle() -> str:
+    def mul32(a: str, c: int) -> str:
+        return f"(((({a}) >> 16) * {c} & 65535) * 65536 + ((({a}) & 65535) * {c})) & 4294967295"
+
+    def rotl(x: str, r: int) -> str:
+        return f"(((({x}) << {r}) & 4294967295) | (({x}) >> {32 - r}))"
+
+    from .functions.aggregates import MURMUR_SEED
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    seed = MURMUR_SEED
+    return f"""
+WITH vals AS (
+  SELECT DISTINCT l_returnflag AS key, CAST(l_orderkey AS BIGINT) AS v FROM lineitem
+), h AS (
+  SELECT key,
+    v & 4294967295 AS b0,
+    (v >> 32) & 4294967295 AS b1,
+    {mul32('b0', c1)} AS k1a,
+    {rotl('k1a', 15)} AS k1b,
+    {mul32('k1b', c2)} AS k1c,
+    xor({seed}, k1c) AS h1a,
+    {rotl('h1a', 13)} AS h1b,
+    (h1b * 5 + 3864292196) & 4294967295 AS h1c,
+    {mul32('b1', c1)} AS k2a,
+    {rotl('k2a', 15)} AS k2b,
+    {mul32('k2b', c2)} AS k2c,
+    xor(h1c, k2c) AS h2a,
+    {rotl('h2a', 13)} AS h2b,
+    (h2b * 5 + 3864292196) & 4294967295 AS h2c,
+    xor(h2c, 8) AS f0,
+    xor(f0, f0 >> 16) AS f1,
+    {mul32('f1', 0x85EBCA6B)} AS f2,
+    xor(f2, f2 >> 13) AS f3,
+    {mul32('f3', 0xC2B2AE35)} AS f4,
+    xor(f4, f4 >> 16) AS hh
+  FROM vals
+), regs AS (
+  SELECT key, hh >> 25 AS j,
+         MAX(LEAST(bit_count((hh & -hh) - 1) + 1, 26)) AS mzb
+  FROM h GROUP BY key, j
+), est AS (
+  SELECT key,
+         0.7213 / (1 + 1.079 / 128.0) * 128 * 128
+           / (SUM(POW(2.0, -mzb)) + (128 - COUNT(*))) AS e,
+         (128 - COUNT(*)) + SUM(CASE WHEN mzb = 0 THEN 1 ELSE 0 END) AS vv
+  FROM regs GROUP BY key
+), hll AS (
+  SELECT 'hll128' AS algo, key, CAST(FLOOR(CASE
+           WHEN e <= 2.5 * 128 AND vv > 0 THEN 128 * LN(128.0 / vv)
+           WHEN e > 4294967295.0 / 30.0 THEN -4294967295.0 * LN(1 - e / 4294967295.0)
+           ELSE e END) AS BIGINT) AS approx_dc
+  FROM est
+)
 SELECT a AS algo, k AS key, CAST(n AS BIGINT) AS approx_dc
 FROM (VALUES ('hllpp', 'click', 151), ('hllpp', 'error', 151),
              ('hllpp', 'purchase', 151), ('hllpp', 'signup', 151),
-             ('hllpp', 'view', 151),
-             ('hll128', 'A', 9751), ('hll128', 'N', 10574),
-             ('hll128', 'R', 10270)) AS v(a, k, n)
-""",
-)
+             ('hllpp', 'view', 151)) AS v(a, k, n)
+UNION ALL SELECT algo, key, approx_dc FROM hll
+"""
+
+
+@query("approxdc", oracle=_approxdc_oracle())
 def approxdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     li = _t(spark, sf_dir, "lineitem")

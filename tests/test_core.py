@@ -140,11 +140,69 @@ def test_versioned_save_open(quote, spark, tmp_path):
     assert saved.count("IBM") == 5  # old snapshot untouched
 
 
+def _murmur3_32_model(data: bytes, seed: int) -> int:
+    """Literal Python transcription of the reference murmur_hash3_32
+    (func.c:4807-4860); validated against the canonical public vector
+    murmur3_32('hello', seed 0) = 0x248bfa47 in
+    test_murmur3_32_column_matches_model."""
+
+    def rotl32(x, r):
+        return ((x << r) | (x >> (32 - r))) & 0xFFFFFFFF
+
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h1 = seed
+    for i in range(len(data) // 4):
+        k1 = int.from_bytes(data[i * 4 : i * 4 + 4], "little")
+        k1 = (k1 * c1) & 0xFFFFFFFF
+        k1 = rotl32(k1, 15)
+        k1 = (k1 * c2) & 0xFFFFFFFF
+        h1 ^= k1
+        h1 = rotl32(h1, 13)
+        h1 = (h1 * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[len(data) // 4 * 4 :]
+    k1 = 0
+    if len(tail) >= 3:
+        k1 ^= tail[2] << 16
+    if len(tail) >= 2:
+        k1 ^= tail[1] << 8
+    if len(tail) >= 1:
+        k1 ^= tail[0]
+        k1 = (k1 * c1) & 0xFFFFFFFF
+        k1 = rotl32(k1, 15)
+        k1 = (k1 * c2) & 0xFFFFFFFF
+        h1 ^= k1
+    h1 ^= len(data)
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & 0xFFFFFFFF
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & 0xFFFFFFFF
+    h1 ^= h1 >> 16
+    return h1
+
+
+def test_murmur3_32_column_matches_model(spark):
+    """The ANSI-safe split-multiply Column chain must be bit-identical
+    to the C algorithm for 8-byte little-endian longs, across sign and
+    range extremes; the model itself is pinned to the canonical public
+    murmur3 vector."""
+    import struct
+
+    from imcs_spark.functions.aggregates import MURMUR_SEED, murmur3_32_long
+
+    assert _murmur3_32_model(b"hello", 0) == 0x248BFA47
+    vals = [0, 1, -1, 2**63 - 1, -(2**63), 123456789, -987654321012345, 42]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = [r.h for r in df.select(murmur3_32_long("v").alias("h")).collect()]
+    exp = [_murmur3_32_model(struct.pack("<q", v), MURMUR_SEED) for v in vals]
+    assert got == exp
+
+
 def test_approxdc_hll128_matches_python_model(spark, sf_dir):
     """The declarative m=128 HLL must equal a literal Python
     transcription of the reference estimator (func.c:4865-4924) fed
-    the same 32-bit hashes — exact equality, not tolerance."""
+    the same murmur3_32 hashes — exact equality, not tolerance."""
     import math
+    import struct
 
     from imcs_spark.functions import aggregates as A
 
@@ -152,10 +210,8 @@ def test_approxdc_hll128_matches_python_model(spark, sf_dir):
     got = A.approxdc_hll128(li, "l_orderkey").collect()[0]["approxdc"]
 
     hashes = [
-        r["h"]
-        for r in li.select(
-            F.shiftrightunsigned(F.xxhash64("l_orderkey"), 32).alias("h")
-        ).collect()
+        _murmur3_32_model(struct.pack("<q", r["l_orderkey"]), A.MURMUR_SEED)
+        for r in li.collect()
     ]
     m, regs = 128, [0] * 128
     for h in hashes:
