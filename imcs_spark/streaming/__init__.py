@@ -30,12 +30,37 @@ def append_stream(
     on_violation: str = "error",  # error | drop
     checkpoint: str | None = None,
     trigger_once: bool = True,
+    maxes_path: str | None = None,
 ) -> StreamingQuery:
     """Write a stream into a series table with ordered-append
     semantics. on_violation='drop' silently discards rows older than
     the stored per-series max (watermark-style); 'error' raises —
-    matching the reference trigger's behavior."""
-    state: dict = {}
+    matching the reference trigger's behavior.
+
+    Scale design: the per-series max timestamps live in a versioned
+    parquet SIDE TABLE (``{target}_maxes/v{batch_id}`` snapshots, the
+    newest usable version read each batch), never in driver memory —
+    the check is a distributed left join (Spark auto-broadcasts the
+    side table while it is small and shuffle-joins past that), and the
+    post-batch snapshot is ``old ∪ batch-maxes → groupBy max``, an
+    O(#series) distributed job. Millions of series cost a small
+    parquet join per micro-batch and zero driver state, where the
+    previous design collected every series max into a driver dict and
+    re-broadcast it per batch. Snapshots older than the one just read
+    are deleted after each batch; on a batch replay after a crash,
+    snapshots written by the failed attempt (version >= current
+    batch_id) are ignored so a batch is never checked against its own
+    partial write.
+
+    Dropped-late rows can never advance a series max (they are behind
+    it by definition), so batch maxes are folded from the RAW batch —
+    the join lineage is not recomputed for state maintenance."""
+    side_path = (maxes_path or target_path.rstrip("/") + "_maxes").rstrip("/")
+
+    def _hfs(spark, path: str):
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
     def _table_exists(spark, path: str) -> bool:
         # Hadoop FileSystem probe — works for any scheme (s3a://,
@@ -43,62 +68,53 @@ def append_stream(
         # silently disable the ordered-append check on remote storage;
         # a blanket except around the read would likewise treat ANY
         # failure (permissions, corrupt footer) as "first batch".
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs, hpath, _ = _hfs(spark, path)
         return bool(fs.exists(hpath))
+
+    def _versions(spark) -> list[int]:
+        fs, hpath, _ = _hfs(spark, side_path)
+        if not fs.exists(hpath):
+            return []
+        out = []
+        for st in fs.listStatus(hpath):
+            nm = st.getPath().getName()
+            if nm.startswith("v"):
+                try:
+                    out.append(int(nm[1:]))
+                except ValueError:
+                    pass
+        return sorted(out)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # Incremental max tracking: the stored per-series maxes are read
-        # from the table ONCE (first batch of this run) and then updated
-        # from each appended batch — re-scanning the whole table per
-        # micro-batch would cost O(total history) per batch on a
-        # growing table. State is bounded by series count (same order
-        # as the broadcast the check needs anyway).
-        if "maxes" not in state:
-            if _table_exists(spark, target_path):
-                current = spark.read.parquet(target_path)
-                if id_col:
-                    rows = (
-                        current.groupBy(id_col)
-                        .agg(F.max(ts_col).alias("_maxts"))
-                        .collect()
-                    )
-                    state["maxes"] = {r[id_col]: r["_maxts"] for r in rows}
-                else:
-                    r = current.agg(F.max(ts_col).alias("_maxts")).collect()[0]
-                    state["maxes"] = (
-                        {} if r["_maxts"] is None else {None: r["_maxts"]}
-                    )
-            else:  # first batch, table not created yet
-                state["maxes"] = {}
-        known = state["maxes"]
-        out = batch
-        if known:
-            ts_type = batch.schema[ts_col].dataType
+        versions = _versions(spark)
+        usable = [v for v in versions if v < batch_id]
+        if usable:
+            old = spark.read.parquet(f"{side_path}/v{usable[-1]}")
+        elif _table_exists(spark, target_path):
+            # no snapshot yet (first run over a pre-existing table):
+            # derive the maxes from the data once, distributed
+            current = spark.read.parquet(target_path)
             if id_col:
-                id_type = batch.schema[id_col].dataType
-                maxes = spark.createDataFrame(
-                    list(known.items()),
-                    T.StructType(
-                        [
-                            T.StructField(id_col, id_type),
-                            T.StructField("_maxts", ts_type),
-                        ]
-                    ),
-                )
-                out = batch.join(F.broadcast(maxes), id_col, "left")
+                old = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
             else:
-                maxes = spark.createDataFrame(
-                    [(list(known.values())[0],)],
-                    T.StructType([T.StructField("_maxts", ts_type)]),
+                old = current.agg(F.max(ts_col).alias("_maxts")).filter(
+                    F.col("_maxts").isNotNull()
                 )
-                out = batch.crossJoin(F.broadcast(maxes))
+        else:
+            old = None
+        out = batch
+        if old is not None:
+            if id_col:
+                out = batch.join(old, id_col, "left")
+            else:
+                # 0-or-1-row side: condition-true left join keeps every
+                # batch row even when the side is empty (a crossJoin
+                # against an empty side would silently drop the batch)
+                out = batch.join(old, F.lit(True), "left")
             late = out.filter(F.col(ts_col) < F.col("_maxts"))
             if on_violation == "error":
-                n = late.limit(1).count()
-                if n:
+                if late.limit(1).count():
                     raise ValueError(
                         f"out-of-order append into {target_path} (batch {batch_id})"
                     )
@@ -108,18 +124,26 @@ def append_stream(
                 )
             out = out.drop("_maxts")
         out.write.mode("append").parquet(target_path)
-        # fold the appended batch's maxes into the tracked state
+        # next maxes snapshot: old ∪ raw-batch maxes, distributed
         if id_col:
-            for r in out.groupBy(id_col).agg(F.max(ts_col).alias("_m")).collect():
-                prev = known.get(r[id_col])
-                if prev is None or (r["_m"] is not None and r["_m"] > prev):
-                    known[r[id_col]] = r["_m"]
+            bm = batch.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
+            new = bm if old is None else old.unionByName(bm).groupBy(id_col).agg(
+                F.max("_maxts").alias("_maxts")
+            )
         else:
-            r = out.agg(F.max(ts_col).alias("_m")).collect()[0]
-            if r["_m"] is not None:
-                prev = known.get(None)
-                if prev is None or r["_m"] > prev:
-                    known[None] = r["_m"]
+            bm = batch.agg(F.max(ts_col).alias("_maxts")).filter(
+                F.col("_maxts").isNotNull()
+            )
+            new = bm if old is None else old.unionByName(bm).agg(
+                F.max("_maxts").alias("_maxts")
+            ).filter(F.col("_maxts").isNotNull())
+        new.coalesce(8).write.mode("overwrite").parquet(f"{side_path}/v{batch_id}")
+        # GC: keep only the snapshot just read (crash fallback) + new
+        keep = {batch_id} | ({usable[-1]} if usable else set())
+        fs, _, jvm = _hfs(spark, side_path)
+        for v in versions:
+            if v not in keep:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{side_path}/v{v}"), True)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:

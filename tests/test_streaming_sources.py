@@ -147,6 +147,53 @@ def test_streaming_ordered_append(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_ordered_append_many_series(spark):
+    """The ordering state must be a distributed parquet side table,
+    not a driver dict (the old design collected and re-broadcast every
+    series max per batch — O(#series) driver memory): 100k series
+    across two runs; the second run's late half is dropped, and the
+    side table ends with exactly one row per series."""
+    tmp = tempfile.mkdtemp(prefix="imcs_stream_many_")
+    target = os.path.join(tmp, "table")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "incoming")
+    try:
+        n = 100_000
+        b1 = spark.range(n).select(
+            F.col("id").cast("int").alias("id"),
+            F.lit(100).cast("long").alias("ts"),
+            F.lit(1.0).alias("v"),
+        )
+        b1.write.parquet(src)
+        stream = spark.readStream.schema("id int, ts long, v double").parquet(src)
+        q = append_stream(stream, target, "ts", "id", on_violation="drop", checkpoint=chk)
+        q.awaitTermination(300)
+        # second run: first half advances (ts=200), second half is late
+        # (ts=50 < stored 100) and must drop
+        b2 = spark.range(n).select(
+            F.col("id").cast("int").alias("id"),
+            F.when(F.col("id") < n // 2, F.lit(200)).otherwise(F.lit(50))
+            .cast("long").alias("ts"),
+            F.lit(2.0).alias("v"),
+        )
+        b2.write.mode("append").parquet(src)
+        stream = spark.readStream.schema("id int, ts long, v double").parquet(src)
+        q = append_stream(stream, target, "ts", "id", on_violation="drop", checkpoint=chk)
+        q.awaitTermination(300)
+        final = spark.read.parquet(target)
+        assert final.count() == n + n // 2
+        # versioned side table: latest snapshot has one row per series
+        vdirs = sorted(
+            d for d in os.listdir(target + "_maxes") if d.startswith("v")
+        )
+        latest = spark.read.parquet(f"{target}_maxes/{vdirs[-1]}")
+        assert latest.count() == n
+        got = {r["id"]: r["_maxts"] for r in latest.filter(F.col("id").isin(0, n - 1)).collect()}
+        assert got[0] == 200 and got[n - 1] == 100
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_sessionize_stream_stateful(spark):
     """applyInPandasWithState sessionizer: sessions survive across
     micro-batches in keyed state, close on gap (mid-batch AND
