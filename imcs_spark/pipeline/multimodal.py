@@ -5,13 +5,15 @@ Decoding is real for the formats numpy + the standard library can
 handle — binary PPM/PGM rasters, 8-bit non-interlaced PNG (stdlib
 zlib inflate + full five-filter scanline reconstruction), baseline
 sequential JPEG (pure-numpy Huffman + IDCT pipeline, pipeline/jpeg.py),
-and PCM WAV samples — with genuine feature extraction (grayscale grid
-means, RMS / zero-crossing rate / FFT band energies). Video containers
-(mp4) need external libraries absent in this environment; those route
-through the deterministic `_fake_decode`, which preserves the identical
-Spark-side contract (schemas, Arrow batch shapes, mapInPandas
-signatures, partition sizing) — swap in ffmpeg inside `real_decode` to
-extend coverage.
+PCM WAV samples, and mp4 CONTAINERS (pipeline/mp4.py: box-tree +
+stsc/stco/stsz/stts sample-table resolution to real per-sample byte
+ranges) — with genuine feature extraction (grayscale grid means, RMS /
+zero-crossing rate / FFT band energies, per-sample payload-byte
+statistics). Codec-level video frame decode (H.264 etc.) stays out of
+scope — it needs codec libraries absent in this environment; unknown
+formats route through the deterministic `_fake_decode`, which preserves
+the identical Spark-side contract (schemas, Arrow batch shapes,
+mapInPandas signatures, partition sizing).
 """
 
 from __future__ import annotations
@@ -315,10 +317,11 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
 def real_decode(content: bytes, mime: str) -> np.ndarray:
     """Real decode + featurize for the formats decodable with numpy +
     the standard library: binary PPM/PGM pixels, 8-bit PNG, baseline
-    JPEG (pipeline/jpeg.py), and PCM WAV samples. Video containers
-    (mp4/...) require external libraries absent in this environment and
-    raise NotImplementedError — route those through decode_stub /
-    _fake_decode, or swap in ffmpeg here."""
+    JPEG (pipeline/jpeg.py), PCM WAV samples, and mp4 CONTAINERS
+    (pipeline/mp4.py — box-tree + sample-table walk to real per-sample
+    byte ranges; codec-level frame decode stays out of scope, the
+    features are container + payload-byte statistics). Other formats
+    raise NotImplementedError — route those through decode_stub."""
     head = bytes(content[:8]) if content else b""
     if head[:2] in (b"P5", b"P6") or mime in (
         "image/x-portable-pixmap",
@@ -333,6 +336,10 @@ def real_decode(content: bytes, mime: str) -> np.ndarray:
         return image_features(decode_jpeg(bytes(content)))
     if head[:4] == b"RIFF" or mime == "audio/x-wav":
         return audio_features(*decode_wav(bytes(content)))
+    if head[4:8] == b"ftyp" or mime == "video/mp4":
+        from .mp4 import video_features
+
+        return video_features(bytes(content))
     raise NotImplementedError(
         f"decoding {mime or 'unknown'} requires codec libraries not "
         "present in this container; use decode_stub(...) which "
@@ -433,9 +440,13 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 def fake_media_table(spark, n: int = 100, decodable: bool = False) -> DataFrame:
     """Deterministic synthetic media table for tests. With
-    decodable=True, image rows carry real binary PPM gradients and
-    audio rows real PCM WAV sine tones, so the real_decode path runs
-    end-to-end (video stays an opaque blob — no pure-python codec)."""
+    decodable=True every kind carries REAL decodable content: image
+    rows binary PPM gradients, audio rows PCM WAV sine tones, video
+    rows spec-conformant mp4 containers (pipeline/mp4.py) with
+    deterministic sample payloads — so real_decode runs end-to-end for
+    all three modalities."""
+    from .mp4 import encode_mp4
+
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
@@ -451,6 +462,13 @@ def fake_media_table(spark, n: int = 100, decodable: bool = False) -> DataFrame:
             t = np.arange(2400) / 8000.0
             content = encode_wav(0.5 * np.sin(2 * np.pi * (200 + 50 * i) * t))
             mime = "audio/x-wav"
+        elif decodable and kind == "video":
+            payloads = [
+                bytes(((i + s + j) % 256) for j in range((i + s) % 40 + 10))
+                for s in range(i % 6 + 2)
+            ]
+            content = encode_mp4(payloads, chunk_split=1 if len(payloads) > 2 else None)
+            mime = "video/mp4"
         else:
             content = bytes([(i * 7 + j) % 256 for j in range(32 + (i % 5) * 16)])
             mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]

@@ -1798,7 +1798,13 @@ def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REAL baseline-JPEG codec (pipeline/jpeg.py) through the distributed
 # Arrow path: a deterministic sample of image assets is encoded and
 # decoded (Huffman + DCT round trip) inside a pandas_udf and asserted
-# pixel-close; the oracle pins the assertion true per kind.
+# pixel-close; the oracle pins the assertion true per kind. The mp4
+# legs drive the REAL ISO-BMFF container codec (pipeline/mp4.py): every
+# video asset builds a deterministic multi-sample mp4, parses it back
+# through the box tree + sample tables, verifies each resolved byte
+# range equals its payload, and reports DECODED sample counts/bytes —
+# which the oracle recomputes in closed form from doc_id, so a parser
+# error cannot hash-match.
 # ---------------------------------------------------------------------------
 @query(
     "multimodal_pipeline",
@@ -1815,7 +1821,9 @@ SELECT kind,
        CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
        CAST(SUM(CASE WHEN kind = 'video' THEN GREATEST(duration_ms // 1000, 1) ELSE 0 END) AS BIGINT) AS n_frames,
        CAST(1 AS INTEGER) AS features_ok,
-       CAST(1 AS INTEGER) AS jpeg_ok
+       CAST(1 AS INTEGER) AS jpeg_ok,
+       CAST(SUM(CASE WHEN kind = 'video' THEN (media_id % 7) + 2 ELSE 0 END) AS BIGINT) AS mp4_samples,
+       CAST(SUM(CASE WHEN kind = 'video' THEN list_sum(list_transform(range(0, CAST(media_id % 7 AS INT) + 2), i -> (media_id + i) % 50 + 20)) ELSE 0 END) AS BIGINT) AS mp4_bytes
 FROM m GROUP BY kind
 """,
 )
@@ -1862,22 +1870,56 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             out[i] = 1 if good else 0
         return pd.Series(out)
 
+    @pandas_udf("ns long, nb long")
+    def mp4_rt(mid: pd.Series, kind: pd.Series) -> pd.DataFrame:
+        """Real container round trip on every video asset: build a
+        deterministic multi-sample mp4 (sizes (mid+i)%50+20, count
+        mid%7+2), parse the box tree + sample tables back, verify each
+        resolved byte range equals its payload, return the DECODED
+        counts (-1 poisons the aggregate on any mismatch)."""
+        import numpy as np
+
+        from .pipeline.mp4 import encode_mp4, parse_mp4
+
+        ns = np.zeros(len(mid), dtype="int64")
+        nb = np.zeros(len(mid), dtype="int64")
+        for i, (m, k) in enumerate(zip(mid.to_numpy(), kind)):
+            if k != "video":
+                continue
+            n = int(m % 7) + 2
+            payloads = [
+                bytes((int(m) + s * 31 + j) % 256 for j in range(int((m + s) % 50) + 20))
+                for s in range(n)
+            ]
+            blob = encode_mp4(payloads, chunk_split=1 if n > 2 else None)
+            t = parse_mp4(blob)["tracks"][0]
+            ok = t["n_samples"] == n and all(
+                blob[int(o) : int(o) + int(sz)] == p
+                for o, sz, p in zip(t["offsets"], t["sizes"], payloads)
+            )
+            ns[i] = t["n_samples"] if ok else -1
+            nb[i] = int(t["sizes"].sum()) if ok else -1
+        return pd.DataFrame({"ns": ns, "nb": nb})
+
     frames = (
         MM.sample_frames(media, every_ms=1000)
         .groupBy("kind")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
-    agg = feats.groupBy("kind").agg(
+    agg = feats.withColumn("_mp4", mp4_rt("media_id", "kind")).groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.length("content")).alias("total_bytes"),
         F.min(ok).alias("features_ok"),
         F.min(jpeg_rt("media_id")).alias("jpeg_ok"),
+        F.sum("_mp4.ns").alias("mp4_samples"),
+        F.sum("_mp4.nb").alias("mp4_bytes"),
     )
     return (
         agg.join(frames, "kind", "left")
         .withColumn("n_frames", F.coalesce("n_frames", F.lit(0)).cast("long"))
         .select(
-            "kind", "n_assets", "total_bytes", "n_frames", "features_ok", "jpeg_ok"
+            "kind", "n_assets", "total_bytes", "n_frames", "features_ok", "jpeg_ok",
+            "mp4_samples", "mp4_bytes",
         )
     )
 
