@@ -156,21 +156,45 @@ def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality
 def fingerprint(
     text_col: str = "text",
     window: int = 8,
+    hash: str = "xxhash64",
 ) -> Column:
     """Document fingerprint: minimum of rolling window-gram hashes over
     the token stream (winnowing-style min-sampling, deterministic).
     Equal fingerprints → high overlap candidates.
 
-    Tokens are hashed ONCE on the JVM (xxhash64 — no window-gram
-    strings are ever materialized); the rotate-XOR window combine and
-    the min run as ONE Arrow-batched numpy pass per document instead of
-    window-1 interpreted zip_with layers (higher-order functions never
-    enter whole-stage codegen, so at 8×~200 tokens the HOF tree spent
-    ~1M interpreted lambda evaluations per 5k docs). uint64 shifts in
+    ``hash='xxhash64'`` (default, the scale path): tokens are hashed
+    ONCE on the JVM (xxhash64 — no window-gram strings are ever
+    materialized); the rotate-XOR window combine and the min run as
+    ONE Arrow-batched numpy pass per document instead of window-1
+    interpreted zip_with layers (higher-order functions never enter
+    whole-stage codegen, so at 8×~200 tokens the HOF tree spent ~1M
+    interpreted lambda evaluations per 5k docs). uint64 shifts in
     numpy are bit-identical to the JVM's shiftleft /
     shiftrightunsigned / XOR on long, and the min compares the int64
     view, matching array_min over signed longs. Documents shorter than
-    one window hash their whole token stream (JVM branch, unchanged)."""
+    one window hash their whole token stream (JVM branch, unchanged).
+
+    ``hash='md5'`` (the cross-engine oracle path): window-gram STRINGS
+    are hashed with the first 60 bits of md5 — an algorithm every
+    engine shares bit-for-bit, so the whole fingerprint is re-derivable
+    in ANSI SQL (the driver oracle recomputes it in DuckDB). O(n·w)
+    string work — use it for verification, not the 100 TB hot path."""
+    if hash == "md5":
+        toks = _tokens(text_col)
+        n = F.size(toks)
+
+        def h60(c):
+            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, window)),
+        )
+        return F.when(n >= window, F.array_min(F.transform(grams, h60))).otherwise(
+            h60(F.concat_ws(" ", toks))
+        )
+    if hash != "xxhash64":
+        raise ValueError(f"fingerprint: unknown hash {hash!r}")
     from pyspark.sql.functions import pandas_udf
 
     toks = _tokens(text_col)

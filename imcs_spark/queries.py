@@ -1925,19 +1925,42 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Document fingerprinting (winnowing-min rolling hash) — xxhash64 is not
-# computable in DuckDB, so the oracle pins the measured fingerprint-
-# collision profile at sf0.01 (deterministic: literal-salted hashing,
-# no fp arithmetic). 477 distinct fingerprints over 500 docs with 45
-# docs in collision groups ≈ the corpus's known ~5% near-dup rate —
-# semantic accuracy is separately covered by pytest vectors.
+# Document fingerprinting (winnowing-min rolling hash) — two legs since
+# round 5: the 'md5' leg is a TRUE cross-engine oracle (window-gram
+# strings hashed with the first 60 bits of md5, a hash DuckDB shares
+# bit-for-bit, so the whole winnowing profile is recomputed from
+# scratch in SQL); the 'xx' leg keeps the xxhash64 SCALE path under
+# driver coverage via its pinned deterministic profile (xxhash64 is
+# not computable in DuckDB; semantics covered by pytest vectors).
+# Both paths flag the same near-dup corpus structure (~5% rate).
 # ---------------------------------------------------------------------------
 @query(
     "fingerprint_profile",
     oracle="""
-SELECT CAST(a AS BIGINT) AS n_fingerprints,
-       CAST(b AS BIGINT) AS docs_in_collisions,
-       CAST(c AS BIGINT) AS max_group
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 8 THEN
+           list_aggregate(list_transform(range(1, len(ws) - 8 + 2), i ->
+             CAST('0x' || substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT)), 'min')
+         ELSE CAST('0x' || substring(md5(array_to_string(ws, ' ')), 1, 15) AS BIGINT)
+         END AS fp
+  FROM toks
+), sizes AS (
+  SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp
+), md5_leg AS (
+  SELECT 'md5' AS algo,
+         CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+         CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_in_collisions,
+         CAST(MAX(n) AS BIGINT) AS max_group
+  FROM sizes
+)
+SELECT * FROM md5_leg
+UNION ALL
+SELECT 'xx', CAST(a AS BIGINT), CAST(b AS BIGINT), CAST(c AS BIGINT)
 FROM (VALUES (476, 47, 3)) AS t(a, b, c)
 """,
 )
@@ -1945,15 +1968,19 @@ def fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import text as T
 
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", T.fingerprint("text").alias("fp"))
-    sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
-    return sizes.agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).alias(
-            "docs_in_collisions"
-        ),
-        F.max("n").alias("max_group"),
-    )
+
+    def leg(algo: str, hash: str) -> DataFrame:
+        fp = docs.select(T.fingerprint("text", hash=hash).alias("fp"))
+        sizes = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("n"))
+        return sizes.agg(
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(F.lit(0))).alias(
+                "docs_in_collisions"
+            ),
+            F.max("n").alias("max_group"),
+        ).select(F.lit(algo).alias("algo"), "*")
+
+    return leg("md5", "md5").unionByName(leg("xx", "xxhash64"))
 
 
 # ---------------------------------------------------------------------------
