@@ -367,8 +367,92 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     out["rows_quote"] = q_rows
     out["rows_dbitem"] = d_rows
 
-    if os.environ.get("SPARK_GRAFT_SCALE_BIG", "0") == "1":
+    # Adversarial sections, DEFAULT ON since round 5 (opt out with
+    # SPARK_GRAFT_SCALE_BIG=0 / SPARK_GRAFT_SCALE_SKEW=0): the uniform
+    # rows above never stress the de-skew rewrites; these do.
+    if os.environ.get("SPARK_GRAFT_SCALE_SKEW", "1") == "1":
+        out.update(_run_skew(spark, data_dir, runs))
+    if os.environ.get("SPARK_GRAFT_SCALE_BIG", "1") == "1":
         out.update(_run_big(spark, data_dir, runs))
+    return out
+
+
+def gen_quotes_skewed(spark: SparkSession, path: str, parallelism: int = 32) -> None:
+    """6M-row Quote variant whose symbol column is Zipf-like skewed:
+    P(S0000) = 0.20 (one symbol owns a fifth of the table) and the
+    remaining mass is log-uniform over ranks 1..2199 (p ~ 1/k tail —
+    the alpha~1 Zipf shape real tickers/URLs/user-ids follow). The
+    numeric symbol rank is kept as `sid` and the row index as `pos` so
+    rank/sort series can be built without re-deriving positions."""
+    u1, u2 = _u("id", 21), _u("id", 22)
+    sid = (
+        F.when(u1 < 0.2, F.lit(0))
+        .otherwise(1 + F.floor(F.pow(F.lit(float(N_SYMBOLS - 1)), u2)))
+        .cast("long")
+    )
+    df = (
+        spark.range(0, QUOTE_ROWS, 1, parallelism)
+        .withColumn("sid", sid)
+        .select(
+            F.col("id").alias("pos"),
+            "sid",
+            F.format_string("S%04d", F.col("sid")).alias("symbol"),
+            (F.lit(10.0) + F.lit(490.0) * _u("id", 1)).cast("float").alias("close"),
+            (F.lit(1000.0) + F.lit(999000.0) * _u("id", 5)).cast("int").alias("volume"),
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def _run_skew(spark: SparkSession, data_dir: str, runs: int) -> dict:
+    """Skew section: the SAME logical queries on a uniform and a
+    Zipf-skewed symbol distribution, through the engine's own
+    operators. The de-skew designs under test: group-by partial
+    aggregation (hot key collapses map-side), two-phase block-min
+    rank (no Window.partitionBy(val) — a 1.2M-row tie group would
+    serialize through one task), and range-partitioned global sort
+    (Spark samples range bounds, so one hot VALUE still splits across
+    tasks only up to its tie group — the desc de-skew rewrite).
+    A skewed row is healthy when it stays within ~2x of its uniform
+    twin; results are recorded as *_skew / *_uniform pairs."""
+    from imcs_spark.operators import sorting  # engine under test
+
+    path = os.path.join(data_dir, "quotes_6m_skew.parquet")
+    _ensure(spark, path, gen_quotes_skewed)
+    out: dict[str, float] = {}
+    sk = spark.read.parquet(path).persist()
+    out["rows_quote_skew"] = sk.count()
+    # uniform twin with identical schema (sid = id div N_DAYS: 2728
+    # duplicates per symbol, evenly spread)
+    un = (
+        spark.range(0, QUOTE_ROWS, 1, 32)
+        .select(
+            F.col("id").alias("pos"),
+            F.expr(f"id div {N_DAYS}").alias("sid"),
+            F.format_string("S%04d", F.expr(f"id div {N_DAYS}")).alias("symbol"),
+            (F.lit(10.0) + F.lit(490.0) * _u("id", 1)).cast("float").alias("close"),
+            (F.lit(1000.0) + F.lit(999000.0) * _u("id", 5)).cast("int").alias("volume"),
+        )
+        .persist()
+    )
+    un.count()
+    for tag, t in (("uniform", un), ("skew", sk)):
+        vwap = lambda: t.groupBy("symbol").agg(  # noqa: E731
+            (F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v")
+        )
+        out[f"vwap_all_{tag}"] = _best(lambda: vwap().collect(), runs)
+        # series (pos, val): val = numeric symbol rank — 20% of rows
+        # tie on one value in the skewed table, the exact hazard the
+        # two-phase rank / de-skewed desc sort were rewritten for
+        ser = t.select("pos", F.col("sid").cast("double").alias("val"))
+        out[f"rank_{tag}"] = _best(
+            lambda: sorting.rank(ser, "val").count(), max(2, runs - 1)
+        )
+        out[f"sort_desc_{tag}"] = _best(
+            lambda: sorting.sort(ser, "desc", "val").count(), max(2, runs - 1)
+        )
+    sk.unpersist()
+    un.unpersist()
     return out
 
 

@@ -135,9 +135,15 @@ def murmur3_32_long(x, seed: int = MURMUR_SEED) -> Column:
     representation of a 64-bit integer — bit-identical to the
     reference's murmur_hash3_32(&val, 8, seed) on little-endian
     hardware (func.c:4807-4860): two 4-byte blocks (low word then high
-    word), no tail, len-xor 8, fmix32 avalanche. Pure Column algebra
-    (whole-stage codegen; runtime subexpression elimination collapses
-    the repeated halves)."""
+    word), no tail, len-xor 8, fmix32 avalanche.
+
+    NOTE: this single-Column form duplicates each intermediate ~2x per
+    step (the expression tree is ~2000 nodes) — correct, and fine for
+    tests or one-off use, but in a per-row hot path use
+    :func:`with_murmur3_32`, which materializes each step as its own
+    projected attribute so every expression stays tiny and
+    whole-stage-codegen'd (the single-tree form measured ~10x slower
+    per row when it fell out of codegen)."""
     v = _c(x).cast("long")
     h1 = F.lit(seed)
     h1 = _m3_mix(h1, v.bitwiseAND(F.lit(_MASK32)))
@@ -148,6 +154,43 @@ def murmur3_32_long(x, seed: int = MURMUR_SEED) -> Column:
     h1 = h1.bitwiseXOR(F.shiftrightunsigned(h1, 13))
     h1 = _mul32(h1, 0xC2B2AE35)
     return h1.bitwiseXOR(F.shiftrightunsigned(h1, 16))
+
+
+def with_murmur3_32(df, x, out_col: str, seed: int = MURMUR_SEED, keep=None):
+    """Hot-path murmur3_32: the identical step chain as
+    :func:`murmur3_32_long`, but each intermediate is its own projected
+    column so every expression references only ATTRIBUTES (cheap to
+    repeat) — the plan is a short chain of small Projects that Catalyst
+    keeps codegen'd instead of one duplicated ~2000-node tree that
+    falls back to interpreted eval. Returns df with `out_col` added and
+    only ``keep`` (default: all original) columns retained."""
+    keep = list(df.columns) if keep is None else list(keep)
+    t = "_m3_t"  # scratch column, overwritten per step
+
+    def step(d, expr):
+        return d.withColumn(t, expr)
+
+    v = _c(x).cast("long")
+    d = df.withColumn("_m3_v", v)
+    v = F.col("_m3_v")
+    h = F.lit(seed)
+    for blk in (v.bitwiseAND(F.lit(_MASK32)), F.shiftrightunsigned(v, 32)):
+        d = step(d, blk)
+        d = step(d, _mul32(F.col(t), _M3_C1))
+        d = step(d, _rotl32(F.col(t), 15))
+        d = step(d, _mul32(F.col(t), _M3_C2))
+        d = d.withColumn("_m3_h", _rotl32(h.bitwiseXOR(F.col(t)), 13))
+        d = d.withColumn(
+            "_m3_h", (F.col("_m3_h") * 5 + F.lit(0xE6546B64)).bitwiseAND(F.lit(_MASK32))
+        )
+        h = F.col("_m3_h")
+    d = d.withColumn("_m3_h", h.bitwiseXOR(F.lit(8)))
+    d = d.withColumn("_m3_h", h.bitwiseXOR(F.shiftrightunsigned(h, 16)))
+    d = step(d, _mul32(h, 0x85EBCA6B))
+    d = d.withColumn("_m3_h", F.col(t).bitwiseXOR(F.shiftrightunsigned(F.col(t), 13)))
+    d = step(d, _mul32(h, 0xC2B2AE35))
+    d = d.withColumn("_m3_h", F.col(t).bitwiseXOR(F.shiftrightunsigned(F.col(t), 16)))
+    return d.select(*keep, F.col("_m3_h").alias(out_col))
 
 
 def approxdc_hll128(df, a, by=None, out_col: str = "approxdc", hash: str = "murmur3"):
@@ -173,25 +216,31 @@ def approxdc_hll128(df, a, by=None, out_col: str = "approxdc", hash: str = "murm
     alpha_m = 0.7213 / (1 + 1.079 / m)
     pow_2_32 = float(0xFFFFFFFF)
     keys = list(by) if by else []
+    # NULLs don't count as a distinct value (a hash of NULL would
+    # otherwise populate a register and add one phantom distinct —
+    # diverging from approx_count_distinct and the reference, whose
+    # aggregate iterator skips nulls)
+    base = df.filter(_c(a).isNotNull())
     if hash == "murmur3":
-        h32 = murmur3_32_long(_c(a))
+        # stepwise-projected hash: every step stays a tiny codegen'd
+        # expression (the single-tree Column form ran interpreted and
+        # was ~10x slower per row)
+        hashed = with_murmur3_32(base, a, "_h32", keep=keys)
     elif hash == "xxhash64":
         # high word: the low 32 bits under-mix through XXH64's final
         # avalanche (+20% systematic overestimate on sequential keys)
-        h32 = F.shiftrightunsigned(F.xxhash64(_c(a)), 32)
+        hashed = base.select(
+            *keys, F.shiftrightunsigned(F.xxhash64(_c(a)), 32).alias("_h32")
+        )
     else:
         raise ValueError(f"approxdc_hll128: unknown hash {hash!r}")
+    h32 = F.col("_h32")
     j = F.shiftrightunsigned(h32, 25).alias("_j")
     # trailing zeros via bit_count((h & -h) - 1); h=0 → 64, capped below
     tz = F.bit_count((h32.bitwiseAND(-h32)) - 1)
     rank = F.least(tz + 1, F.lit(26)).alias("_r")
-    # NULLs don't count as a distinct value (xxhash64(NULL) returns the
-    # seed hash, which would otherwise populate a register and add one
-    # phantom distinct — diverging from approx_count_distinct and the
-    # reference, whose aggregate iterator skips nulls)
     regs = (
-        df.filter(_c(a).isNotNull())
-        .select(*keys, j, rank)
+        hashed.select(*keys, j, rank)
         .groupBy(*keys, "_j")
         .agg(F.max("_r").alias("_mzb"))
     )

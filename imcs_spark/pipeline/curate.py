@@ -311,13 +311,21 @@ def redact_pii(text_col: str | Column) -> Column:
     feeds it). Regex categories are `PII_PATTERNS`; the credit-card
     category is Luhn-gated (regex candidates → Column-algebra checksum
     → literal replace), so look-alike digit runs that fail the
-    checksum are left untouched. Apply before tokenization so the
-    replacement tokens survive into training data as explicit
-    markers."""
+    checksum are left untouched — and guarded by a cheap rlike so the
+    interpreted array machinery only runs on rows that contain a
+    card-like digit run at all. Apply before tokenization so the
+    replacement tokens survive into training data as explicit markers.
+
+    This is the single-Column form for ad-hoc use; inside DataFrame
+    pipelines prefer :func:`pii_profile`'s stepwise stage
+    materialization (each stage its own column), which keeps every
+    expression small and evaluated exactly once."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     for name, pr in _pii_stages():
         if name == "ccard":
-            c = _ccard_redact(c, _ccard_valid(c))
+            c = F.when(
+                c.rlike(CCARD_PATTERN), _ccard_redact(c, _ccard_valid(c))
+            ).otherwise(c)
         else:
             c = F.regexp_replace(c, pr[0], pr[1])
     return c
@@ -335,19 +343,38 @@ def pii_profile(
     already redacted — exactly what the sequential redact_pii pass
     replaces — so the counts always agree with len_delta (counting
     every category on the raw text would e.g. report a phone inside an
-    email address that redaction consumed as one [EMAIL])."""
-    cur = F.col(text_col)
-    counts = []
+    email address that redaction consumed as one [EMAIL]).
+
+    Each stage is MATERIALIZED as its own projected column (not one
+    nested expression): the Luhn stage's higher-order functions run
+    interpreted, where common-subexpression elimination does not
+    apply, so a single nested chain re-evaluated the whole prefix once
+    per downstream count (~8x the regex work per row). Stepwise
+    attributes keep every expression evaluated exactly once, and the
+    rlike guard skips the interpreted card machinery on the vast
+    majority of rows with no card-like digit run."""
+    d = docs.select(
+        F.col(id_col), F.col(text_col).alias("_t"), F.length(text_col).alias("_len0")
+    )
     for name, pr in _pii_stages():
         if name == "ccard":
-            valid = _ccard_valid(cur)
-            counts.append(F.size(valid).alias(f"n_{name}"))
-            cur = _ccard_redact(cur, valid)
+            has = F.col("_t").rlike(CCARD_PATTERN)
+            d = d.withColumn(
+                "_cands",
+                F.when(has, _ccard_valid(F.col("_t"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+            )
+            d = d.withColumn(f"n_{name}", F.size("_cands"))
+            d = d.withColumn(
+                "_t2", _ccard_redact(F.col("_t"), F.col("_cands"))
+            ).drop("_cands")
         else:
-            counts.append(F.regexp_count(cur, F.lit(pr[0])).alias(f"n_{name}"))
-            cur = F.regexp_replace(cur, pr[0], pr[1])
-    return docs.select(
+            d = d.withColumn(f"n_{name}", F.regexp_count(F.col("_t"), F.lit(pr[0])))
+            d = d.withColumn("_t2", F.regexp_replace(F.col("_t"), pr[0], pr[1]))
+        d = d.drop("_t").withColumnRenamed("_t2", "_t")
+    return d.select(
         id_col,
-        *counts,
-        (F.length(F.col(text_col)) - F.length(cur)).alias("len_delta"),
+        *[f"n_{name}" for name in PII_CATEGORIES],
+        (F.col("_len0") - F.length("_t")).alias("len_delta"),
     )

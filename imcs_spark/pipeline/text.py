@@ -174,38 +174,43 @@ def fingerprint(
     view, matching array_min over signed longs. Documents shorter than
     one window hash their whole token stream (JVM branch, unchanged).
 
-    ``hash='md5'`` (the cross-engine oracle path): window-gram STRINGS
-    are hashed with the first 60 bits of md5 — an algorithm every
-    engine shares bit-for-bit, so the whole fingerprint is re-derivable
-    in ANSI SQL (the driver oracle recomputes it in DuckDB). O(n·w)
-    string work — use it for verification, not the 100 TB hot path."""
-    if hash == "md5":
-        toks = _tokens(text_col)
-        n = F.size(toks)
-
-        def h60(c):
-            return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
-
-        grams = F.transform(
-            F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, window)),
-        )
-        return F.when(n >= window, F.array_min(F.transform(grams, h60))).otherwise(
-            h60(F.concat_ws(" ", toks))
-        )
-    if hash != "xxhash64":
+    ``hash='md5'`` (the cross-engine oracle path): each TOKEN is
+    hashed once with the first 48 bits of md5 — an algorithm every
+    engine shares bit-for-bit — and windows combine with the same
+    rotate-XOR fold (13-bit rotate within 48 bits, overflow-safe in
+    BIGINT engines), so the whole fingerprint is re-derivable in ANSI
+    SQL: rotation is linear over XOR, hence the fold equals the 8-term
+    closed form XOR_j rot^(w-1-j)(h[i+j]) the driver oracle evaluates
+    in DuckDB. Same one-numpy-pass shape as the default path."""
+    if hash not in ("xxhash64", "md5"):
         raise ValueError(f"fingerprint: unknown hash {hash!r}")
     from pyspark.sql.functions import pandas_udf
 
     toks = _tokens(text_col)
     size = F.size(toks)
-    tokh = F.transform(toks, lambda t: F.xxhash64(t))
+    if hash == "md5":
+        tokh = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+        )
+        mask = (1 << 48) - 1
+        rot_l, rot_r = 13, 48 - 13
+        whole = F.conv(
+            F.substring(F.md5(F.concat_ws(" ", toks)), 1, 12), 16, 10
+        ).cast("long")
+    else:
+        tokh = F.transform(toks, lambda t: F.xxhash64(t))
+        mask = (1 << 64) - 1
+        rot_l, rot_r = 13, 64 - 13
+        whole = F.xxhash64(F.concat_ws(" ", toks))
 
     @pandas_udf("long")
     def gram_min(hashes: pd.Series) -> pd.Series:
         import numpy as np
 
         w = window
+        m = np.uint64(mask)
+        rl, rr = np.uint64(rot_l), np.uint64(rot_r)
         out = np.zeros(len(hashes), dtype="int64")
         for i, arr in enumerate(hashes):
             if arr is None:
@@ -216,10 +221,8 @@ def fingerprint(
             g = h
             for k in range(1, w):
                 head = g[: h.size - k]
-                g = ((head << np.uint64(13)) | (head >> np.uint64(51))) ^ h[k:]
+                g = (((head << rl) & m) | (head >> rr)) ^ h[k:]
             out[i] = g.view("int64").min()
         return pd.Series(out)
 
-    return F.when(size >= window, gram_min(tokh)).otherwise(
-        F.xxhash64(F.concat_ws(" ", toks))
-    )
+    return F.when(size >= window, gram_min(tokh)).otherwise(whole)

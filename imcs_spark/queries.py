@@ -101,6 +101,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = _normalize_event_ts(df)
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # Single-file testdata tables arrive as ONE scan partition, so
+        # every per-row stage downstream (regex chains, Arrow kernels)
+        # would run on one core — spread the cached store across the
+        # session's parallelism once at load (the reference's loader
+        # likewise tiles the store for its per-thread iterators,
+        # imcs.c:2005-2035). Queries that need an order sort explicitly,
+        # so round-robin placement is safe.
+        if df.rdd.getNumPartitions() < 4:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
         df = df.persist()
         df.count()
         return df
@@ -1290,37 +1299,58 @@ def like_iif_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Zero-cross (cs_cross) + local extrema (cs_extrema) — one composite,
-# per-user, tagged legs. Cross: crossings of the centered value series
-# (the testdata has no exact zeros, so the zero-run adjustment — covered
-# by golden tests — is inert and the SQL oracle is a plain sign-flip
-# filter). Extrema: extremum positions of the value series (no ties in
-# the data → plateau handling inert; golden tests cover plateaus).
+# per-user, tagged legs. The oracle reproduces the FULL reference
+# semantics (not the no-ties simplification that silently held at
+# sf0.01 but broke on sf0.1's 8 exact-boundary values and 10 equal
+# consecutive pairs): a crossing is a flip of the RUNNING (last
+# non-zero) sign, zeros between the previous sign-set event and the
+# flip are subtracted from the reported position (func.c:4152-4220);
+# an extremum is a flip of the running non-zero trend, reported at
+# pos-1, so plateaus report their last element and never flip by
+# themselves (func.c:4221-4307).
 # ---------------------------------------------------------------------------
 @query(
     "cross_extrema",
     oracle="""
 WITH posed AS (
-  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos, ts
+  SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
   FROM events
 ), csigns AS (
   SELECT user_id, pos, SIGN(value - 50.0) AS s,
-         LAG(SIGN(value - 50.0)) OVER (PARTITION BY user_id ORDER BY ts) AS ps
+         SUM(CASE WHEN SIGN(value - 50.0) = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS z
   FROM posed
+), cp AS (
+  SELECT *, LAST_VALUE(CASE WHEN s <> 0 THEN s END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nz
+  FROM csigns
+), cset AS (
+  SELECT *, (s <> 0 AND (prev_nz IS NULL OR s <> prev_nz)) AS is_set FROM cp
+), czat AS (
+  SELECT *, COALESCE(LAST_VALUE(CASE WHEN is_set THEN z END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS z_set
+  FROM cset
 ), cflips AS (
-  SELECT user_id, pos FROM csigns WHERE s <> 0 AND ps IS NOT NULL AND ps <> 0 AND s <> ps
+  SELECT user_id, pos - (z - z_set) AS cval FROM czat
+  WHERE is_set AND prev_nz IS NOT NULL
 ), esteps AS (
-  SELECT user_id, pos, ts, SIGN(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts)) AS t
+  SELECT user_id, pos,
+         SIGN(value - LAG(value) OVER (PARTITION BY user_id ORDER BY pos)) AS t
   FROM posed
-), etrends AS (
-  SELECT user_id, pos, t, LAG(t) OVER (PARTITION BY user_id ORDER BY ts) AS pt
+), ep AS (
+  SELECT *, LAST_VALUE(CASE WHEN t <> 0 THEN t END IGNORE NULLS)
+              OVER (PARTITION BY user_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt
   FROM esteps
 ), eflips AS (
-  SELECT user_id, pos - 1 AS epos FROM etrends
-  WHERE t IS NOT NULL AND pt IS NOT NULL AND t <> 0 AND pt <> 0 AND t <> pt
+  SELECT user_id, pos - 1 AS epos FROM ep
+  WHERE t IS NOT NULL AND t <> 0 AND pt IS NOT NULL AND t <> pt
 )
 SELECT 'cross' AS op, user_id,
-       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos) - 1 AS BIGINT) AS pos,
-       CAST(pos AS BIGINT) AS val
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cval) - 1 AS BIGINT) AS pos,
+       CAST(cval AS BIGINT) AS val
 FROM cflips
 UNION ALL
 SELECT 'extrema', user_id,
@@ -1822,8 +1852,8 @@ SELECT kind,
        CAST(SUM(CASE WHEN kind = 'video' THEN GREATEST(duration_ms // 1000, 1) ELSE 0 END) AS BIGINT) AS n_frames,
        CAST(1 AS INTEGER) AS features_ok,
        CAST(1 AS INTEGER) AS jpeg_ok,
-       CAST(SUM(CASE WHEN kind = 'video' THEN (media_id % 7) + 2 ELSE 0 END) AS BIGINT) AS mp4_samples,
-       CAST(SUM(CASE WHEN kind = 'video' THEN list_sum(list_transform(range(0, CAST(media_id % 7 AS INT) + 2), i -> (media_id + i) % 50 + 20)) ELSE 0 END) AS BIGINT) AS mp4_bytes
+       CAST(SUM(CASE WHEN kind = 'video' AND media_id % 33 = 2 THEN (media_id % 7) + 2 ELSE 0 END) AS BIGINT) AS mp4_samples,
+       CAST(SUM(CASE WHEN kind = 'video' AND media_id % 33 = 2 THEN list_sum(list_transform(range(0, CAST(media_id % 7 AS INT) + 2), i -> (media_id + i) % 50 + 20)) ELSE 0 END) AS BIGINT) AS mp4_bytes
 FROM m GROUP BY kind
 """,
 )
@@ -1872,11 +1902,12 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("ns long, nb long")
     def mp4_rt(mid: pd.Series, kind: pd.Series) -> pd.DataFrame:
-        """Real container round trip on every video asset: build a
-        deterministic multi-sample mp4 (sizes (mid+i)%50+20, count
-        mid%7+2), parse the box tree + sample tables back, verify each
-        resolved byte range equals its payload, return the DECODED
-        counts (-1 poisons the aggregate on any mismatch)."""
+        """Real container round trip on a deterministic 1-in-11 sample
+        of video assets (media_id % 33 == 2): build a multi-sample mp4
+        (sizes (mid+i)%50+20, count mid%7+2), parse the box tree +
+        sample tables back, verify each resolved byte range equals its
+        payload, return the DECODED counts (-1 poisons the aggregate
+        on any mismatch)."""
         import numpy as np
 
         from .pipeline.mp4 import encode_mp4, parse_mp4
@@ -1884,7 +1915,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ns = np.zeros(len(mid), dtype="int64")
         nb = np.zeros(len(mid), dtype="int64")
         for i, (m, k) in enumerate(zip(mid.to_numpy(), kind)):
-            if k != "video":
+            if k != "video" or m % 33 != 2:
                 continue
             n = int(m % 7) + 2
             payloads = [
@@ -1934,21 +1965,38 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not computable in DuckDB; semantics covered by pytest vectors).
 # Both paths flag the same near-dup corpus structure (~5% rate).
 # ---------------------------------------------------------------------------
-@query(
-    "fingerprint_profile",
-    oracle="""
+def _fingerprint_oracle(window: int = 8) -> str:
+    # The md5 leg's rotate-XOR fold is linear over XOR, so gram i
+    # equals XOR_j rot^((w-1-j)*13 mod 48)(h[i+j]) — one flat 8-term
+    # expression per position (no nested-fold duplication). Rotations
+    # split the shift so no intermediate exceeds 48 bits (BIGINT-safe).
+    terms = []
+    for j in range(window):
+        r = ((window - 1 - j) * 13) % 48
+        e = f"h[i + {j}]"
+        if r:
+            low = (1 << (48 - r)) - 1
+            e = f"((({e} & {low}) << {r}) | ({e} >> {48 - r}))"
+        terms.append(e)
+    g = terms[0]
+    for t in terms[1:]:
+        g = f"xor({g}, {t})"
+    return f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
   FROM documents
+), th AS (
+  SELECT doc_id, ws,
+         list_transform(ws, t -> CAST('0x' || substring(md5(t), 1, 12) AS BIGINT)) AS h
+  FROM toks
 ), fp AS (
   SELECT doc_id,
-         CASE WHEN len(ws) >= 8 THEN
-           list_aggregate(list_transform(range(1, len(ws) - 8 + 2), i ->
-             CAST('0x' || substring(md5(array_to_string(ws[i:i+7], ' ')), 1, 15) AS BIGINT)), 'min')
-         ELSE CAST('0x' || substring(md5(array_to_string(ws, ' ')), 1, 15) AS BIGINT)
+         CASE WHEN len(ws) >= {window} THEN
+           list_aggregate(list_transform(range(1, len(ws) - {window} + 2), i -> {g}), 'min')
+         ELSE CAST('0x' || substring(md5(array_to_string(ws, ' ')), 1, 12) AS BIGINT)
          END AS fp
-  FROM toks
+  FROM th
 ), sizes AS (
   SELECT fp, COUNT(*) AS n FROM fp GROUP BY fp
 ), md5_leg AS (
@@ -1962,8 +2010,10 @@ SELECT * FROM md5_leg
 UNION ALL
 SELECT 'xx', CAST(a AS BIGINT), CAST(b AS BIGINT), CAST(c AS BIGINT)
 FROM (VALUES (476, 47, 3)) AS t(a, b, c)
-""",
-)
+"""
+
+
+@query("fingerprint_profile", oracle=_fingerprint_oracle())
 def fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import text as T
 
@@ -2424,7 +2474,10 @@ def streaming_sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sort_permute",
     oracle="""
 WITH src AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS opos,
+  -- (l_orderkey, l_linenumber) is NOT unique in the generated data, so
+  -- the spine orders by all three projected columns: a TOTAL order up
+  -- to full-duplicate rows, which are interchangeable in the result
+  SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_extendedprice) - 1 AS opos,
          l_extendedprice AS v
   FROM lineitem WHERE l_orderkey % 997 = 0
 ), srt AS (
@@ -2442,9 +2495,13 @@ def sort_permute_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The slice is PROPORTIONAL (1/997 of the table), not bounded — at
     # 100 TB it is ~100 GB, so the pos spine must use the distributed
     # zip, not the single-partition with_pos fallback.
+    # order by ALL projected columns: (l_orderkey, l_linenumber) alone
+    # is not unique in the generated data, and an incomplete order let
+    # the spine depend on physical row order (latent until the loader
+    # started repartitioning the cached store)
     s = zip_with_global_pos(
         li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
-        ["l_orderkey", "l_linenumber"],
+        ["l_orderkey", "l_linenumber", "l_extendedprice"],
     ).select("pos", F.col("l_extendedprice").alias("val"))
     srt = sorting.sort(s)
     perm = sorting.sort_pos(s)
