@@ -494,6 +494,16 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
     _time_row(out, "sum_close_60m", lambda: q.agg(F.sum("close").alias("s")), runs)
     _time_row(
         out,
+        "filter_project_60m",
+        lambda: q.filter(
+            (F.col("symbol") == "S0042")
+            & F.col("day").between("2010-01-01", "2010-03-31")
+            & (F.col("close") > F.col("open") * 1.01)
+        ).select("day", "close"),
+        runs,
+    )
+    _time_row(
+        out,
         "vwap_one_60m",
         lambda: q.filter(
             (F.col("symbol") == "S0100")
