@@ -385,9 +385,12 @@ def gen_quotes_skewed(spark: SparkSession, path: str, parallelism: int = 32) -> 
     numeric symbol rank is kept as `sid` and the row index as `pos` so
     rank/sort series can be built without re-deriving positions."""
     u1, u2 = _u("id", 21), _u("id", 22)
+    # floor(N^u2) spans exactly [1, N-1]: pow(N, u2) ∈ [1, N) for
+    # u2 ∈ [0, 1) (the earlier 1 + floor((N-1)^u2) form skipped rank 1
+    # — the heaviest tail symbol — entirely)
     sid = (
         F.when(u1 < 0.2, F.lit(0))
-        .otherwise(1 + F.floor(F.pow(F.lit(float(N_SYMBOLS - 1)), u2)))
+        .otherwise(F.floor(F.pow(F.lit(float(N_SYMBOLS)), u2)))
         .cast("long")
     )
     df = (

@@ -193,7 +193,7 @@ def with_murmur3_32(df, x, out_col: str, seed: int = MURMUR_SEED, keep=None):
     return d.select(*keep, F.col("_m3_h").alias(out_col))
 
 
-def approxdc_hll128(df, a, by=None, out_col: str = "approxdc", hash: str = "murmur3"):
+def approxdc_hll128(df, a, by=None, out_col: str = "approxdc", hash: str | None = None):
     """The reference's own HLL, re-expressed declaratively
     (func.c:4802-4936): m=128 registers indexed by the TOP 7 bits of a
     32-bit hash, register value = trailing-zero count + 1 capped at 26,
@@ -204,8 +204,13 @@ def approxdc_hll128(df, a, by=None, out_col: str = "approxdc", hash: str = "murm
     integer representation, so estimates are bit-identical to the C
     engine for integer series (and re-derivable in any engine — the
     driver oracle recomputes them in DuckDB SQL). ``hash='xxhash64'``
-    keeps the previous high-word-of-xxhash64 variant for non-integer
-    types the byte-layout contract doesn't cover.
+    keeps the high-word-of-xxhash64 variant for non-integer types the
+    byte-layout contract doesn't cover. The default (``hash=None``)
+    dispatches by column type: murmur3 for integral columns, xxhash64
+    otherwise — an unconditional murmur3 default silently collapsed
+    fractional values through the long cast (2000 distinct halves →
+    ~1000) and crashed on strings under ANSI casting. Passing
+    ``hash='murmur3'`` explicitly on a non-integral column raises.
 
     Two hash aggregates: (by?, register) → max rank, then (by?) →
     the closed-form estimate. The shuffle carries at most 128 rows per
@@ -221,6 +226,18 @@ def approxdc_hll128(df, a, by=None, out_col: str = "approxdc", hash: str = "murm
     # diverging from approx_count_distinct and the reference, whose
     # aggregate iterator skips nulls)
     base = df.filter(_c(a).isNotNull())
+    from pyspark.sql import types as T
+
+    dt = base.select(_c(a).alias("_x")).schema["_x"].dataType
+    integral = isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+    if hash is None:
+        hash = "murmur3" if integral else "xxhash64"
+    elif hash == "murmur3" and not integral:
+        raise TypeError(
+            f"approxdc_hll128: hash='murmur3' requires an integral column "
+            f"(the reference hashes the 8-byte integer representation); got "
+            f"{dt.simpleString()} — use hash='xxhash64' or omit hash"
+        )
     if hash == "murmur3":
         # stepwise-projected hash: every step stays a tiny codegen'd
         # expression (the single-tree Column form ran interpreted and

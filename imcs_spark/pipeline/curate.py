@@ -285,11 +285,19 @@ def _ccard_valid(text: Column) -> Column:
 
 
 def _ccard_redact(text: Column, valid: Column) -> Column:
-    """Literal-replace each Luhn-valid span with [CCARD] (fold over
-    the candidate array; non-regex replace, so card digits can't
-    re-trigger)."""
+    """Replace each Luhn-valid span with [CCARD] (fold over the
+    candidate array). The replace is \\b-anchored on both sides: a
+    plain literal replace corrupted any LONGER digit run that merely
+    contained a valid card as a substring ('9<card>' became
+    '9[CCARD]' even though the 17-digit run was itself a rejected
+    candidate). Candidates only ever contain digits, spaces, and
+    dashes, so splicing them into a regex needs no escaping."""
     return F.aggregate(
-        valid, text, lambda acc, cand: F.replace(acc, cand, F.lit("[CCARD]"))
+        valid,
+        text,
+        lambda acc, cand: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), cand, F.lit(r"\b")), F.lit("[CCARD]")
+        ),
     )
 
 

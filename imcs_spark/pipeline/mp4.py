@@ -37,6 +37,7 @@ def encode_mp4(
     height: int = 48,
     chunk_split: int | None = None,
     codec: bytes = b"rawv",
+    handler: bytes = b"vide",
 ) -> bytes:
     """Build a minimal valid single-track mp4: ftyp + mdat holding the
     sample payloads back-to-back + moov with complete sample tables.
@@ -94,7 +95,7 @@ def encode_mp4(
         + struct.pack(">HH", 0x55C4, 0),  # language 'und', predefined
     )
     hdlr = _box(
-        b"hdlr", _fullbox() + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"
+        b"hdlr", _fullbox() + b"\x00" * 4 + handler + b"\x00" * 12 + b"\x00"
     )
     vmhd = _box(b"vmhd", struct.pack(">I", 1) + struct.pack(">HHHH", 0, 0, 0, 0))
     dref = _box(
@@ -320,9 +321,13 @@ def video_features(content: bytes) -> np.ndarray:
 
     data = bytes(content)
     info = parse_mp4(data)
-    vids = [t for t in info["tracks"] if t.get("n_samples")]
-    if not vids:
+    with_samples = [t for t in info["tracks"] if t.get("n_samples")]
+    if not with_samples:
         raise ValueError("mp4 has no track with samples")
+    # prefer the video handler: a file muxed with its 'soun' trak first
+    # would otherwise silently report audio-track statistics (width 0,
+    # audio-timescale fps) as the video features
+    vids = [t for t in with_samples if t["handler"] == "vide"] or with_samples
     t = vids[0]
     sizes, offsets = t["sizes"], t["offsets"]
     n = len(sizes)

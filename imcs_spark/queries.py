@@ -1142,6 +1142,12 @@ def win_group_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # estimator from scratch — every arithmetic step is dyadic-exact or
 # IEEE-deterministic, so the integer estimates match bit-for-bit.
 # Only the hllpp legs stay pinned (Spark-internal HLL++ constants).
+# Caveat (documented, not hit by this data): the small/large-range
+# correction branches call log(), where JVM Math.log and DuckDB libm
+# may differ in the last ulp — if a future fixture pushed a key under
+# ~320 distincts AND the corrected value landed within ~1e-12 of an
+# integer, FLOOR could differ by 1. The registered keys have ~11k
+# distincts, so the main branch (pure dyadic arithmetic) always runs.
 # ---------------------------------------------------------------------------
 def _approxdc_oracle() -> str:
     def mul32(a: str, c: int) -> str:
@@ -2919,7 +2925,9 @@ WITH aug AS (
   SELECT *, list_filter(regexp_extract_all(t2, '{CCARD_PATTERN}'), c -> {luhn}) AS cc_valid
   FROM r2
 ), r3 AS (
-  SELECT *, list_reduce(list_prepend(t2, cc_valid), (acc, x) -> replace(acc, x, '[CCARD]')) AS t3 FROM c0
+  -- \b-anchored, mirroring the engine: a literal replace would corrupt
+  -- longer digit runs containing a valid card as a substring
+  SELECT *, list_reduce(list_prepend(t2, cc_valid), (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '[CCARD]', 'g')) AS t3 FROM c0
 ), r4 AS (
   SELECT *, regexp_replace(t3, '{pat["phone"]}', '\\1[PHONE]', 'g') AS t4 FROM r3
 ), r5 AS (

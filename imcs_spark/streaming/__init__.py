@@ -48,9 +48,17 @@ def append_stream(
     previous design collected every series max into a driver dict and
     re-broadcast it per batch. Snapshots older than the one just read
     are deleted after each batch; on a batch replay after a crash,
-    snapshots written by the failed attempt (version >= current
-    batch_id) are ignored so a batch is never checked against its own
-    partial write.
+    post-batch snapshots written by the failed attempt (version >=
+    current batch_id) are ignored. When no prior snapshot exists (the
+    first batch over a pre-existing table), the PRE-batch state is
+    itself persisted (``v{batch_id}pre``) BEFORE the data append: a
+    crash between append and post-snapshot then replays against the
+    true pre-append maxes instead of re-deriving them from a table
+    that already contains the failed attempt's own rows (which would
+    poison 'error' mode permanently and silently drop rows in 'drop'
+    mode). The at-least-once data append itself is the standard
+    foreachBatch contract; make the sink idempotent downstream if
+    exactly-once is required.
 
     Dropped-late rows can never advance a series max (they are behind
     it by definition), so batch maxes are folded from the RAW batch —
@@ -89,11 +97,19 @@ def append_stream(
         spark = batch.sparkSession
         versions = _versions(spark)
         usable = [v for v in versions if v < batch_id]
+        pre_path = f"{side_path}/v{batch_id}pre"
         if usable:
             old = spark.read.parquet(f"{side_path}/v{usable[-1]}")
+        elif _table_exists(spark, pre_path):
+            # replay of a crashed attempt that had already persisted
+            # this batch's pre-append state — use it, NOT the data
+            # table (which may contain the failed attempt's own rows)
+            old = spark.read.parquet(pre_path)
         elif _table_exists(spark, target_path):
-            # no snapshot yet (first run over a pre-existing table):
-            # derive the maxes from the data once, distributed
+            # first batch over a pre-existing table: derive the maxes
+            # from the data once (distributed) and persist them BEFORE
+            # appending, so a replay never checks the batch against
+            # its own partial write
             current = spark.read.parquet(target_path)
             if id_col:
                 old = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
@@ -101,6 +117,8 @@ def append_stream(
                 old = current.agg(F.max(ts_col).alias("_maxts")).filter(
                     F.col("_maxts").isNotNull()
                 )
+            old.coalesce(8).write.mode("overwrite").parquet(pre_path)
+            old = spark.read.parquet(pre_path)
         else:
             old = None
         out = batch
@@ -138,12 +156,22 @@ def append_stream(
                 F.max("_maxts").alias("_maxts")
             ).filter(F.col("_maxts").isNotNull())
         new.coalesce(8).write.mode("overwrite").parquet(f"{side_path}/v{batch_id}")
-        # GC: keep only the snapshot just read (crash fallback) + new
+        # GC: keep only the snapshot just read (crash fallback) + new;
+        # pre-append snapshots are superseded the moment the post-batch
+        # snapshot commits
         keep = {batch_id} | ({usable[-1]} if usable else set())
-        fs, _, jvm = _hfs(spark, side_path)
+        fs, hside, jvm = _hfs(spark, side_path)
         for v in versions:
             if v not in keep:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f"{side_path}/v{v}"), True)
+        for st in fs.listStatus(hside):
+            nm = st.getPath().getName()
+            if nm.startswith("v") and nm.endswith("pre"):
+                try:
+                    if int(nm[1:-3]) <= batch_id:
+                        fs.delete(st.getPath(), True)
+                except ValueError:
+                    pass
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:

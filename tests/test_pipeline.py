@@ -272,6 +272,73 @@ def test_mp4_container_roundtrip():
         mp4.parse_mp4(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00" + b"\x00\x00\x00\x08mdat"[:8])
 
 
+def test_ccard_redact_no_substring_corruption(spark):
+    """A LONGER digit run containing a valid card as a substring must
+    stay untouched (it is its own rejected candidate); the standalone
+    card still redacts. The old literal replace rewrote the inner
+    span of the 17-digit run."""
+    from imcs_spark.pipeline import curate
+
+    df = spark.createDataFrame(
+        [(1, "run 94111111111111111 and card 4111111111111111 end")],
+        "doc_id long, text string",
+    )
+    red = df.select(curate.redact_pii("text").alias("r")).collect()[0]["r"]
+    assert red == "run 94111111111111111 and card [CCARD] end"
+    row = curate.pii_profile(df).collect()[0]
+    assert row.n_ccard == 1
+
+
+def test_approxdc_hll128_type_dispatch(spark):
+    """Default hash dispatches by column type: integral -> murmur3
+    (reference parity), fractional/string -> xxhash64 (the murmur long
+    cast would collapse distinct halves / crash under ANSI); explicit
+    murmur3 on a non-integral column raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from imcs_spark.functions.aggregates import approxdc_hll128
+
+    halves = spark.range(2000).select((F.col("id") / 2.0 + 0.5).alias("v"))
+    est = approxdc_hll128(halves, "v").collect()[0]["approxdc"]
+    assert abs(est - 2000) <= 0.25 * 2000  # not collapsed to ~1000
+    strs = spark.range(500).select(F.concat(F.lit("k"), F.col("id")).alias("v"))
+    est_s = approxdc_hll128(strs, "v").collect()[0]["approxdc"]
+    assert abs(est_s - 500) <= 0.3 * 500
+    with pytest.raises(TypeError, match="integral"):
+        approxdc_hll128(halves, "v", hash="murmur3")
+
+
+def test_mp4_video_features_prefer_vide_track():
+    """A file muxed with its audio trak before the video trak must
+    still report the VIDEO track's features (the old first-track rule
+    silently emitted audio stats as video features)."""
+    from imcs_spark.pipeline import mp4
+
+    payloads = [b"0123456789" * 3, b"abcdefghij" * 2]
+    vid = mp4.encode_mp4(payloads, width=320, height=240)
+    aud = mp4.encode_mp4([b"a" * 7] * 4, width=0, height=0, handler=b"soun")
+    # splice: ftyp + mdat from the VIDEO file (so its sample offsets
+    # stay valid) + moov carrying the audio trak FIRST
+    data_v, data_a = bytes(vid), bytes(aud)
+    moov_v = mp4._find(data_v, 0, len(data_v), b"moov")
+    moov_a = mp4._find(data_a, 0, len(data_a), b"moov")
+    trak_v = mp4._find(data_v, *moov_v, b"trak")
+    trak_a = mp4._find(data_a, *moov_a, b"trak")
+    mvhd_v = mp4._find(data_v, *moov_v, b"mvhd")
+    payload = (
+        data_v[mvhd_v[0] - 8 : mvhd_v[1]]
+        + data_a[trak_a[0] - 8 : trak_a[1]]
+        + data_v[trak_v[0] - 8 : trak_v[1]]
+    )
+    spliced = data_v[: moov_v[0] - 8] + mp4._box(b"moov", payload)
+    info = mp4.parse_mp4(spliced)
+    assert [t["handler"] for t in info["tracks"]] == ["soun", "vide"]
+    f = mp4.video_features(spliced)
+    assert (f[2], f[3]) == (320, 240)  # vide geometry, not the soun track
+    assert f[0] == 2 and f[15] == 1.0  # vide samples, offsets valid
+
+
 def test_real_decode_rejects_opaque_codecs():
     import pytest
 

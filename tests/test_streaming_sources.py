@@ -194,6 +194,49 @@ def test_streaming_ordered_append_many_series(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_streaming_append_replay_uses_pre_snapshot(spark):
+    """Crash-replay safety: when a batch's data append landed but its
+    post-batch snapshot did not, the replay must check against the
+    persisted PRE-append state (v{batch}pre) — not re-derive maxes
+    from a table already containing the failed attempt's rows, which
+    poisoned 'error' mode permanently."""
+    tmp = tempfile.mkdtemp(prefix="imcs_stream_replay_")
+    target = os.path.join(tmp, "table")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "incoming")
+    try:
+        base = spark.createDataFrame(
+            [(1, 100, 1.0), (2, 100, 1.0)], "id int, ts long, v double"
+        )
+        batch_rows = spark.createDataFrame(
+            [(1, 200, 2.0), (2, 250, 2.0)], "id int, ts long, v double"
+        )
+        # simulate the crashed attempt: data table = base + the failed
+        # attempt's append; pre-snapshot = the true pre-append maxes
+        base.unionByName(batch_rows).write.parquet(target)
+        base.groupBy("id").agg(F.max("ts").alias("_maxts")).write.parquet(
+            target + "_maxes/v0pre"
+        )
+        batch_rows.write.parquet(src)
+        stream = spark.readStream.schema("id int, ts long, v double").parquet(src)
+        # fresh checkpoint -> this run IS batch 0, i.e. the replay.
+        # Without the pre-snapshot the derived maxes would be 200/250
+        # and error mode would reject the batch's own rows forever.
+        q = append_stream(stream, target, "ts", "id", on_violation="error", checkpoint=chk)
+        q.awaitTermination(120)
+        final = spark.read.parquet(target)
+        assert final.count() == 6  # base 2 + failed append 2 + replay 2
+        vdirs = sorted(d for d in os.listdir(target + "_maxes"))
+        assert "v0" in vdirs and "v0pre" not in vdirs  # pre GC'd post-commit
+        maxes = {
+            r["id"]: r["_maxts"]
+            for r in spark.read.parquet(target + "_maxes/v0").collect()
+        }
+        assert maxes == {1: 200, 2: 250}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_sessionize_stream_stateful(spark):
     """applyInPandasWithState sessionizer: sessions survive across
     micro-batches in keyed state, close on gap (mid-batch AND
