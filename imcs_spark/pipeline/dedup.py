@@ -152,10 +152,34 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     bands: int = 8,
+    pair_mode: str = "all",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (rows = num_hashes // bands) and emit
     candidate pairs (left_id < right_id) sharing any band bucket.
-    Bucket join shuffles only (band, bucket_hash, id)."""
+    Bucket join shuffles only (band, bucket_hash, id).
+
+    Scale controls for the quadratic-bucket hazard — a near-duplicate
+    MEGA-cluster (site boilerplate, licence text) lands its c members
+    in the same bucket in every band, and the self-join then emits
+    bands·c²/2 pairs (c = 10⁷ ⇒ 10¹⁴ pairs — the classic LSH blowup
+    at corpus scale):
+
+    - ``pair_mode='star'``: per (band, bucket), pair every member with
+      the bucket's MINIMUM id only — O(c) edges per bucket instead of
+      O(c²), and the candidate graph's CONNECTIVITY over any true
+      near-dup cluster is preserved (all members share the hub), so
+      connected-components dedup finds identical clusters. What is
+      lost: Jaccard is only ever verified against the hub, so greedy
+      pairwise filtering may keep a member whose similarity to the hub
+      (but not to some other member) is sub-threshold — the standard
+      recall trade every production-scale MinHash pipeline makes.
+    - ``max_bucket=N``: drop buckets with more than N members before
+      pairing (with 'all' mode, caps worst-case pair count at
+      bands·N²/2 per bucket). A dropped mega-bucket usually re-pairs
+      through its other, finer bands; run exact_dedup first so truly
+      identical docs never reach LSH at all.
+    """
     if bands <= 0 or num_hashes % bands != 0:
         # silent truncation would change the configured S-curve, and
         # num_hashes < bands would degenerate to ONE bucket per band
@@ -164,6 +188,8 @@ def minhash_lsh_candidates(
             f"minhash_lsh_candidates: bands ({bands}) must divide"
             f" num_hashes ({num_hashes})"
         )
+    if pair_mode not in ("all", "star"):
+        raise ValueError(f"minhash_lsh_candidates: unknown pair_mode {pair_mode!r}")
     rows = num_hashes // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
@@ -177,6 +203,25 @@ def minhash_lsh_candidates(
             F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        sizes = stacked.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("_bsz")
+        )
+        stacked = stacked.join(
+            sizes.filter(F.col("_bsz") <= max_bucket).drop("_bsz"),
+            ["band", "bucket"],
+            "left_semi",
+        )
+    if pair_mode == "star":
+        hubs = stacked.groupBy("band", "bucket").agg(
+            F.min(id_col).alias("left_id")
+        )
+        return (
+            stacked.join(hubs, ["band", "bucket"])
+            .filter(F.col(id_col) > F.col("left_id"))
+            .select("left_id", F.col(id_col).alias("right_id"))
+            .distinct()
+        )
     l = stacked.select(F.col(id_col).alias("left_id"), "band", "bucket")
     r = stacked.select(F.col(id_col).alias("right_id"), "band", "bucket")
     return (

@@ -350,6 +350,40 @@ def test_real_decode_rejects_opaque_codecs():
         multimodal.real_decode(b"\x00\x01\x02\x03", "video/webm")
 
 
+def test_lsh_star_mode_and_bucket_cap(spark):
+    """Mega-cluster scale controls: star mode pairs each bucket member
+    with the bucket's min id only — O(c) edges whose connectivity over
+    a near-dup clique equals the all-pairs graph's — and max_bucket
+    drops oversized buckets entirely."""
+    rows = [(i, "the quick brown fox jumps over the lazy dog wearing boots today") for i in range(6)]
+    rows += [(10 + i, f"completely unrelated document number {i} with own words {i*7}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, num_hashes=16)
+    allp = dedup.minhash_lsh_candidates(sigs, num_hashes=16, bands=4)
+    star = dedup.minhash_lsh_candidates(sigs, num_hashes=16, bands=4, pair_mode="star")
+    a = {(r.left_id, r.right_id) for r in allp.collect()}
+    s = {(r.left_id, r.right_id) for r in star.collect()}
+    # the 6-doc identical clique: all-pairs emits C(6,2)=15 clique
+    # edges; star emits exactly the 5 hub edges (0,1)..(0,5)
+    assert {(l, r) for l, r in a if l < 6 and r < 6} == {
+        (l, r) for l in range(6) for r in range(l + 1, 6)
+    }
+    assert {(l, r) for l, r in s if l < 6 and r < 6} == {(0, r) for r in range(1, 6)}
+    assert s <= a  # star is a subset of the all-pairs graph
+    # identical connectivity: components over both edge sets agree
+    mk = lambda e: spark.createDataFrame(  # noqa: E731
+        list(e) or [(0, 0)], "left_id long, right_id long"
+    )
+    ca = {r.node: r.comp for r in dedup.connected_components(mk(a)).collect()}
+    cs = {r.node: r.comp for r in dedup.connected_components(mk(s)).collect()}
+    assert ca == cs
+    # cap: the clique's buckets hold 6 members; max_bucket=5 drops them
+    capped = dedup.minhash_lsh_candidates(
+        sigs, num_hashes=16, bands=4, max_bucket=5
+    )
+    assert {(r.left_id, r.right_id) for r in capped.collect() if r.left_id < 6 and r.right_id < 6} == set()
+
+
 def test_connected_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (9, 2)], "left_id long, right_id long"
