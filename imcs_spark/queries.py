@@ -107,8 +107,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session's parallelism once at load (the reference's loader
         # likewise tiles the store for its per-thread iterators,
         # imcs.c:2005-2035). Queries that need an order sort explicitly,
-        # so round-robin placement is safe.
-        if df.rdd.getNumPartitions() < 4:
+        # so round-robin placement is safe. Tiny dimension tables
+        # (region/nation) stay as-is: 32 near-empty cached partitions
+        # would add a task-launch fan-out to every scan for nothing.
+        if df.rdd.getNumPartitions() < 4 and df.count() >= 1000:
             df = df.repartition(spark.sparkContext.defaultParallelism)
         df = df.persist()
         df.count()
@@ -223,9 +225,14 @@ def _exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 6)                                   AS sum_qty,
-       ROUND(SUM(l_extendedprice), 6)                              AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)           AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       -- integer rounding for the extensive sums: summation-order
+       -- noise grows with magnitude (~1e8 at sf0.01, ~3e9 at sf0.1 ->
+       -- noise ~1e-6..1e-2), so any fixed fine granularity is a coin
+       -- flip some partitioning change eventually re-rolls; 1.0
+       -- granularity keeps a >=100x margin at every tested SF
+       ROUND(SUM(l_extendedprice), 0)                              AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 0)           AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 0) AS sum_charge,
        ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
        ROUND(AVG(l_extendedprice), 6)                              AS avg_price,
        ROUND(AVG(l_discount), 6)                                   AS avg_disc,
@@ -243,9 +250,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _r6(F.sum("l_quantity")).alias("sum_qty"),
-            _r6(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r6(F.sum(disc_price)).alias("sum_disc_price"),
-            _r6(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            F.round(F.sum("l_extendedprice"), 0).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 0).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 0).alias("sum_charge"),
             _r6(F.avg("l_quantity")).alias("avg_qty"),
             _r6(F.avg("l_extendedprice")).alias("avg_price"),
             _r6(F.avg("l_discount")).alias("avg_disc"),
@@ -271,10 +278,10 @@ SELECT CAST(COUNT(l_quantity) AS BIGINT)            AS cnt,
        ROUND(MAX(l_extendedprice), 6)               AS max_price,
        ROUND(SUM(l_quantity), 6)                    AS sum_qty,
        ROUND(AVG(l_extendedprice), 6)               AS avg_price,
-       ROUND(VAR_POP(l_extendedprice), 4)           AS var_price,
+       ROUND(VAR_POP(l_extendedprice), 2)           AS var_price,
        ROUND(STDDEV_POP(l_extendedprice), 6)        AS dev_price,
        ROUND(MEDIAN(l_quantity), 6)                 AS median_qty,
-       ROUND(SUM(l_quantity * l_extendedprice), 4)  AS wsum,
+       ROUND(SUM(l_quantity * l_extendedprice), -1) AS wsum,
        ROUND(SUM(l_quantity * l_extendedprice) / SUM(l_quantity), 6) AS wavg,
        ROUND(CORR(l_quantity, l_extendedprice), 6)  AS corr_qp,
        ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS cov_qp
@@ -289,10 +296,10 @@ def grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(agg.max("l_extendedprice")).alias("max_price"),
         _r6(agg.sum("l_quantity")).alias("sum_qty"),
         _r6(agg.avg("l_extendedprice")).alias("avg_price"),
-        F.round(agg.var("l_extendedprice"), 4).alias("var_price"),
+        F.round(agg.var("l_extendedprice"), 2).alias("var_price"),
         _r6(agg.dev("l_extendedprice")).alias("dev_price"),
         _r6(agg.median("l_quantity")).alias("median_qty"),
-        F.round(agg.wsum("l_quantity", "l_extendedprice"), 4).alias("wsum"),
+        F.round(agg.wsum("l_quantity", "l_extendedprice"), -1).alias("wsum"),
         _r6(agg.wavg("l_quantity", "l_extendedprice")).alias("wavg"),
         _r6(agg.corr("l_quantity", "l_extendedprice")).alias("corr_qp"),
         F.round(agg.cov("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
@@ -338,7 +345,7 @@ def hash_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "filtered_sum",
     oracle="""
-SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS matched
 FROM lineitem
 WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
@@ -349,7 +356,7 @@ def filtered_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(
         (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07) & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
         F.count(F.lit(1)).alias("matched"),
     )
 
@@ -1586,7 +1593,7 @@ def literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_name, r.r_name,
        CAST(COUNT(*) AS BIGINT) AS orders_cnt,
-       ROUND(SUM(o.o_totalprice), 4) AS revenue
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -1607,7 +1614,7 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("n_name", "r_name").agg(
         F.count(F.lit(1)).alias("orders_cnt"),
-        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
 
 
