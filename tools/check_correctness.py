@@ -49,9 +49,14 @@ def rows_to_multiset(rows, colnames):
     # then compare pairwise with tolerance. Rows whose float cells
     # straddle a rounding/sort boundary could misalign — every
     # registered query guards against this by rounding its float
-    # outputs to 6 decimals IN THE QUERY (Spark and oracle alike), so
-    # the sort keys are bit-identical whenever values match. Keep that
-    # convention when adding queries.
+    # outputs IN THE QUERY (Spark and oracle alike), so the sort keys
+    # are bit-identical whenever values match. Granularity must be
+    # MAGNITUDE-AWARE for extensive sums: summation-order noise scales
+    # with the sum (~1e-6 at 1e8, ~1e-2 at 3e9 — and past ~1e10 a 6dp
+    # step is inside double ULP itself), so intensive stats (means,
+    # ratios, per-row values) round at 6dp while sums of magnitude
+    # >=1e7 round at >=100x their noise (2dp at 1e7, integers at 1e8+,
+    # tens at 1e10+). Keep that convention when adding queries.
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     out = []
     for r in rows:
