@@ -1,0 +1,187 @@
+"""Seeded randomized property tests for the round-5 surfaces: the
+Luhn gate, the mp4 container round trip, the fingerprint fold/closed
+form identity the DuckDB oracle relies on, and murmur3_32 over random
+inputs. Pure-Python models are the ground truth; Spark cases ride in
+one DataFrame per property (the same pattern as test_property_multi).
+"""
+
+import random
+import struct
+
+from pyspark.sql import functions as F
+
+
+def _luhn_model(digits: str) -> bool:
+    s = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        s += d
+    return s % 10 == 0
+
+
+def _luhn_complete(prefix: str) -> str:
+    """Append the check digit that makes `prefix` Luhn-valid."""
+    for d in "0123456789":
+        if _luhn_model(prefix + d):
+            return prefix + d
+    raise AssertionError("unreachable")
+
+
+def test_luhn_property_random(spark):
+    """Random 13-19 digit numbers completed to Luhn validity pass;
+    any single-digit mutation fails (Luhn detects all single-digit
+    errors); random uncompleted strings agree with the model."""
+    from imcs_spark.pipeline.curate import luhn_check
+
+    rng = random.Random(1234)
+    rows = []
+    expect = []
+    for _ in range(40):
+        n = rng.randint(13, 19)
+        base = "".join(rng.choice("0123456789") for _ in range(n - 1))
+        valid = _luhn_complete(base)
+        rows.append((valid,))
+        expect.append(True)
+        # single-digit mutation
+        pos = rng.randrange(n)
+        old = valid[pos]
+        new = rng.choice([c for c in "0123456789" if c != old])
+        mutated = valid[:pos] + new + valid[pos:][1:]
+        rows.append((mutated,))
+        expect.append(False)
+        # arbitrary string: agree with the model
+        raw = "".join(rng.choice("0123456789") for _ in range(n))
+        rows.append((raw,))
+        expect.append(_luhn_model(raw))
+    df = spark.createDataFrame(rows, "c string")
+    got = [r.ok for r in df.select(luhn_check("c").alias("ok")).collect()]
+    assert got == expect
+
+
+def test_mp4_roundtrip_property():
+    """Random sample counts / sizes / chunk splits / geometry: the
+    parsed sample table must reproduce the construction exactly and
+    every resolved byte range must equal its payload."""
+    from imcs_spark.pipeline import mp4
+
+    rng = random.Random(77)
+    for _ in range(25):
+        n = rng.randint(1, 12)
+        payloads = [
+            bytes(rng.randrange(256) for _ in range(rng.randint(1, 120)))
+            for _ in range(n)
+        ]
+        split = rng.choice([None] + list(range(1, n)))
+        ts = rng.choice([1000, 30000, 90000])
+        delta = rng.randint(1, 5000)
+        w, h = rng.randint(1, 4096), rng.randint(1, 4096)
+        blob = mp4.encode_mp4(
+            payloads, sample_delta=delta, timescale=ts,
+            width=w, height=h, chunk_split=split,
+        )
+        info = mp4.parse_mp4(blob)
+        assert info["timescale"] == ts and info["duration"] == n * delta
+        t = info["tracks"][0]
+        assert (t["width"], t["height"]) == (w, h)
+        assert t["n_samples"] == n
+        assert t["n_chunks"] == (2 if split and 0 < split < n else 1)
+        assert list(t["sizes"]) == [len(p) for p in payloads]
+        assert list(t["deltas"]) == [delta] * n
+        for o, sz, p in zip(t["offsets"], t["sizes"], payloads):
+            assert blob[int(o) : int(o) + int(sz)] == p
+        f = mp4.video_features(blob)
+        assert f[0] == n and f[15] == 1.0
+        assert f[5] == sum(len(p) for p in payloads)
+
+
+def _rot48(x: int, r: int) -> int:
+    m = (1 << 48) - 1
+    return ((x << r) & m) | (x >> (48 - r)) if r else x
+
+
+def test_fingerprint_fold_equals_closed_form():
+    """The linearity identity the fingerprint_profile oracle rests on:
+    the sequential rotate-XOR fold over a window equals
+    XOR_j rot^((w-1-j)*13 mod 48)(h[i+j]) — verified over random
+    48-bit hash arrays for several window sizes."""
+    rng = random.Random(9)
+    for w in (2, 4, 8):
+        for _ in range(20):
+            n = rng.randint(w, w + 30)
+            h = [rng.getrandbits(48) for _ in range(n)]
+            # sequential fold (what the numpy kernel computes)
+            g = list(h)
+            for k in range(1, w):
+                g = [(_rot48(g[i], 13) ^ h[i + k]) for i in range(n - k)]
+            # closed form (what the DuckDB oracle computes)
+            closed = [
+                0 if False else
+                __import__("functools").reduce(
+                    lambda a, b: a ^ b,
+                    [_rot48(h[i + j], ((w - 1 - j) * 13) % 48) for j in range(w)],
+                )
+                for i in range(n - w + 1)
+            ]
+            assert g == closed
+
+
+def test_murmur3_random_longs(spark):
+    """Stepwise murmur3_32 on 60 random longs (full signed range)
+    matches the C-faithful model byte-for-byte."""
+    from imcs_spark.functions.aggregates import MURMUR_SEED, with_murmur3_32
+    from test_core import _murmur3_32_model
+
+    rng = random.Random(5)
+    vals = [rng.randint(-(2**63), 2**63 - 1) for _ in range(60)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.h for r in with_murmur3_32(df, "v", "h").collect()}
+    for v in vals:
+        assert got[v] == _murmur3_32_model(struct.pack("<q", v), MURMUR_SEED)
+
+
+def test_pii_ccard_random_contexts(spark):
+    """Valid cards redact in any non-digit-glued context; invalid
+    look-alikes and digit-glued runs never do; pii_profile's n_ccard
+    equals the number of valid standalone spans."""
+    from imcs_spark.pipeline import curate
+
+    rng = random.Random(31)
+    rows, expect_n = [], []
+    for i in range(30):
+        base = "".join(rng.choice("0123456789") for _ in range(15))
+        card = _luhn_complete(base)
+        if rng.random() < 0.4:  # corrupt one digit -> invalid
+            pos = rng.randrange(len(card))
+            card = card[:pos] + rng.choice(
+                [c for c in "0123456789" if c != card[pos]]
+            ) + card[pos + 1 :]
+        glued = rng.random() < 0.3
+        if glued:
+            # separator-free so the glued run is ONE 17-digit candidate
+            # (interior separators would offer \b cut points and allow
+            # sub-span matches); the expected outcome is then simply
+            # the Luhn verdict on the whole glued run
+            span = "9" + card
+            text = f"pay {span} now"
+        else:
+            sep = rng.choice(["", "-", " "])
+            span = sep.join(card[j : j + 4] for j in range(0, 16, 4))
+            text = f"pay {span} now"
+        rows.append((i, text))
+        expect_n.append(1 if _luhn_model("".join(c for c in span if c.isdigit())) else 0)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {r.doc_id: r.n_ccard for r in curate.pii_profile(df).collect()}
+    red = {
+        r.doc_id: r.red
+        for r in df.select("doc_id", curate.redact_pii("text").alias("red")).collect()
+    }
+    for i, (doc_id, text) in enumerate(rows):
+        assert prof[doc_id] == expect_n[i], (text, prof[doc_id])
+        if expect_n[i]:
+            assert "[CCARD]" in red[doc_id], text
+        else:
+            assert red[doc_id] == text, (text, red[doc_id])
