@@ -418,7 +418,7 @@ def _run_skew(spark: SparkSession, data_dir: str, runs: int) -> dict:
     tasks only up to its tie group — the desc de-skew rewrite).
     A skewed row is healthy when it stays within ~2x of its uniform
     twin; results are recorded as *_skew / *_uniform pairs."""
-    from imcs_spark.operators import sorting  # engine under test
+    from imcs_spark.operators import joins, sorting  # engine under test
 
     path = os.path.join(data_dir, "quotes_6m_skew.parquet")
     _ensure(spark, path, gen_quotes_skewed)
@@ -453,6 +453,24 @@ def _run_skew(spark: SparkSession, data_dir: str, runs: int) -> dict:
         )
         out[f"sort_desc_{tag}"] = _best(
             lambda: sorting.sort(ser, "desc", "val").count(), max(2, runs - 1)
+        )
+        # skewed fact-to-fact equi-join on the symbol key (the right
+        # side is a per-symbol aggregate — too many rows to matter for
+        # broadcast at real scale, and the hot key would otherwise
+        # funnel 1.2M rows through one shuffle task). Timed three ways:
+        # plain shuffle join (AQE skew-split active), salted join, and
+        # the broadcast that a 2200-row dim actually gets.
+        dim = t.groupBy("symbol").agg(F.avg("close").alias("ref_close"))
+        join_count = lambda j: j.filter(  # noqa: E731
+            F.col("close") > F.col("ref_close")
+        ).count()
+        out[f"join_plain_{tag}"] = _best(
+            lambda: join_count(t.join(dim.hint("shuffle_hash"), "symbol")),
+            max(2, runs - 1),
+        )
+        out[f"join_salted_{tag}"] = _best(
+            lambda: join_count(joins.salted_join(t, dim, ["symbol"], salt=8)),
+            max(2, runs - 1),
         )
     sk.unpersist()
     un.unpersist()
