@@ -1,13 +1,20 @@
-"""Baseline JPEG (JFIF) codec in pure numpy + stdlib.
+"""JPEG (JFIF) codec in pure numpy + stdlib — baseline sequential AND
+progressive (SOF2).
 
 Closes the last stubbed media format in the multimodal pipeline
 (pipeline/multimodal.py): `decode_jpeg` handles baseline sequential
 DCT JPEGs — grayscale or YCbCr, any sampling factors in {1,2}
-(4:4:4 / 4:2:2 / 4:2:0), restart markers — and `encode_jpeg` produces
-spec-conformant baseline 4:4:4 streams (used to build test fixtures,
-the same role `encode_png` plays for the PNG path). Progressive
-(SOF2), arithmetic-coded, hierarchical, and 12-bit streams raise
-NotImplementedError with the marker that triggered it.
+(4:4:4 / 4:2:2 / 4:2:0), restart markers — and the full progressive
+scan repertoire of T.81 Annex G: spectral selection, successive
+approximation, DC/AC first and refinement scans, EOB-run coding,
+interleaved DC and non-interleaved AC data-unit ordering.
+`encode_jpeg` produces spec-conformant baseline streams and (with
+``progressive=True``) SOF2 multi-scan streams used to build test
+fixtures (the same role `encode_png` plays for the PNG path); the
+progressive/baseline pair must decode pixel-identically, which pins
+the two entropy coders against each other. Arithmetic-coded,
+hierarchical, lossless, and 12-bit streams raise NotImplementedError
+with the marker that triggered it.
 
 The decoder is table-driven — quantization and Huffman tables are read
 from the stream's DQT/DHT segments, never assumed — so round-trip
@@ -238,16 +245,123 @@ def _encode_block(bw, zz, tsel, pred, ci, dc_codes, ac_codes):
         bw.write(code, length)
 
 
+# Flat Huffman table for progressive AC scans: progressive entropy
+# coding needs EOBn symbols (n=1..14) that the Annex K baseline tables
+# simply do not contain, so progressive encoders always ship custom
+# tables (libjpeg generates optimized ones; we use a fixed all-8-bit
+# canonical table covering EOBn, ZRL, and (run, size<=10) — valid,
+# simple, and read from the DHT like any other table by the decoder).
+_AC_PROG_SYMBOLS = sorted(
+    {r << 4 for r in range(15)} | {0xF0} | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+)
+AC_PROG_SPEC = ([0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0],
+                list(_AC_PROG_SYMBOLS))
+
+
+def _emit_eobrun_state(bw, codes, state):
+    """Flush a pending EOB run (EOBn code + extension bits) and any
+    correction bits buffered with it (refinement scans)."""
+    if state["eobrun"]:
+        nbits = state["eobrun"].bit_length() - 1
+        code, length = codes[nbits << 4]
+        bw.write(code, length)
+        if nbits:
+            bw.write(state["eobrun"] - (1 << nbits), nbits)
+        for b in state["bebuf"]:
+            bw.write(b, 1)
+        state["eobrun"] = 0
+        state["bebuf"] = []
+
+
+def _enc_ac_first(bw, codes, state, zz, ss, se, al):
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        t = (t >> al) if t >= 0 else -((-t) >> al)
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            _emit_eobrun_state(bw, codes, state)
+            code, length = codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+        ssss, amp = _magnitude(t)
+        _emit_eobrun_state(bw, codes, state)
+        code, length = codes[(r << 4) | ssss]
+        bw.write(code, length)
+        bw.write(amp, ssss)
+        r = 0
+    if r:
+        state["eobrun"] += 1
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun_state(bw, codes, state)
+
+
+def _enc_ac_refine(bw, codes, state, zz, ss, se, al):
+    """T.81 G.1.2.3 / the classic two-buffer refinement encoder:
+    newly-significant coefficients emit (run, 1)+sign; already-nonzero
+    coefficients buffer one correction bit each, appended after the
+    next emitted code (or carried with the EOB run)."""
+    absv = []
+    eobpos = ss - 1
+    for k in range(ss, se + 1):
+        t = abs(int(zz[k])) >> al
+        absv.append(t)
+        if t == 1:
+            eobpos = k
+    r = 0
+    brbuf: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k - ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            _emit_eobrun_state(bw, codes, state)
+            code, length = codes[0xF0]
+            bw.write(code, length)
+            r -= 16
+            for b in brbuf:
+                bw.write(b, 1)
+            brbuf = []
+        if t > 1:  # history coefficient: correction bit
+            brbuf.append(t & 1)
+            continue
+        # newly significant at this precision
+        _emit_eobrun_state(bw, codes, state)
+        code, length = codes[(r << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(zz[k]) >= 0 else 0, 1)
+        for b in brbuf:
+            bw.write(b, 1)
+        brbuf = []
+        r = 0
+    if r > 0 or brbuf:
+        state["eobrun"] += 1
+        state["bebuf"].extend(brbuf)
+        if state["eobrun"] == 0x7FFF:
+            _emit_eobrun_state(bw, codes, state)
+
+
 def encode_jpeg(
     pixels: np.ndarray,
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Encode (H, W) grayscale or (H, W, 3) RGB uint8 pixels as a
-    baseline sequential JFIF stream with Annex K Huffman tables.
+    JFIF stream. Baseline sequential with Annex K Huffman tables by
+    default; ``progressive=True`` emits a SOF2 multi-scan stream
+    (interleaved DC first at Al=1 + DC refinement, then per-component
+    AC spectral bands 1-5 / 6-63 at Al=2 with two successive
+    refinement passes each — exercising every Annex G scan kind).
     ``subsample=True`` emits 4:2:0 chroma (2x2 luma sampling);
-    ``restart_interval=N`` emits RSTn markers every N MCUs."""
+    ``restart_interval=N`` emits RSTn markers every N MCUs (baseline
+    only)."""
+    if progressive and restart_interval:
+        raise ValueError("restart_interval is not supported with progressive")
     pixels = np.asarray(pixels)
     gray = pixels.ndim == 2
     h, w = pixels.shape[:2]
@@ -297,6 +411,11 @@ def encode_jpeg(
         quant = np.round(coef / qt).astype(np.int32)
         comp_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
         comp_bx.append(cw // 8)
+
+    if progressive:
+        return _encode_progressive_stream(
+            comp_zz, comp_bx, samp, qtabs, dc_codes, h, w, mcux, mcuy, gray
+        )
 
     bw = _BitWriter()
     scan = bytearray()
@@ -350,6 +469,99 @@ def encode_jpeg(
     out += seg(0xDA, sos)
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_progressive_stream(
+    comp_zz, comp_bx, samp, qtabs, dc_codes, h, w, mcux, mcuy, gray
+):
+    """Assemble the SOF2 stream: headers + the fixed scan script
+    (DC first Al=1 → DC refine → per-component AC bands 1-5 / 6-63 at
+    Al=2 → refinement passes Al=2→1 → Al=1→0)."""
+    ncomp = len(comp_zz)
+    ac_codes = _canonical_codes(*AC_PROG_SPEC)
+
+    def mcu_units():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for hh in range(sh):
+                            yield ci, (my * sv + v) * comp_bx[ci] + (mx * sh + hh)
+
+    def comp_units(ci):
+        sh, sv = samp[ci]
+        hmax = max(s[0] for s in samp[:ncomp])
+        vmax = max(s[1] for s in samp[:ncomp])
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        for r in range(-(-ch // 8)):
+            for c in range(-(-cw // 8)):
+                yield r * comp_bx[ci] + c
+
+    scans = []  # (sos_payload, entropy bytes)
+
+    def sos(comp_ids, ss, se, ah, al):
+        p = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = min(cid - 1, 1)
+            p += bytes([cid, (td << 4) | 0])  # Ta=0: the one AC prog table
+        return p + bytes([ss, se, (ah << 4) | al])
+
+    # 1) DC first, interleaved, Al=1
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for ci, bi in mcu_units():
+        val = int(comp_zz[ci][bi][0]) >> 1
+        ssss, amp = _magnitude(val - pred[ci])
+        pred[ci] = val
+        code, length = dc_codes[min(ci, 1)][ssss]
+        bw.write(code, length)
+        if ssss:
+            bw.write(amp, ssss)
+    scans.append((sos(list(range(1, ncomp + 1)), 0, 0, 0, 1), bw.flush()))
+    # 2) DC refinement, Al=0
+    bw = _BitWriter()
+    for ci, bi in mcu_units():
+        bw.write(int(comp_zz[ci][bi][0]) & 1, 1)
+    scans.append((sos(list(range(1, ncomp + 1)), 0, 0, 1, 0), bw.flush()))
+    # 3) AC scans: first at Al=2, then refinements 2->1 and 1->0
+    bands = [(1, 5), (6, 63)]
+    for ah, al in ((0, 2), (2, 1), (1, 0)):
+        for ci in range(ncomp):
+            for ss, se in bands:
+                bw = _BitWriter()
+                state = {"eobrun": 0, "bebuf": []}
+                for bi in comp_units(ci):
+                    if ah == 0:
+                        _enc_ac_first(bw, ac_codes, state, comp_zz[ci][bi], ss, se, al)
+                    else:
+                        _enc_ac_refine(bw, ac_codes, state, comp_zz[ci][bi], ss, se, al)
+                _emit_eobrun_state(bw, ac_codes, state)
+                scans.append((sos([ci + 1], ss, se, ah, al), bw.flush()))
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qtab in enumerate(qtabs):
+        out += seg(0xDB, bytes([tid]) + bytes(qtab[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
+    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    for tid in range(2 if not gray else 1):
+        bits, values = (DC_LUMA_SPEC, DC_CHROMA_SPEC)[tid]
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(values))
+    bits, values = AC_PROG_SPEC
+    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(values))
+    for sos_payload, entropy in scans:
+        out += seg(0xDA, sos_payload)
+        out += entropy
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -424,10 +636,13 @@ def _extend(v: int, ssss: int) -> int:
 
 
 def decode_jpeg(content: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to uint8 pixels: (H, W) for
-    grayscale streams, (H, W, 3) RGB otherwise. Supports component
-    sampling factors in {1, 2} and restart intervals. Progressive /
-    arithmetic / hierarchical / 12-bit streams raise
+    """Decode a baseline sequential OR progressive (SOF2) JPEG to
+    uint8 pixels: (H, W) for grayscale streams, (H, W, 3) RGB
+    otherwise. Supports component sampling factors in {1, 2}, restart
+    intervals, and the full progressive scan repertoire (spectral
+    selection, successive approximation, DC/AC refinement scans, EOB
+    runs, interleaved DC / non-interleaved AC ordering). Arithmetic /
+    hierarchical / lossless / 12-bit streams raise
     NotImplementedError naming the unsupported marker."""
     d = bytes(content)
     if d[:2] != b"\xff\xd8":
@@ -437,6 +652,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart_interval = 0
+    progressive = False
+    stores: dict[int, np.ndarray] = {}  # component id -> (nblocks, 64) zigzag int32
+    geom = None  # (hmax, vmax, mcux, mcuy)
 
     while pos < len(d):
         if d[pos] != 0xFF:
@@ -447,6 +665,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         marker = d[pos + 1]
         if marker == 0xFF:  # fill byte (T.81 B.1.1.2): skip one 0xFF
             pos += 1
+            continue
+        if marker == 0x00:  # stuffed 0xFF data byte outside a scan read
+            pos += 2
             continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -459,15 +680,17 @@ def decode_jpeg(content: bytes) -> np.ndarray:
         if pos + seglen > len(d):
             raise ValueError("truncated JPEG stream (segment exceeds data)")
         payload = d[pos + 2 : pos + seglen]
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+        if marker in (0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
-                "progressive JPEG (SOF%d) not supported — baseline only"
-                % (marker - 0xC0)
+                "non-baseline JPEG frame marker 0xFF%02X not supported" % marker
             )
         if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError(
                 "non-baseline JPEG frame marker 0xFF%02X not supported" % marker
             )
+        if marker == 0xC2:
+            progressive = True
+            marker = 0xC0  # parse the SOF payload identically below
         if marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
             if len(payload) < 6:
                 raise ValueError("truncated JPEG SOF segment")
@@ -492,6 +715,15 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     )
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            geom = (hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax)))
+            if progressive:
+                _, _, mcux, mcuy = geom
+                for c in comps:
+                    stores[c["id"]] = np.zeros(
+                        (mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32
+                    )
         elif marker == 0xDB:  # DQT (possibly several tables)
             i = 0
             while i < len(payload):
@@ -520,8 +752,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan_comps.append((comp, tt >> 4, tt & 0xF))
+            if progressive:
+                ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+                ahal = payload[3 + 2 * ns]
+                pos = _decode_progressive_scan(
+                    d, pos + seglen, frame, scan_comps, stores, huff,
+                    restart_interval, ss, se, ahal >> 4, ahal & 0xF, geom,
+                )
+                continue
             if ns != len(frame["comps"]):
-                # T.81 allows splitting a baseline frame into several
+                # T.81 allows splitting a sequential frame into several
                 # single-component scans; _decode_scan assumes one
                 # interleaved scan, so refuse rather than return a
                 # block-scrambled partial image
@@ -529,15 +774,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     "multi-scan (non-interleaved) baseline JPEG not"
                     " supported — one interleaved scan only"
                 )
-            scan_comps = []
-            for ci in range(ns):
-                cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan_comps.append((comp, tt >> 4, tt & 0xF))
             return _decode_scan(
                 d, pos + seglen, frame, scan_comps, qt, huff, restart_interval
             )
         pos += seglen
+    if progressive and frame is not None and stores:
+        return _reconstruct(
+            frame, [(c, stores[c["id"]]) for c in frame["comps"]], qt, geom
+        )
     raise ValueError("no scan data found in JPEG stream")
 
 
@@ -593,11 +837,24 @@ def _decode_scan(d, pos, frame, scan_comps, qt, huff, restart_interval):
                         store[ci][brow * (mcux * comp["h"]) + bcol] = zz
             mcu_count += 1
 
-    # dequantize + IDCT per component (vectorized across blocks)
+    return _reconstruct(
+        frame, [(comp, store[ci]) for ci, (comp, _, _) in enumerate(scan_comps)],
+        qt, (hmax, vmax, mcux, mcuy),
+    )
+
+
+def _reconstruct(frame, comp_stores, qt, geom):
+    """Dequantize + IDCT + color-convert the per-component zigzag
+    coefficient arrays (shared by the baseline one-shot path and the
+    progressive multi-scan accumulator)."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, mcux, mcuy = geom
     planes = []
-    for ci, (comp, _, _) in enumerate(scan_comps):
-        nat = np.empty_like(store[ci])
-        nat[:, ZIGZAG] = store[ci]
+    for comp, zzstore in comp_stores:
+        if comp["tq"] not in qt:
+            raise ValueError(f"missing quantization table {comp['tq']}")
+        nat = np.empty(zzstore.shape, dtype=np.float64)
+        nat[:, ZIGZAG] = zzstore
         nat *= qt[comp["tq"]][None, :]
         blocks = nat.reshape(-1, 8, 8)
         pix = np.einsum("xu,buw,wy->bxy", _DCT.T, blocks, _DCT, optimize=True)
@@ -620,3 +877,149 @@ def _decode_scan(d, pos, frame, scan_comps, qt, huff, restart_interval):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _scan_units(frame, scan_comps, geom, restart_interval):
+    """Yield ('rst', _, _) at restart boundaries and ('du', scan_index,
+    store_block_index) in transmission order: MCU-interleaved when the
+    scan has several components, component-raster over the component's
+    OWN ceil(dims/8) block grid when non-interleaved (T.81 A.2.2 — the
+    non-interleaved grid is NOT MCU-padded; store indices map through
+    the padded row stride)."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, mcux, mcuy = geom
+    if len(scan_comps) > 1:
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and n and n % restart_interval == 0:
+                    yield ("rst", 0, 0)
+                n += 1
+                for si, (comp, _, _) in enumerate(scan_comps):
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            bi = (my * comp["v"] + v) * (mcux * comp["h"]) + (
+                                mx * comp["h"] + hh
+                            )
+                            yield ("du", si, bi)
+    else:
+        comp = scan_comps[0][0]
+        cw = -(-(w * comp["h"]) // hmax)
+        ch = -(-(h * comp["v"]) // vmax)
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        stride = mcux * comp["h"]
+        n = 0
+        for r in range(bh_):
+            for c in range(bw_):
+                if restart_interval and n and n % restart_interval == 0:
+                    yield ("rst", 0, 0)
+                n += 1
+                yield ("du", 0, r * stride + c)
+
+
+def _decode_progressive_scan(
+    d, pos, frame, scan_comps, stores, huff, restart_interval, ss, se, ah, al, geom
+):
+    """Decode one progressive scan into the persistent coefficient
+    stores (T.81 Annex G decoding procedures): DC first (diff-coded,
+    << Al) / DC refinement (one appended bit per data unit) when
+    Ss=0, AC first (EOB-run coded) / AC refinement (correction bits
+    woven through the runs) when Ss>0. Returns the stream position
+    where the entropy segment ended."""
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Ss=Se=0")
+    if not is_dc and len(scan_comps) != 1:
+        raise ValueError("progressive AC scans must be non-interleaved")
+    if not is_dc and not (0 < ss <= se < 64):
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    for comp, td, ta in scan_comps:
+        # DC refinement scans read raw bits only — no Huffman table
+        if is_dc and ah == 0 and (0, td) not in huff:
+            raise ValueError(f"missing Huffman table (class, id)={(0, td)}")
+        if not is_dc and (1, ta) not in huff:
+            raise ValueError(f"missing Huffman table (class, id)={(1, ta)}")
+    br = _BitReader(d, pos)
+    pred = [0] * len(scan_comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    for kind, si, bi in _scan_units(frame, scan_comps, geom, restart_interval):
+        if kind == "rst":
+            br.restart()
+            pred = [0] * len(scan_comps)
+            eobrun = 0
+            continue
+        comp, td, ta = scan_comps[si]
+        zz = stores[comp["id"]][bi]
+        if is_dc:
+            if ah == 0:  # DC first
+                ssss = br.huffman(huff[(0, td)])
+                pred[si] += _extend(br.bits(ssss), ssss)
+                zz[0] = pred[si] << al
+            else:  # DC refinement: one bit, OR'd at the new precision
+                if br.bits(1):
+                    zz[0] |= p1
+            continue
+        ac_tab = huff[(1, ta)]
+        if ah == 0:  # AC first
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = br.huffman(ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past spectral band end")
+                zz[k] = _extend(br.bits(s), s) << al
+                k += 1
+        else:  # AC refinement
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = br.huffman(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid magnitude in AC refinement scan"
+                            )
+                        newval = p1 if br.bits(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    # advance over the run: zero-history positions count
+                    # toward r, nonzero-history positions read one
+                    # correction bit each
+                    while k <= se:
+                        if zz[k] != 0:
+                            if br.bits(1) and (zz[k] & p1) == 0:
+                                zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        zz[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.bits(1) and (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return br.pos

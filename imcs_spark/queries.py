@@ -1887,8 +1887,10 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def jpeg_rt(mid: pd.Series) -> pd.Series:
         """Real-codec round trip on the sampled image assets
         (media_id % 150 == 0 → image kind by construction): build a
-        deterministic gradient frame from the id, encode baseline
-        JPEG, decode it back, assert shape + pixel closeness."""
+        deterministic gradient frame from the id, encode BOTH baseline
+        and progressive (SOF2) JPEG, decode both back, assert shape +
+        pixel closeness AND that the two entropy codings decode
+        pixel-identically (same quantized coefficients)."""
         import numpy as np
 
         from .pipeline.jpeg import decode_jpeg, encode_jpeg
@@ -1907,9 +1909,12 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 axis=-1,
             ).astype(np.uint8)
             dec = decode_jpeg(encode_jpeg(img, quality=92))
-            good = dec.shape == img.shape and float(
-                np.abs(dec.astype(float) - img.astype(float)).mean()
-            ) < 12.0
+            dec_p = decode_jpeg(encode_jpeg(img, quality=92, progressive=True))
+            good = (
+                dec.shape == img.shape
+                and float(np.abs(dec.astype(float) - img.astype(float)).mean()) < 12.0
+                and np.array_equal(dec, dec_p)
+            )
             out[i] = 1 if good else 0
         return pd.Series(out)
 

@@ -234,6 +234,57 @@ def test_extract_features_real_decoder(spark):
             assert r["features"][15] == 1.0  # offsets resolve in-bounds
 
 
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2) streams must decode pixel-IDENTICAL to the
+    baseline encode of the same image (same quantized coefficients,
+    two different entropy codings), across gray/color, 4:2:0, odd
+    dimensions, and qualities — exercising DC successive
+    approximation, AC spectral selection, both refinement passes, ZRL
+    and multi-bit EOB runs."""
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    rng = np.random.RandomState(3)
+    for h, w, gray, sub, q in [
+        (16, 24, False, False, 85),
+        (48, 64, False, True, 75),
+        (33, 41, True, False, 92),
+        (8, 8, False, False, 50),
+        (57, 23, False, True, 95),
+        (21, 19, True, False, 70),
+    ]:
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = (
+            128 + 60 * np.sin(xx / 5.0) + 50 * np.cos(yy / 4.0)
+            + rng.randint(-20, 20, (h, w))
+        ).clip(0, 255)
+        img = (
+            base.astype(np.uint8)
+            if gray
+            else np.stack(
+                [base, (base * 0.8 + 30) % 256, (xx * 3 + yy * 2) % 256], axis=-1
+            ).astype(np.uint8)
+        )
+        b_base = jpeg.encode_jpeg(img, quality=q, subsample=sub)
+        b_prog = jpeg.encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+        d_base = jpeg.decode_jpeg(b_base)
+        d_prog = jpeg.decode_jpeg(b_prog)
+        assert np.array_equal(d_base, d_prog), (h, w, gray, sub, q)
+    # a smooth image drives multi-bit EOB runs (measured up to 48
+    # blocks) through EOBn encode AND decode — and stays identical
+    yy, xx = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    img = (128 + 40 * np.sin(xx / 9.0) + 30 * np.cos(yy / 7.0)).clip(0, 255).astype(np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=60, progressive=True)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=60)),
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="restart_interval"):
+        jpeg.encode_jpeg(img, progressive=True, restart_interval=4)
+
+
 def test_mp4_container_roundtrip():
     """encode_mp4 -> parse_mp4: sample tables (stsz/stsc/stco/stts)
     resolve to the exact payload byte ranges, across 1- and 2-chunk
@@ -623,8 +674,15 @@ def test_jpeg_rejects_non_baseline():
 
     enc = bytearray(jpeg.encode_jpeg(_jpeg_test_image()[:, :, 0], 90))
     i = enc.find(b"\xff\xc0")
-    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # SOF0 flipped to SOF2 over a BASELINE scan header is a malformed
+    # progressive stream (its SOS claims Ss=0..Se=63, illegal for a
+    # progressive DC scan) — rejected loudly, not decoded to garbage
+    enc[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Ss=Se=0"):
+        jpeg.decode_jpeg(bytes(enc))
+    # genuinely unsupported coding: arithmetic (SOF9)
+    enc[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="0xFFC9"):
         jpeg.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"\x00\x01\x02")
