@@ -315,6 +315,7 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "simhash",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over word tokens — JVM-side only: explode tokens,
     per-bit ±1 votes, sign → bit. Near-duplicate docs have small
@@ -332,10 +333,26 @@ def simhash(
     packed sum exceeded Long.MAX). One groupBy(id): a doc's exploded
     tokens stay partition-local, so map-side partial aggregation
     collapses them before the shuffle — only (id, 33 longs) per doc
-    moves, and no extra distinct-token pre-shuffle is needed."""
+    moves, and no extra distinct-token pre-shuffle is needed.
+
+    ``hash='md5'`` derives the 64 token-hash bits from md5 (two 32-bit
+    hex words; the high word lands in the long's top half via a
+    wrapping shiftleft — Java shifts never ANSI-error) — an algorithm
+    every engine shares, so the whole signature and its Hamming
+    structure are re-derivable in ANSI SQL (the simhash_pairs oracle
+    recomputes them brute-force in DuckDB). xxhash64 stays the scale
+    default (one JVM hash call vs md5 + two conv parses per token)."""
+    if hash == "md5":
+        hi = F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5("_tok"), 9, 8), 16, 10).cast("long")
+        h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    elif hash == "xxhash64":
+        h = F.xxhash64("_tok")
+    else:
+        raise ValueError(f"simhash: unknown hash {hash!r}")
     hashed = spread(df.select(id_col, text_col), id_col).select(
         id_col, F.explode(F.split(_normalize(text_col), " ")).alias("_tok")
-    ).select(id_col, F.xxhash64("_tok").alias("_h"))
+    ).select(id_col, h.alias("_h"))
     packed = []
     for g in range(32):
         lanes = None
@@ -363,6 +380,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     blocks: int | None = None,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash, complete recall at ≤ max_hamming.
 
@@ -408,7 +426,7 @@ def simhash_near_pairs(
     blocks = min(blocks, 64)
     # sig feeds both join sides; persist so the token explode +
     # vote aggregation runs once (one long per doc — bounded).
-    sig = simhash(df, text_col, id_col).persist()
+    sig = simhash(df, text_col, id_col, hash=hash).persist()
     base, extra = divmod(64, blocks)
     widths = [base + (1 if b < extra else 0) for b in range(blocks)]
     offsets = [sum(widths[:b]) for b in range(blocks)]

@@ -872,17 +872,48 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.join(metrics, "doc_id")
 
 
-@query(
-    "langid_counts",
-    # the n-gram/stopword heuristic is a pure deterministic Column
-    # expression; its classification on the fixed corpus is a pinnable
-    # golden (no fp, no hashing) — semantic accuracy is separately
-    # covered by pytest vectors with known-language texts.
-    oracle="""
-SELECT p AS pred, CAST(n AS BIGINT) AS cnt
-FROM (VALUES ('en', 453), ('unknown', 47)) AS t(p, n)
-""",
+def _langid_oracle() -> str:
+    # TRUE cross-engine oracle since round 5: the stopword-ratio argmax
+    # + CJK character signal is re-derived from scratch in DuckDB list
+    # algebra. Every score is an exact small-int ratio (identical IEEE
+    # division in both engines) and the argmax tie rule — max score,
+    # then lexicographically greatest language — is the native struct
+    # comparison order in BOTH engines (Spark array_max over
+    # struct<s,l>, DuckDB list_aggregate 'max').
+    from .pipeline.text import _STOPWORDS
+
+    score_cols, entries = [], []
+    for lang, words in _STOPWORDS.items():
+        wl = ", ".join("'" + w + "'" for w in words)
+        score_cols.append(
+            f"list_sum(list_transform(toks, t -> CASE WHEN t IN ({wl}) THEN 1"
+            f" ELSE 0 END)) / GREATEST(len(toks), 1) AS s_{lang}"
+        )
+        entries.append(f"{{'s': CAST(s_{lang} AS DOUBLE), 'l': '{lang}'}}")
+    entries.append("{'s': CASE WHEN cjk_ratio > 0.33 THEN 9.0 ELSE -1.0 END, 'l': 'zh'}")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         {", ".join(score_cols)},
+         length(regexp_replace(text, '[^一-鿿]', '', 'g'))
+           / GREATEST(length(text), 1) AS cjk_ratio
+  FROM toks
+), best AS (
+  SELECT doc_id,
+         list_aggregate([{", ".join(entries)}], 'max') AS b
+  FROM scored
 )
+SELECT CASE WHEN b.s > 0.0 THEN b.l ELSE 'unknown' END AS pred,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM best GROUP BY 1
+"""
+
+
+@query("langid_counts", oracle=_langid_oracle())
 def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import text as T
 
@@ -1020,14 +1051,43 @@ def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "simhash_pairs",
-    # SimHash is pure integer bit arithmetic (xxhash64 token votes) —
-    # fully deterministic, no fp — but xxhash64 is not computable in
-    # DuckDB, so the oracle pins the measured pair-count histogram per
-    # Hamming distance at sf0.01. The guaranteed-recall banding
-    # (blocks = max_hamming+1) means these counts are the complete
-    # truth, verified against brute force in tests/test_pipeline.py.
-    oracle="""
-SELECT CAST(h AS INTEGER) AS hamming, CAST(n AS BIGINT) AS n_pairs
+    # Two legs since round 5. 'md5': a TRUE cross-engine oracle — the
+    # 64-bit signature (per-bit majority votes over md5-derived token
+    # hash words) is recomputed from scratch in DuckDB as two 32-bit
+    # halves and the Hamming histogram taken BRUTE-FORCE over all
+    # pairs, so the banded-probe path's guaranteed-recall claim is
+    # verified end-to-end by the driver, not just by pytest. 'xx':
+    # the xxhash64 scale path stays under driver coverage via its
+    # pinned deterministic histogram (xxhash64 is not computable in
+    # DuckDB; brute-force equivalence covered by tests).
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), th AS (
+  SELECT doc_id, len(ws) AS n,
+         list_transform(ws, t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT)) AS hh,
+         list_transform(ws, t -> CAST('0x' || substring(md5(t), 9, 8) AS BIGINT)) AS hl
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 32), i ->
+           CASE WHEN 2 * list_sum(list_transform(hl, x -> (x >> i) & 1)) > n
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS slo,
+         list_sum(list_transform(range(0, 32), i ->
+           CASE WHEN 2 * list_sum(list_transform(hh, x -> (x >> i) & 1)) > n
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS shi
+  FROM th
+), pairs AS (
+  SELECT bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS hamming
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT 'md5' AS algo, CAST(hamming AS INTEGER) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs WHERE hamming <= 10 GROUP BY 2
+UNION ALL
+SELECT 'xx', CAST(h AS INTEGER), CAST(n AS BIGINT)
 FROM (VALUES (0, 4), (1, 2), (2, 6), (3, 5), (4, 16), (5, 40), (6, 116),
              (7, 255), (8, 520), (9, 984), (10, 1769)) AS t(h, n)
 """,
@@ -1035,17 +1095,23 @@ FROM (VALUES (0, 4), (1, 2), (2, 6), (3, 5), (4, 16), (5, 40), (6, 116),
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import dedup
 
-    # the SimHash near-pair list is a corpus-level built-once artifact
+    # the SimHash near-pair lists are corpus-level built-once artifacts
     # (same as _dedup_pairs): signature + banded probe join run once
-    # per application, consumers aggregate the persisted pair set
-    def build():
-        docs = _t(spark, sf_dir, "documents")
-        pairs = dedup.simhash_near_pairs(docs, max_hamming=10).persist()
-        pairs.count()
-        return pairs
+    # per application, consumers aggregate the persisted pair sets
+    def leg(algo: str, hash: str) -> DataFrame:
+        def build():
+            docs = _t(spark, sf_dir, "documents")
+            pairs = dedup.simhash_near_pairs(docs, max_hamming=10, hash=hash).persist()
+            pairs.count()
+            return pairs
 
-    pairs = _ann_index(spark, ("simhash_pairs", sf_dir), build)
-    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+        pairs = _ann_index(spark, ("simhash_pairs", sf_dir, algo), build)
+        return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs")).select(
+            F.lit(algo).alias("algo"), F.col("hamming").cast("int").alias("hamming"),
+            "n_pairs",
+        )
+
+    return leg("md5", "md5").unionByName(leg("xx", "xxhash64"))
 
 
 @query(
