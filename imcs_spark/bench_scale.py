@@ -454,12 +454,11 @@ def _run_skew(spark: SparkSession, data_dir: str, runs: int) -> dict:
         out[f"sort_desc_{tag}"] = _best(
             lambda: sorting.sort(ser, "desc", "val").count(), max(2, runs - 1)
         )
-        # skewed fact-to-fact equi-join on the symbol key (the right
-        # side is a per-symbol aggregate — too many rows to matter for
-        # broadcast at real scale, and the hot key would otherwise
-        # funnel 1.2M rows through one shuffle task). Timed three ways:
-        # plain shuffle join (AQE skew-split active), salted join, and
-        # the broadcast that a 2200-row dim actually gets.
+        # skewed fact-to-dim equi-join on the symbol key (the hot key
+        # would otherwise funnel 1.2M rows through one shuffle task).
+        # Timed three ways: plain shuffle-hash join (AQE skew-split
+        # active), salted join, and the broadcast a 2200-row dim
+        # actually gets (the skew-immune baseline).
         dim = t.groupBy("symbol").agg(F.avg("close").alias("ref_close"))
         join_count = lambda j: j.filter(  # noqa: E731
             F.col("close") > F.col("ref_close")
@@ -470,6 +469,10 @@ def _run_skew(spark: SparkSession, data_dir: str, runs: int) -> dict:
         )
         out[f"join_salted_{tag}"] = _best(
             lambda: join_count(joins.salted_join(t, dim, ["symbol"], salt=8)),
+            max(2, runs - 1),
+        )
+        out[f"join_broadcast_{tag}"] = _best(
+            lambda: join_count(t.join(F.broadcast(dim), "symbol")),
             max(2, runs - 1),
         )
     sk.unpersist()

@@ -441,35 +441,45 @@ def encode_jpeg(
     scan += bw.flush()
     scan = bytes(scan)
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, qt in enumerate(qtabs):
-        out += seg(0xDB, bytes([tid]) + bytes(qt[ZIGZAG].astype(np.uint8)))
     ncomp = 1 if gray else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
-    out += seg(0xC0, sof)
+    out = _stream_headers(h, w, samp, qtabs, ncomp, 0xC0)
     for tclass, specs in ((0, (DC_LUMA_SPEC, DC_CHROMA_SPEC)),
                           (1, (AC_LUMA_SPEC, AC_CHROMA_SPEC))):
         for tid in range(2 if not gray else 1):
             bits, values = specs[tid]
-            out += seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values))
+            out += _seg(0xC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(values))
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         tsel = min(ci, 1)
         sos += bytes([ci + 1, (tsel << 4) | tsel])
     sos += b"\x00\x3f\x00"  # spectral selection 0..63, no approximation
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def _stream_headers(h, w, samp, qtabs, ncomp: int, sof_marker: int) -> bytearray:
+    """SOI + JFIF APP0 + DQT + SOF — shared by the baseline and
+    progressive stream assemblers (the frame marker is the only
+    difference)."""
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid, qtab in enumerate(qtabs):
+        out += _seg(0xDB, bytes([tid]) + bytes(qtab[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
+    out += _seg(sof_marker, sof)
+    return out
 
 
 def _encode_progressive_stream(
@@ -541,25 +551,14 @@ def _encode_progressive_stream(
                 _emit_eobrun_state(bw, ac_codes, state)
                 scans.append((sos([ci + 1], ss, se, ah, al), bw.flush()))
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid, qtab in enumerate(qtabs):
-        out += seg(0xDB, bytes([tid]) + bytes(qtab[ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, min(ci, 1)])
-    out += seg(0xC2, sof)  # SOF2: progressive DCT
+    out = _stream_headers(h, w, samp, qtabs, ncomp, 0xC2)  # SOF2
     for tid in range(2 if not gray else 1):
         bits, values = (DC_LUMA_SPEC, DC_CHROMA_SPEC)[tid]
-        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(values))
+        out += _seg(0xC4, bytes([tid]) + bytes(bits) + bytes(values))
     bits, values = AC_PROG_SPEC
-    out += seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(values))
+    out += _seg(0xC4, bytes([0x10]) + bytes(bits) + bytes(values))
     for sos_payload, entropy in scans:
-        out += seg(0xDA, sos_payload)
+        out += _seg(0xDA, sos_payload)
         out += entropy
     out += b"\xff\xd9"
     return bytes(out)
@@ -655,6 +654,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     progressive = False
     stores: dict[int, np.ndarray] = {}  # component id -> (nblocks, 64) zigzag int32
     geom = None  # (hmax, vmax, mcux, mcuy)
+    n_scans = 0
 
     while pos < len(d):
         if d[pos] != 0xFF:
@@ -764,6 +764,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     d, pos + seglen, frame, scan_comps, stores, huff,
                     restart_interval, ss, se, ahal >> 4, ahal & 0xF, geom,
                 )
+                n_scans += 1
                 continue
             if ns != len(frame["comps"]):
                 # T.81 allows splitting a sequential frame into several
@@ -778,7 +779,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 d, pos + seglen, frame, scan_comps, qt, huff, restart_interval
             )
         pos += seglen
-    if progressive and frame is not None and stores:
+    if progressive and frame is not None and n_scans > 0:
+        # a scanless SOF2 header must NOT silently decode to a flat
+        # gray image — fall through to the same error as baseline
         return _reconstruct(
             frame, [(c, stores[c["id"]]) for c in frame["comps"]], qt, geom
         )

@@ -7,6 +7,7 @@ one DataFrame per property (the same pattern as test_property_multi).
 
 import random
 import struct
+from functools import reduce
 
 from pyspark.sql import functions as F
 
@@ -119,8 +120,7 @@ def test_fingerprint_fold_equals_closed_form():
                 g = [(_rot48(g[i], 13) ^ h[i + k]) for i in range(n - k)]
             # closed form (what the DuckDB oracle computes)
             closed = [
-                0 if False else
-                __import__("functools").reduce(
+                reduce(
                     lambda a, b: a ^ b,
                     [_rot48(h[i + j], ((w - 1 - j) * 13) % 48) for j in range(w)],
                 )
