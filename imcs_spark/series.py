@@ -83,6 +83,7 @@ def zip_with_global_pos_and_total(
     pos_col: str = POS,
     num_partitions: int | None = None,
     persist: bool = True,
+    cache_out: list | None = None,
 ) -> tuple[DataFrame, int]:
     """zip_with_global_pos that also returns the total row count (known
     for free from the partition-count pass — saves callers a separate
@@ -95,7 +96,14 @@ def zip_with_global_pos_and_total(
     boundaries — rows would silently land in different partitions than
     the ones the offsets were computed from. Persisting freezes one
     materialization that both actions share. (persist=False exists only
-    for callers that immediately force and discard the result.)"""
+    for callers that immediately force and discard the result.)
+
+    Cache lifecycle: the persisted spine lives in MEMORY_AND_DISK until
+    the session ends or the storage pool evicts it LRU (eviction spills
+    to disk first — correctness is unaffected, only re-read cost).
+    Callers that build MANY spines in a loop can pass ``cache_out`` (a
+    list) to receive the persisted frame and unpersist it once their
+    downstream action has run."""
     spark = df.sparkSession
     if num_partitions:
         part = df.repartitionByRange(num_partitions, *order_by)
@@ -106,6 +114,8 @@ def zip_with_global_pos_and_total(
     mid = mid.withColumn("_pid", F.shiftright("_mid", 33))
     if persist:
         mid = mid.persist()
+        if cache_out is not None:
+            cache_out.append(mid)
     counts = (
         mid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
     )

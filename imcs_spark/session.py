@@ -31,15 +31,25 @@ def get_spark(app_name: str = "imcs-spark", shuffle_partitions: int | None = Non
     SQL-level settings are pinned here so they survive cluster mode.
     """
     cpus = default_parallelism()
+    on_cluster = bool(os.environ.get("SPARK_GRAFT_ON_CLUSTER"))
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # On a real cluster the submitting machine's cpu count says
+        # NOTHING about executor capacity — pinning shuffle.partitions
+        # to it (e.g. 8 from a gateway box) would cap every shuffle at
+        # 8 tasks for the whole session, and AQE only coalesces DOWN.
+        # Inherit spark-submit / cluster defaults there; size from the
+        # local cpu count only in local mode (or when the operator set
+        # SPARK_GRAFT_CPUS explicitly).
+        if on_cluster and "SPARK_GRAFT_CPUS" not in os.environ:
+            shuffle_partitions = 0  # leave unset
+        else:
+            shuffle_partitions = cpus
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
@@ -47,7 +57,11 @@ def get_spark(app_name: str = "imcs-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+    if shuffle_partitions:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    if not on_cluster:
         # Local mode only; cluster deployments take memory from
         # spark-submit. 8g measured best here: larger heaps (tried 48g)
         # lengthen GC over the accumulated cache blocks without

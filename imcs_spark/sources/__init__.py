@@ -75,17 +75,26 @@ def parse(spark: SparkSession, literal: str) -> DataFrame:
         # UNQUOTED amounts with thousands separators would be split
         # apart at their commas — '$1,000.50' becomes ['$1', '000.50'],
         # both of which LOOK like valid items (silently wrong by 999).
-        # The thousands-group shape — a comma followed by EXACTLY three
-        # digits — outside quotes is ambiguous with an item separator:
-        # refuse it and require quoting ('"$1,000.50"'). Ordinary
-        # separators between decimal amounts ('100.99,99.01') don't
-        # match the shape.
-        unquoted = re.sub(r'"[^"]*"|\'[^\']*\'', "", body)
-        if re.search(r"\d,\d{3}(?!\d)", unquoted):
-            raise ValueError(
-                "ambiguous money literal: quote amounts containing"
-                f" thousands separators ({literal!r})"
-            )
+        # A comma is ambiguous only when the token BEFORE it has no
+        # decimal point yet (a separator never follows cents) AND the
+        # token after starts with exactly three digits: refuse that
+        # shape and require quoting ('"$1,000.50"'). The old raw-body
+        # regex matched ACROSS item boundaries and falsely rejected
+        # plain lists like '1.00,100.00'.
+        unquoted = re.sub(r'"[^"]*"|\'[^\']*\'', " ", body)
+        parts = unquoted.split(",")
+        for prev, nxt in zip(parts, parts[1:]):
+            p = prev.strip()
+            if (
+                p
+                and p[-1].isdigit()
+                and "." not in p
+                and re.match(r"\d{3}(?!\d)", nxt.strip())
+            ):
+                raise ValueError(
+                    "ambiguous money literal: quote amounts containing"
+                    f" thousands separators ({literal!r})"
+                )
         vals = [
             Decimal(x.strip("'\"").replace("$", "").replace(",", "")).quantize(
                 Decimal("0.01")
@@ -112,9 +121,24 @@ def to_array(df: DataFrame, val_col: str = VAL, pos_col: str = POS) -> Column:
     ).getField(val_col)
 
 
-def from_array(df: DataFrame, array_col: str, val_col: str = VAL) -> DataFrame:
+def from_array(
+    df: DataFrame, array_col: str, val_col: str = VAL, id_col: str | None = None
+) -> DataFrame:
     """cs_from_array: explode an array column into a series frame,
-    positions from the array index (posexplode)."""
+    positions from the array index (posexplode). A multi-row frame
+    needs ``id_col`` to discriminate the series — without it every row
+    would emit pos 0..len-1 and the result would silently violate the
+    dense-per-series pos convention (downstream positional joins then
+    cross-product per pos)."""
+    if id_col:
+        return df.select(
+            id_col, F.posexplode(array_col).alias(POS, val_col)
+        ).withColumn(POS, F.col(POS).cast("long"))
+    if df.limit(2).count() > 1:
+        raise ValueError(
+            "from_array: multi-row frame without id_col — positions would"
+            " collide across rows; pass id_col= to key the series"
+        )
     return df.select(
         F.posexplode(array_col).alias(POS, val_col)
     ).withColumn(POS, F.col(POS).cast("long"))
@@ -156,5 +180,8 @@ def str2code(df: DataFrame, str_col: str, code_col: str = "code") -> DataFrame:
 
 
 def code2str(coded: DataFrame, dictionary: DataFrame, code_col: str = "code") -> DataFrame:
-    """cs_code2str compat: decode via broadcast join on the dictionary."""
-    return coded.join(F.broadcast(dictionary), code_col)
+    """cs_code2str compat: decode via broadcast join on the dictionary.
+    LEFT join: str2code deliberately preserves NULL-string rows with a
+    NULL code, and an inner decode join would silently drop exactly
+    those rows on the way back (their string column stays NULL)."""
+    return coded.join(F.broadcast(dictionary), code_col, "left")

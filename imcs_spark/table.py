@@ -127,7 +127,14 @@ class TsTable:
     def concat(self, ids: Sequence, low=None, high=None) -> DataFrame:
         """TABLE_concat (imcs--1.1.sql:246-259): slices of several ids
         in the id-sequence order given, then ts order."""
-        sliced = self.get(None, low, high).filter(F.col(self.id_col).isin(list(ids)))
+        if not self.id_col:
+            raise ValueError("concat: this table has no id column")
+        ids = list(ids)
+        if not ids:
+            # createDataFrame([]) cannot infer a schema; an empty id
+            # list just means an empty slice
+            return self._df.limit(0)
+        sliced = self.get(None, low, high).filter(F.col(self.id_col).isin(ids))
         # id type inferred from the values (ids are strings in the
         # reference's Quote-style tables but plain ints elsewhere)
         order_map = self.spark.createDataFrame(
@@ -202,7 +209,14 @@ class TsTable:
         rewrite (reference btree.c:747-905 does page surgery; on
         immutable Parquet a filtered rewrite is the equivalent)."""
         cond = F.lit(True)
-        if id_value is not None and self.id_col:
+        if id_value is not None:
+            if not self.id_col:
+                # silently ignoring the id on an id-less table would
+                # WIDEN the delete to every row in the range — a
+                # destructive mis-scope, unlike the read-only verbs
+                raise ValueError(
+                    "delete: id_value given but this table has no id column"
+                )
             cond = cond & (F.col(self.id_col) == id_value)
         if from_ts is not None:
             cond = cond & (F.col(self.ts_col) >= from_ts)
@@ -242,9 +256,16 @@ class TsTable:
     # The reference mutates shared memory under a single-writer lock
     # (MURSIW, imcs.c:893-904). Parquet is immutable, so mutation is
     # modeled as versioned snapshots: each save writes data/v=N and
-    # atomically repoints a tiny _VERSION file — readers of an open
-    # version are never disturbed, and concurrent writers conflict on
-    # the rename (single-writer, multi-reader).
+    # repoints a tiny _VERSION file — readers of an open version are
+    # never disturbed. The pointer goes through the Hadoop FileSystem
+    # API so versioned persistence works on ANY scheme the data path
+    # uses (s3a://, hdfs://, file:) — driver-local os APIs silently
+    # limited it to local paths. Concurrent writers are last-writer-
+    # wins: each writes a UNIQUE tmp pointer (interleaved writes to a
+    # shared tmp could corrupt the JSON) and the final delete+rename
+    # window is documented, not hidden — true single-writer locking is
+    # the deployment's job (the reference's MURSIW lock likewise lived
+    # outside the storage format).
     def save(self, path: str | None = None) -> "TsTable":
         import json
         import time as _time
@@ -262,34 +283,52 @@ class TsTable:
         else:
             writer = writer.sortWithinPartitions(self.ts_col)
         writer.write.mode("overwrite").parquet(data_dir)
-        tmp = os.path.join(base, "_VERSION.tmp")
+        meta = json.dumps(
+            {
+                "version": version,
+                "ts_col": self.ts_col,
+                "id_col": self.id_col,
+                # persisted so open() restores deterministic
+                # equal-timestamp ordering — dropping it made
+                # with_pos()/span() positions nondeterministic
+                # across a save/open round trip
+                "tiebreak": list(self.tiebreak),
+            }
+        )
+        tmp = os.path.join(base, f"_VERSION.tmp.{os.getpid()}.{version}")
         final = os.path.join(base, "_VERSION")
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "ts_col": self.ts_col,
-                    "id_col": self.id_col,
-                    # persisted so open() restores deterministic
-                    # equal-timestamp ordering — dropping it made
-                    # with_pos()/span() positions nondeterministic
-                    # across a save/open round trip
-                    "tiebreak": list(self.tiebreak),
-                },
-                f,
-            )
-        os.replace(tmp, final)  # atomic pointer swap
+        fs, _, jvm = self._hadoop_fs(base)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        out.write(bytearray(meta.encode("utf-8")))
+        out.close()
+        fpath = jvm.org.apache.hadoop.fs.Path(final)
+        if fs.exists(fpath):
+            fs.delete(fpath, False)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), fpath)
         return TsTable(
             self.spark, self.name, self.spark.read.parquet(data_dir),
             self.ts_col, self.id_col, base, self.tiebreak,
         )
 
+    def _hadoop_fs(self, path: str):
+        jvm = self.spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        return hp.getFileSystem(self.spark._jsc.hadoopConfiguration()), hp, jvm
+
     @classmethod
     def open(cls, spark: SparkSession, name: str, base: str) -> "TsTable":
         import json
 
-        with open(os.path.join(base, "_VERSION")) as f:
-            meta = json.load(f)
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(os.path.join(base, "_VERSION"))
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
+        stream = fs.open(hp)
+        try:
+            meta = json.loads(
+                jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
         data_dir = os.path.join(base, f"v={meta['version']}")
         return cls(
             spark, name, spark.read.parquet(data_dir), meta["ts_col"],

@@ -47,6 +47,75 @@ def test_str2code_roundtrip(spark):
     assert sorted(r["s"] for r in decoded.collect()) == ["a", "b", "b"]
 
 
+def test_third_review_batch_guards(spark):
+    """Round-5 third review pass: NULL-preserving decode join, the
+    money separator guard no longer false-rejecting decimal lists,
+    from_array's multi-row discriminator, delete/concat scope guards,
+    and the Hadoop-FS version pointer round trip."""
+    import tempfile
+
+    from imcs_spark.table import TsTable
+
+    # code2str keeps NULL-code rows (str2code preserved them; an inner
+    # decode join silently dropped exactly those rows on the way back)
+    df = spark.createDataFrame([("b",), (None,), ("a",)], "s string")
+    coded = sources.str2code(df, "s")
+    assert coded.count() == 3
+    decoded = sources.code2str(
+        coded.select("code"), coded.select("s", "code").distinct()
+    )
+    assert decoded.count() == 3
+    assert decoded.filter(F.col("code").isNull()).count() == 1
+
+    # money: valid decimal lists parse; true thousands shapes still raise
+    vals = [r["val"] for r in sources.parse(spark, "money:{1.00,100.00}").collect()]
+    assert [float(v) for v in vals] == [1.0, 100.0]
+    vals = [r["val"] for r in sources.parse(spark, "money:{100.99,999.01}").collect()]
+    assert [float(v) for v in vals] == [100.99, 999.01]
+    with pytest.raises(ValueError, match="ambiguous"):
+        sources.parse(spark, "money:{$1,000.50}")
+    with pytest.raises(ValueError, match="ambiguous"):
+        sources.parse(spark, "money:{12,345}")
+    vals = [r["val"] for r in sources.parse(spark, 'money:{"$1,000.50",2.00}').collect()]
+    assert [float(v) for v in vals] == [1000.50, 2.0]
+
+    # from_array: multi-row frames need a discriminator
+    multi = spark.createDataFrame([([1, 2],), ([3, 4],)], "a array<int>")
+    with pytest.raises(ValueError, match="multi-row"):
+        sources.from_array(multi, "a")
+    keyed = spark.createDataFrame([(1, [1, 2]), (2, [3, 4])], "k int, a array<int>")
+    out = sources.from_array(keyed, "a", id_col="k")
+    assert out.count() == 4 and set(out.columns) == {"k", "pos", "val"}
+
+    # delete on an id-less table must not silently widen scope
+    t = TsTable(
+        spark, "g",
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "ts long, value double"),
+        "ts",
+    )
+    with pytest.raises(ValueError, match="no id column"):
+        t.delete(id_value=7, from_ts=0)
+    with pytest.raises(ValueError, match="no id column"):
+        t.concat(["x"])
+
+    # concat([]) returns an empty slice instead of a schema-inference crash
+    t2 = TsTable(
+        spark, "g2",
+        spark.createDataFrame([("a", 1, 1.0)], "id string, ts long, value double"),
+        "ts", "id",
+    )
+    assert t2.concat([]).count() == 0
+
+    # versioned save/open round trip through the Hadoop FS pointer
+    with tempfile.TemporaryDirectory(prefix="imcs_vsave_") as tmp:
+        saved = t2.save(tmp)
+        reopened = TsTable.open(spark, "g2", tmp)
+        assert reopened.count() == 1
+        assert reopened.ts_col == "ts" and reopened.id_col == "id"
+        saved.save(tmp)  # second version; open returns the newest
+        assert TsTable.open(spark, "g2", tmp).count() == 1
+
+
 def test_approxdc_tolerance(spark, sf_dir):
     """cs_approxdc parity: HLL++ vs exact within ±15% (FIXTURES.md §6)."""
     ev = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
