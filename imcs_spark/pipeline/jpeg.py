@@ -718,8 +718,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             geom = (hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax)))
+            # a corrupt SOF claiming huge dimensions must fail BEFORE
+            # the coefficient stores materialize (65535x65535 would
+            # allocate ~17 GB per component); any real scan needs at
+            # least ~2 bits per block, so blocks >> stream size is
+            # impossible for a decodable stream (fuzz-derived guard)
+            _, _, mcux, mcuy = geom
+            n_blocks = sum(
+                mcuy * c["v"] * mcux * c["h"] for c in comps
+            )
+            if n_blocks > 64 * len(d):
+                raise ValueError(
+                    f"JPEG frame declares {n_blocks} blocks in a"
+                    f" {len(d)}-byte stream — corrupt or truncated SOF"
+                )
             if progressive:
-                _, _, mcux, mcuy = geom
                 for c in comps:
                     stores[c["id"]] = np.zeros(
                         (mcuy * c["v"] * mcux * c["h"], 64), dtype=np.int32

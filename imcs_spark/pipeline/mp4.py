@@ -241,11 +241,19 @@ def _parse_trak(data: bytes, s: int, e: int) -> dict:
     if stsd is not None:
         # first sample entry: 4-byte size then fourcc
         tr["codec"] = data[stsd[0] + 12 : stsd[0] + 16].decode("latin1")
-    # sample sizes
+    # sample sizes. Corrupted counts must fail loudly BEFORE the
+    # materializing numpy calls: a flipped byte in the stsz uniform
+    # count or an stts entry count would otherwise drive
+    # np.full/np.repeat into multi-gigabyte allocations (found by
+    # fuzzing — the parse appeared to hang while thrashing memory).
     sizes = np.zeros(0, dtype=np.int64)
     stsz = _find(data, *stbl, b"stsz")
     if stsz is not None:
         uniform, count = struct.unpack_from(">II", data, stsz[0] + 4)
+        if count > len(data):
+            raise ValueError(
+                f"mp4 stsz declares {count} samples in a {len(data)}-byte file"
+            )
         if uniform:
             sizes = np.full(count, uniform, dtype=np.int64)
         else:
@@ -258,9 +266,13 @@ def _parse_trak(data: bytes, s: int, e: int) -> dict:
     if stts is not None:
         (n_ent,) = struct.unpack_from(">I", data, stts[0] + 4)
         pairs = np.frombuffer(data, ">u4", count=2 * n_ent, offset=stts[0] + 8)
-        deltas = np.repeat(
-            pairs[1::2].astype(np.int64), pairs[0::2].astype(np.int64)
-        )
+        counts = pairs[0::2].astype(np.int64)
+        if counts.sum() > len(data):
+            raise ValueError(
+                f"mp4 stts declares {int(counts.sum())} samples in a"
+                f" {len(data)}-byte file"
+            )
+        deltas = np.repeat(pairs[1::2].astype(np.int64), counts)
     # chunk offsets (stco 32-bit or co64)
     stco = _find(data, *stbl, b"stco")
     if stco is not None:

@@ -390,6 +390,40 @@ def test_mp4_video_features_prefer_vide_track():
     assert f[0] == 2 and f[15] == 1.0  # vide samples, offsets valid
 
 
+def test_codec_allocation_guards():
+    """Fuzz-derived guards: corrupted counts/dimensions must fail
+    loudly BEFORE materializing — a flipped byte in mp4's stsz/stts
+    counts or a JPEG SOF claiming 65535x65535 previously drove numpy
+    into multi-gigabyte allocations (apparent hangs)."""
+    import struct
+
+    import pytest
+
+    from imcs_spark.pipeline import jpeg, mp4
+
+    blob = bytearray(mp4.encode_mp4([b"x" * 20] * 3))
+    i = blob.find(b"stsz")
+    # stsz: (ver/flags)(uniform)(count) — corrupt count to 2^31
+    struct.pack_into(">I", blob, i + 4 + 4 + 4, 1 << 31)
+    with pytest.raises(ValueError, match="declares"):
+        mp4.parse_mp4(bytes(blob))
+    blob = bytearray(mp4.encode_mp4([b"x" * 20] * 3))
+    i = blob.find(b"stts")
+    # stts first entry count -> huge
+    struct.pack_into(">I", blob, i + 4 + 4 + 4, 1 << 30)
+    with pytest.raises(ValueError, match="declares"):
+        mp4.parse_mp4(bytes(blob))
+
+    import numpy as np
+
+    enc = bytearray(jpeg.encode_jpeg(np.zeros((8, 8), np.uint8), progressive=True))
+    i = enc.find(b"\xff\xc2")
+    # SOF2 payload: len(2) precision(1) h(2) w(2): claim 65535x65535
+    struct.pack_into(">HH", enc, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="blocks"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
 def test_real_decode_rejects_opaque_codecs():
     import pytest
 
