@@ -147,6 +147,15 @@ def decode_png(content: bytes) -> np.ndarray:
         raise NotImplementedError(f"PNG color type {color} (palette) not supported")
     raw = zlib.decompress(b"".join(idat))
     stride = w * channels
+    # validate BEFORE allocating: a corrupt IHDR claiming huge
+    # dimensions would otherwise materialize a multi-gigabyte array
+    # and then crash mid-scanline anyway (same fuzz-derived guard
+    # class as the mp4/JPEG decoders)
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG data length {len(raw)} does not match {w}x{h}x{channels}"
+            " dimensions — corrupt IHDR or truncated IDAT"
+        )
     out = np.empty((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
     pos = 0

@@ -423,6 +423,11 @@ def test_codec_allocation_guards():
     with pytest.raises(ValueError, match="blocks"):
         jpeg.decode_jpeg(bytes(enc))
 
+    png = bytearray(multimodal.encode_png(np.zeros((8, 8), np.uint8)))
+    struct.pack_into(">II", png, 16, 60000, 60000)  # IHDR w/h
+    with pytest.raises(ValueError, match="does not match"):
+        multimodal.decode_png(bytes(png))
+
 
 def test_real_decode_rejects_opaque_codecs():
     import pytest
