@@ -352,13 +352,44 @@ class Engine:
         ts_col: str,
         id_col: str | None = None,
         tiebreak: Sequence[str] = (),
+        format: str = "parquet",
+        schema: str | None = None,
+        **reader_options,
     ) -> TsTable:
+        """Register a series table from a DataFrame or a path.
+
+        ``format`` selects the reader for path sources: 'parquet'
+        (default — the engine's native layout), 'csv' (header inferred
+        unless a ``schema`` DDL string is given; pass reader options
+        like ``delimiter`` through), or 'json' (JSON-lines). Ingest
+        from text formats is a one-time scan — call ``.save()`` on the
+        result to land the versioned sorted parquet layout every later
+        query should read (text formats carry no column pruning, no
+        predicate pushdown, and no min/max row-group stats, so they
+        are the wrong thing to query repeatedly at any scale)."""
         if isinstance(source, DataFrame):
             df = source
             path = None
         else:
             path = source
-            df = self.spark.read.parquet(source)
+            if format == "parquet":
+                df = self.spark.read.parquet(source)
+            elif format in ("csv", "json"):
+                reader = self.spark.read
+                if schema:
+                    reader = reader.schema(schema)
+                elif format == "csv":
+                    reader_options.setdefault("inferSchema", "true")
+                if format == "csv":
+                    reader_options.setdefault("header", "true")
+                df = reader.options(**reader_options).format(format).load(source)
+            else:
+                raise ValueError(f"Engine.create: unsupported format {format!r}")
+            if ts_col not in df.columns:
+                raise ValueError(
+                    f"Engine.create: ts_col {ts_col!r} not in source columns"
+                    f" {df.columns}"
+                )
         t = TsTable(self.spark, name, df, ts_col, id_col, path, tiebreak)
         self.tables[name] = t
         return t

@@ -236,6 +236,41 @@ def test_approxdc_hll128_matches_python_model(spark, sf_dir):
     assert abs(got - exact) <= 0.25 * exact  # m=128 → rse ~9.2%
 
 
+def test_engine_create_csv_json_sources(spark, tmp_path):
+    """Engine.create ingests CSV (header or explicit DDL schema) and
+    JSON-lines sources into the same TsTable surface; unsupported
+    formats and missing ts columns fail loudly."""
+    import json
+
+    import pytest
+
+    from imcs_spark.table import Engine
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("id,ts,value\na,1,1.5\na,2,2.5\nb,1,9.0\n")
+    jl = tmp_path / "t.jsonl"
+    jl.write_text(
+        "\n".join(json.dumps({"id": "a", "ts": i, "value": float(i)}) for i in range(4))
+    )
+    eng = Engine(spark)
+    t1 = eng.create("c1", str(csv), "ts", "id", format="csv")
+    assert t1.count() == 3 and t1.count("a") == 2
+    t2 = eng.create(
+        "c2", str(csv), "ts", "id", format="csv",
+        schema="id string, ts long, value double",
+    )
+    assert [r.ts for r in t2.get("b").collect()] == [1]
+    t3 = eng.create("j1", str(jl), "ts", "id", format="json")
+    assert t3.count() == 4
+    # one-time ingest -> versioned parquet layout round trip
+    saved = t3.save(str(tmp_path / "landed"))
+    assert saved.count() == 4
+    with pytest.raises(ValueError, match="unsupported format"):
+        eng.create("x", str(csv), "ts", format="xml")
+    with pytest.raises(ValueError, match="not in source columns"):
+        eng.create("y", str(csv), "nope", format="csv")
+
+
 def test_span_negative_multi_series(spark):
     """span(None, -k) on a multi-series table resolves negatives
     against EACH series' length (pos is per-series), not the global
