@@ -65,7 +65,13 @@ def div(a, b) -> Column:
 
 
 def mod(a, b) -> Column:
-    return _c(a) % _c(b)
+    """Zero-divisor-safe modulo: the bare % raises REMAINDER_BY_ZERO
+    for integral types under Spark 4's default ANSI mode, failing the
+    whole job on one zero. try_mod preserves the input type: integral
+    x % 0 -> NULL (the C reference would SIGFPE there — undefined
+    territory either way, now non-fatal), float % 0 -> IEEE NaN
+    exactly like the reference's fmod."""
+    return F.try_mod(_c(a), _c(b))
 
 
 def pow(a, b) -> Column:  # noqa: A001 - mirrors cs_pow
@@ -136,12 +142,17 @@ def bit_xor(a, b) -> Column:
 
 
 def logical_not(a) -> Column:
-    return ~_c(a)
+    """cs_not: accepts the int8 0/1 series the reference operates on
+    (func.c:294-317) as well as booleans — the bare ~ is Spark's
+    boolean NOT and refuses integer input at analysis time."""
+    return ~(_c(a).cast("boolean"))
 
 
 def bit_not(a) -> Column:
-    """Bitwise complement: ~x == -x - 1 for two's-complement ints."""
-    return -_c(a) - F.lit(1)
+    """Bitwise complement via the native operator — the -x - 1
+    identity overflows on each int type's MIN_VALUE under ANSI mode
+    (Long.MIN has no positive negation); ~ has no overflow."""
+    return F.bitwise_not(_c(a))
 
 
 # --- math (imcs.c:5420-5466) ---

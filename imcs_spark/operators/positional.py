@@ -23,7 +23,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..series import POS, VAL, zip_with_global_pos
+from ..series import POS, VAL, with_pos, zip_with_global_pos
 
 
 def _w(partition_by: Sequence[str] | None, order_by=(POS,)):
@@ -49,9 +49,10 @@ def renumber(
     partition is cheaper than a second job.
     """
     if partition_by or bounded:
-        return df.withColumn(
-            pos_col, F.row_number().over(_w(partition_by, order_by)) - F.lit(1).cast("long")
-        )
+        # the dense-position spine expression lives ONCE in
+        # series.with_pos (three drifting copies of the row_number
+        # convention was a maintenance hazard)
+        return with_pos(df, list(order_by), partition_by, pos_col)
     return zip_with_global_pos(df, list(order_by), pos_col=pos_col)
 
 
@@ -133,20 +134,32 @@ def unique(
     unbounded-global path exploits the dense-pos convention instead:
     the previous element of row p is the row at p-1, so adjacent-lag is
     a hash equi-join on pos — fully parallel, no global window."""
+    # NULL-safe adjacency: `val != prev` under three-valued logic both
+    # DROPS a NULL that follows a value (NULL != x is NULL -> filtered)
+    # and KEEPS adjacent NULL duplicates (prev.isNull() conflated
+    # "first row" with "previous value is NULL"). Compare with
+    # eqNullSafe and detect the first row explicitly — the same
+    # pattern series.run_id uses for this hazard.
     if partition_by or bounded:
         w = _w(partition_by, (pos_col,))
         prev = F.lag(F.col(val_col)).over(w)
-        out = df.withColumn("_prev", prev).filter(
-            F.col("_prev").isNull() | (F.col(val_col) != F.col("_prev"))
-        ).drop("_prev")
+        first = F.lag(F.lit(1)).over(w).isNull()
+        out = df.withColumn("_keep", first | ~F.col(val_col).eqNullSafe(prev)).filter(
+            F.col("_keep")
+        ).drop("_keep")
         return renumber(out, partition_by, bounded=bounded)
     prev_src = df.select(
-        (F.col(pos_col) + 1).alias(pos_col), F.col(val_col).alias("_prev")
+        (F.col(pos_col) + 1).alias(pos_col),
+        F.col(val_col).alias("_prev"),
+        F.lit(1).alias("_has_prev"),
     )
     out = (
         df.join(prev_src, pos_col, "left")
-        .filter(F.col("_prev").isNull() | (F.col(val_col) != F.col("_prev")))
-        .drop("_prev")
+        .filter(
+            F.col("_has_prev").isNull()
+            | ~F.col(val_col).eqNullSafe(F.col("_prev"))
+        )
+        .drop("_prev", "_has_prev")
     )
     return renumber(out, None)
 
@@ -238,10 +251,17 @@ def limit(
 
 
 def head(df: DataFrame, n: int, partition_by=None, bounded: bool = False) -> DataFrame:
+    # n=0 must be EMPTY: mapping it through till_pos = -1 would hit the
+    # negative-from-end convention and return the whole frame
+    if n <= 0:
+        return renumber(df.limit(0), partition_by, bounded=bounded)
     return limit(df, 0, n - 1, partition_by, bounded=bounded)
 
 
 def tail(df: DataFrame, n: int, partition_by=None, bounded: bool = False) -> DataFrame:
+    # -0 == 0 would resolve to from_pos=0 (the whole frame), not empty
+    if n <= 0:
+        return renumber(df.limit(0), partition_by, bounded=bounded)
     return limit(df, -n, None, partition_by, bounded=bounded)
 
 
@@ -299,9 +319,10 @@ def concat(a: DataFrame, b: DataFrame, pos_col: str = POS) -> DataFrame:
 
 
 def union_sorted(a: DataFrame, b: DataFrame, val_col: str = VAL, bounded: bool = False) -> DataFrame:
-    """cs_union: merge two sorted sequences into one sorted sequence
-    (multiset union, func.c:3857-3937). Spark: union + renumber by
-    value — a range-partitioned sort (zip path), not a single-node
-    merge."""
-    u = a.select(val_col).unionByName(b.select(val_col))
-    return renumber(u, None, order_by=(val_col,), bounded=bounded)
+    """cs_union: merge two sorted sequences (func.c:3857-3937) —
+    delegates to joins.union_merge, the single implementation of this
+    operator (it additionally supports partition_by; two copies had
+    already started drifting in capability)."""
+    from .joins import union_merge
+
+    return union_merge(a, b, val_col, bounded=bounded)

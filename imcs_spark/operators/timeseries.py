@@ -163,4 +163,10 @@ def norm(
     else:
         w = Window.partitionBy()
     c = F.col(val_col)
-    return df.withColumn(out_col, c / F.sqrt(F.sum(c * c).over(w)))
+    nrm = F.sqrt(F.sum(c * c).over(w))
+    # all-zero series: C computes 0/0 = NaN (imcs.c:3145-3153); the
+    # bare division raises DIVIDE_BY_ZERO under ANSI mode instead
+    return df.withColumn(
+        out_col,
+        F.when(nrm == 0, F.lit(float("nan"))).otherwise(c / nrm),
+    )

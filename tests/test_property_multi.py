@@ -16,6 +16,39 @@ N_CASES = 20
 LEN = 40
 
 
+def test_fourth_review_operator_edges(spark):
+    """Round-5 fourth review pass: NULL-safe unique adjacency (both
+    the window and global-join paths), head/tail(0) emptiness, ANSI-
+    safe mod/bit_not, int-input logical_not, and all-zero norm."""
+    import math
+
+    from imcs_spark.functions import elementwise as E
+    from imcs_spark.operators import positional as P
+    from imcs_spark.operators import timeseries as TS
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 2.0), (3, None), (4, None)],
+        "pos long, val double",
+    )
+    # NULL after a value is NOT an adjacent duplicate; NULL,NULL is
+    for out in (P.unique(df, bounded=True), P.unique(df)):
+        assert [r.val for r in out.orderBy("pos").collect()] == [1.0, None, 2.0, None]
+    s = spark.createDataFrame([(i, float(i)) for i in range(5)], "pos long, val double")
+    assert P.head(s, 0, bounded=True).count() == 0
+    assert P.tail(s, 0, bounded=True).count() == 0
+    assert P.head(s, 2, bounded=True).count() == 2
+    row = spark.createDataFrame([(7, 0, -(2**63))], "a long, b long, c long").select(
+        E.mod("a", "b").alias("m0"),
+        E.mod("a", F.lit(4)).alias("m4"),
+        E.bit_not("c").alias("bn"),
+        E.logical_not(F.lit(1)).alias("ln"),
+    ).collect()[0]
+    assert row.m0 is None and row.m4 == 3
+    assert row.bn == 2**63 - 1 and row.ln is False
+    z = spark.createDataFrame([(0, 0.0), (1, 0.0)], "pos long, val double")
+    assert all(math.isnan(r.norm) for r in TS.norm(z).collect())
+
+
 def _cases(value_gen):
     rng = random.Random(42)
     return {c: [value_gen(rng) for _ in range(LEN)] for c in range(N_CASES)}
