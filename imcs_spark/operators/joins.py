@@ -141,12 +141,6 @@ def asof_join(
     # first. Payload columns break ties among equal-timestamp right rows
     # so last()/first() are deterministic regardless of input order.
     order_cols = ["_ts", "_side"] + [f"_r_{c}" for c in payload]
-    if keys:
-        w = Window.partitionBy(*keys).orderBy(*order_cols)
-    else:
-        w = Window.orderBy(*order_cols)
-    wback = w.rowsBetween(Window.unboundedPreceding, 0)
-    wfwd = w.rowsBetween(0, Window.unboundedFollowing)
 
     # Carry the whole matched right ROW as one struct that is non-null
     # exactly for right-side rows. Carrying payload columns one by one
@@ -167,8 +161,23 @@ def asof_join(
             ),
         ),
     )
-    brow = F.last(F.col("_rrow"), ignorenulls=True).over(wback)
-    frow = F.first(F.col("_rrow"), ignorenulls=True).over(wfwd)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(*order_cols)
+        out = out.withColumn(
+            "_browc",
+            F.last("_rrow", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn(
+            "_frowc",
+            F.first("_rrow", ignorenulls=True).over(
+                w.rowsBetween(0, Window.unboundedFollowing)
+            ),
+        )
+    else:
+        out = _global_asof_carry(out, order_cols)
+    brow = F.col("_browc")
+    frow = F.col("_frowc")
     bcols = {c: brow[c] for c in payload}
     fcols = {c: frow[c] for c in payload}
     bts = brow["_rts"]
@@ -204,10 +213,60 @@ def asof_join(
         name = c if c not in left.columns else f"{c}_right"
         out = out.withColumn(name, val)
     out = out.filter(F.col("_side") == lmark)
-    drop = ["_side", "_rrow"] + [f"_r_{c}" for c in payload] + (
+    drop = ["_side", "_rrow", "_browc", "_frowc"] + [f"_r_{c}" for c in payload] + (
         ["_bts", "_fts"] if direction == "nearest" else []
     )
     return out.withColumnRenamed("_ts", on).drop(*drop)
+
+
+def _global_asof_carry(out: DataFrame, order_cols: Sequence[str]) -> DataFrame:
+    """Scalable GLOBAL as-of carries (no by-keys): Window.orderBy with
+    no partitioning executes as Exchange SinglePartition — the whole
+    union through ONE task, the exact hazard every other global
+    operator here avoids. Instead: range-partition by the order, run
+    the backward/forward carries per partition (parallel), and stitch
+    partition boundaries with an O(P) carry — the last right-row
+    struct of every earlier partition / first of every later one —
+    computed over a P-row frame and broadcast back. The same
+    partition-carry shape as windows.cum_agg_global.
+
+    The range-partitioned frame is persisted: RangePartitioner samples
+    per action, so the boundary pass and the main pass must share one
+    materialization (same contract as series.zip_with_global_pos)."""
+    ocols = [F.col(c) for c in order_cols]
+    part = (
+        out.repartitionByRange(*ocols)
+        .sortWithinPartitions(*ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    ordkey = F.when(F.col("_rrow").isNotNull(), F.struct(*ocols))
+    bounds = part.groupBy("_pid").agg(
+        F.max_by("_rrow", ordkey).alias("_plast"),
+        F.min_by("_rrow", ordkey).alias("_pfirst"),
+    )
+    # O(P) rows: the single-partition windows here are bounded by the
+    # partition count, not the data
+    wprev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    wnext = Window.orderBy("_pid").rowsBetween(1, Window.unboundedFollowing)
+    carries = bounds.select(
+        "_pid",
+        F.last("_plast", ignorenulls=True).over(wprev).alias("_carry_b"),
+        F.first("_pfirst", ignorenulls=True).over(wnext).alias("_carry_f"),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local_b = F.last("_rrow", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local_f = F.first("_rrow", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    return (
+        part.join(F.broadcast(carries), "_pid", "left")
+        .withColumn("_browc", F.coalesce(local_b, F.col("_carry_b")))
+        .withColumn("_frowc", F.coalesce(local_f, F.col("_carry_f")))
+        .drop("_pid", "_carry_b", "_carry_f")
+    )
 
 
 def asof_join_pos(
@@ -333,8 +392,22 @@ def stretch_exact(
     # kernel exists to reproduce bit-for-bit. Values still emit double
     # (the reference's stretch output type).
     ts_dt = ts1.schema[val_col].dataType
-    if isinstance(ts_dt, (T.TimestampType, T.TimestampNTZType)):
-        t_expr = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    if isinstance(ts_dt, T.TimestampNTZType):
+        # LINEAR wall-clock micros (interval since the NTZ epoch), the
+        # same convention as series.sessionize: a cast through
+        # TIMESTAMP maps wall times to instants via the session
+        # timezone, which is NON-INJECTIVE across DST spring-forward —
+        # two distinct right-side ticks collapsing to one _t advances
+        # the lockstep cursor at the wrong left element, exactly the
+        # bit-for-bit corner this kernel exists to preserve
+        t_expr = lambda c: (  # noqa: E731
+            (F.col(c) - F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+            .cast("decimal(30,6)")
+            * 1_000_000
+        ).cast("long")
+        t_np, t_min = "int64", np.iinfo(np.int64).min
+    elif isinstance(ts_dt, T.TimestampType):
+        t_expr = lambda c: F.unix_micros(F.col(c))  # noqa: E731
         t_np, t_min = "int64", np.iinfo(np.int64).min
     elif isinstance(ts_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         t_expr = lambda c: F.col(c).cast("long")  # noqa: E731

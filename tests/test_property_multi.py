@@ -49,6 +49,34 @@ def test_fourth_review_operator_edges(spark):
     assert all(math.isnan(r.norm) for r in TS.norm(z).collect())
 
 
+def test_stretch_exact_ntz_dst_safe(spark):
+    """NTZ timelines use LINEAR wall-clock micros: under a DST-bearing
+    session timezone, a cast through TIMESTAMP collapses the
+    spring-forward hour (02:30 and 03:30 NTZ on 2025-03-09 map to the
+    SAME instant in America/Los_Angeles), which advanced the lockstep
+    cursor at the wrong left element."""
+    import datetime as dt
+
+    from imcs_spark.operators import joins as J
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        t = dt.datetime(2025, 3, 9)
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "pos long, val timestamp_ntz"
+        )
+        ts1 = mk([(0, t.replace(hour=2)), (1, t.replace(hour=3)), (2, t.replace(hour=4))])
+        ts2 = mk([(0, t.replace(hour=2, minute=30)), (1, t.replace(hour=3, minute=30))])
+        vals = spark.createDataFrame([(0, 10.0), (1, 20.0)], "pos long, val double")
+        out = J.stretch_exact(ts1, ts2, vals, filler=-1.0)
+        assert sorted((r.pos, r.val) for r in out.collect()) == [
+            (0, 10.0), (1, 20.0), (2, -1.0)
+        ]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def _cases(value_gen):
     rng = random.Random(42)
     return {c: [value_gen(rng) for _ in range(LEN)] for c in range(N_CASES)}

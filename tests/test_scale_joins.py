@@ -98,3 +98,46 @@ def test_range_join_is_not_nested_loop(spark):
     )
     plan = _plan(range_join(pts, iv, "x", "lo", "hi", bin_width=10.0))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_global_asof_partition_carry(spark):
+    """The GLOBAL (no by-keys) as-of path must not serialize the whole
+    union through one window task: it range-partitions and stitches
+    partition boundaries with an O(P) carry. Result equivalence is
+    asserted against the keyed path with a constant key (identical
+    semantics, independent machinery) for every direction/strict
+    combination, and the plan's only SinglePartition exchange is the
+    bounded P-row carry frame."""
+    import random
+    import re
+
+    from imcs_spark.operators import joins as J
+
+    rng = random.Random(3)
+    lts = sorted(rng.sample(range(0, 4000), 150))
+    rts = sorted(rng.sample(range(0, 4000), 60))
+    left = spark.createDataFrame(
+        [(t, float(i)) for i, t in enumerate(lts)], "ts long, lv double"
+    )
+    right = spark.createDataFrame(
+        [(t, float(t) * 2) for t in rts], "ts long, rv double"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        for strict in (False, True):
+            g = J.asof_join(left, right, direction=direction, strict=strict)
+            k = J.asof_join(
+                left.withColumn("k", F.lit(1)),
+                right.withColumn("k", F.lit(1)),
+                by=["k"], direction=direction, strict=strict,
+            ).drop("k")
+            assert sorted(tuple(r) for r in g.collect()) == sorted(
+                tuple(r) for r in k.collect()
+            ), (direction, strict)
+    plan = _plan(J.asof_join(left, right))
+    # every SinglePartition exchange must feed a _pid-ordered window
+    # (the bounded carry frame), never the main data path
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 3) : i])
+            assert "_pid" in ctx, f"unexpected SinglePartition:\n{ctx}"
