@@ -117,6 +117,7 @@ def asof_join(
     direction: str = "nearest",
     strict: bool = False,
     filler=None,
+    bounded: bool = False,
 ) -> DataFrame:
     """As-of join via union + one window pass.
 
@@ -161,8 +162,16 @@ def asof_join(
             ),
         ),
     )
-    if keys:
-        w = Window.partitionBy(*keys).orderBy(*order_cols)
+    if keys or bounded:
+        # bounded=True is the package-wide small-frame hint (literal
+        # vectors, bounded slices): one window over one partition is
+        # cheaper there than the range-partition + carry jobs below,
+        # which cost a fixed ~0.3-0.5 s of shuffle machinery per call
+        w = (
+            Window.partitionBy(*keys).orderBy(*order_cols)
+            if keys
+            else Window.orderBy(*order_cols)
+        )
         out = out.withColumn(
             "_browc",
             F.last("_rrow", ignorenulls=True).over(
@@ -274,6 +283,7 @@ def asof_join_pos(
     right: DataFrame,
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_asof_join_pos (op `->`): position in right of the nearest
     element for each left value; ties to the earlier one. Output pos
@@ -282,7 +292,8 @@ def asof_join_pos(
     r = right.select(*keys, F.col(val_col), F.col(POS).alias("rpos"))
     l = left.select(*keys, POS, val_col)
     joined = asof_join(
-        l, r, on=val_col, by=keys or None, right_cols=["rpos"], direction="nearest"
+        l, r, on=val_col, by=keys or None, right_cols=["rpos"],
+        direction="nearest", bounded=bounded,
     )
     return joined.select(*keys, POS, F.col("rpos").cast("long").alias(VAL))
 
@@ -293,11 +304,12 @@ def asof_join_values(
     values: DataFrame,
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_asof_join: values (aligned to right by pos) at the nearest
     match."""
     keys = [*partition_by] if partition_by else []
-    pos_frame = asof_join_pos(left, right, val_col, partition_by)
+    pos_frame = asof_join_pos(left, right, val_col, partition_by, bounded=bounded)
     vals = values.select(*keys, F.col(POS).alias(VAL), F.col(val_col).alias("_v"))
     out = pos_frame.join(vals, on=keys + [VAL], how="inner")
     return out.select(*keys, POS, F.col("_v").alias(val_col))
@@ -310,6 +322,7 @@ def table_join(
     direction: int = 0,
     by: Sequence[str] | None = None,
     right_cols: Sequence[str] | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """TABLE_join (imcs--1.1.sql:334-347, func.c:6494-6553): join an
     unsorted probe against the stored sorted timestamp column;
@@ -322,7 +335,10 @@ def table_join(
         )
         return left.join(sel, on=([*by] if by else []) + [on], how="inner")
     d = "backward" if direction < 0 else "forward"
-    return asof_join(left, right, on=on, by=by, right_cols=right_cols, direction=d)
+    return asof_join(
+        left, right, on=on, by=by, right_cols=right_cols, direction=d,
+        bounded=bounded,
+    )
 
 
 def stretch(
@@ -332,6 +348,7 @@ def stretch(
     filler,
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
+    bounded: bool = False,
 ) -> DataFrame:
     """cs_stretch: map each left timestamp to the value attached to the
     first right timestamp strictly greater than it; filler past the
@@ -350,6 +367,7 @@ def stretch(
         right_cols=["_sval"],
         direction="forward",
         strict=True,
+        bounded=bounded,
     )
     return out.select(
         *keys, POS, F.coalesce(F.col("_sval"), F.lit(filler)).alias(val_col)

@@ -1676,7 +1676,7 @@ def literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     builders = [
         lambda: tag("stretch", joins.stretch(
             seq(spark, [1, 2, 3, 4, 5], "int"), seq(spark, [2, 4], "int"),
-            seq(spark, [1.1, 2.2]), 1.0)),
+            seq(spark, [1.1, 2.2]), 1.0, bounded=True)),
         lambda: tag("stretchx", joins.stretch_exact(
             seq(spark, [1, 2, 3, 4, 5], "int"), seq(spark, [2, 4], "int"),
             seq(spark, [1.1, 2.2]), 1.0)),
@@ -1687,7 +1687,8 @@ def literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq(spark, [0, 2, 3, 8, 10], "int"), seq(spark, [1, 3, 6, 10], "int"),
             bounded=True)),
         lambda: tag("asof_pos", joins.asof_join_pos(
-            seq(spark, [4, 9], "int"), seq(spark, [1, 3, 6, 10], "int"))),
+            seq(spark, [4, 9], "int"), seq(spark, [1, 3, 6, 10], "int"),
+            bounded=True)),
         lambda: tag("union", joins.union_merge(
             seq(spark, [1, 5, 7, 8], "int"), seq(spark, [2, 3, 5, 6], "int"),
             bounded=True)),
