@@ -214,7 +214,25 @@ def histogram(
     if keys:
         key_rows = df.select(*keys).distinct()
         grid = key_rows.crossJoin(F.broadcast(grid))
-    out = grid.join(counts, on=keys + ["_bucket"], how="left").withColumn(
+        # NULL-safe key equality: distinct() emits NULL-keyed grid
+        # rows and counts holds their real bucket counts, but a plain
+        # equi-join never matches NULL keys — every NULL-keyed group
+        # silently reported all-zero counts (same hazard class as
+        # series.run_id's eqNullSafe)
+        cond = F.col("g._bucket") == F.col("c._bucket")
+        for k in keys:
+            cond = cond & F.col(f"g.{k}").eqNullSafe(F.col(f"c.{k}"))
+        out = (
+            grid.alias("g")
+            .join(counts.alias("c"), cond, "left")
+            .select(
+                *[F.col(f"g.{k}") for k in keys],
+                F.col("g._bucket").alias("_bucket"),
+                F.coalesce(F.col("c.count"), F.lit(0)).alias("count"),
+            )
+        )
+        return out.withColumnRenamed("_bucket", POS)
+    out = grid.join(counts, on=["_bucket"], how="left").withColumn(
         "count", F.coalesce(F.col("count"), F.lit(0))
     )
     return out.withColumnRenamed("_bucket", POS)

@@ -104,10 +104,16 @@ def _recurrence_apply(
     val_col: str,
     kernels: dict,
     order_col: str = POS,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Run per-series sequential kernels as ONE Arrow-batched grouped
     pandas pass. kernels: {out_col: fn(values: pd.Series) -> pd.Series}
-    — multiple recurrences share the transfer and the sort."""
+    — multiple recurrences share the transfer and the sort.
+    ``pre_partitioned=True`` promises the input is ALREADY laid out
+    with whole groups per physical partition, sorted by (keys, order)
+    — the global EWM/ATR path's range-partitioned frame qualifies, and
+    skipping the repartition avoids re-shuffling the entire series a
+    second time."""
     keys = list(partition_by) if partition_by else []
     schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
     schema = ", ".join(schema_parts + [f"{c} double" for c in kernels])
@@ -135,7 +141,11 @@ def _recurrence_apply(
     # overhead-bound when series are small and numerous). Groups are
     # contiguous and internally ordered after sortWithinPartitions, so
     # the kernel loop runs inside pandas.
-    part = df.repartition(*keys).sortWithinPartitions(*keys, order_col)
+    part = (
+        df
+        if pre_partitioned
+        else df.repartition(*keys).sortWithinPartitions(*keys, order_col)
+    )
 
     def gen(batches):
         import numpy as np
@@ -160,7 +170,19 @@ def _recurrence_apply(
         change = np.zeros(n - 1, dtype=bool)
         for k in keys:
             a = pdf[k].to_numpy()
-            change |= a[1:] != a[:-1]
+            neq = a[1:] != a[:-1]
+            if a.dtype.kind == "f":
+                # NULL-safe: Arrow->pandas turns nullable-numeric NULLs
+                # into NaN, and NaN != NaN is True — without masking,
+                # every consecutive null-keyed pair became a group
+                # boundary and the recurrence silently restarted per
+                # row. Two NaN keys are the SAME group (object-dtype
+                # keys already behave that way: None != None is False).
+                both_nan = np.isnan(a[1:].astype("float64")) & np.isnan(
+                    a[:-1].astype("float64")
+                )
+                neq = neq & ~both_nan
+            change |= neq
         bounds = np.flatnonzero(change) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [n]))
@@ -316,6 +338,21 @@ def cum_agg_global(
     spark = df.sparkSession
     if agg == "prd":
         return _cum_prd_global(df, val_col, out_name, pos_col, num_partitions)
+    # dtype-aware carries: routing long min/max/sum carries through
+    # float() + a double schema silently corrupted values past 2^53
+    # (snowflake ids, nanosecond epochs) AND changed the output dtype
+    # vs the plain cum_agg variants. Integral inputs keep exact long
+    # carries; Σx² stays double (var/dev are double-valued anyway).
+    from pyspark.sql import types as T
+
+    _vdt = df.schema[val_col].dataType
+    _integral = isinstance(
+        _vdt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    _vt = "long" if _integral else "double"
+    _num = (lambda x: None if x is None else int(x)) if _integral else (
+        lambda x: None if x is None else float(x)
+    )
     pid = _range_by_pos(df, pos_col, num_partitions)
     w = Window.partitionBy("_pid").orderBy(pos_col).rowsBetween(
         Window.unboundedPreceding, 0
@@ -346,11 +383,12 @@ def cum_agg_global(
         local = local.withColumn("_lmax", F.max(c).over(w))
         tot_aggs.append(F.max(c).alias("_mx"))
     totals = pid.groupBy("_pid").agg(*tot_aggs).orderBy("_pid").collect()
-    carry_rows, s_acc, s2_acc, n_acc, mn_acc, mx_acc = [], 0.0, 0.0, 0, None, None
+    s_zero = 0 if _integral else 0.0
+    carry_rows, s_acc, s2_acc, n_acc, mn_acc, mx_acc = [], s_zero, 0.0, 0, None, None
     for r in totals:
         d = r.asDict()
         carry_rows.append((r["_pid"], s_acc, s2_acc, n_acc, mn_acc, mx_acc))
-        s_acc += d.get("_s") or 0
+        s_acc += d.get("_s") or s_zero
         s2_acc += d.get("_s2") or 0
         n_acc += d.get("_n") or 0
         # a partition whose values are all NULL reports _mn/_mx = None —
@@ -362,19 +400,10 @@ def cum_agg_global(
             mx_acc = d["_mx"] if mx_acc is None else max(mx_acc, d["_mx"])
     carries = spark.createDataFrame(
         [
-            (
-                p,
-                float(s),
-                float(s2),
-                n,
-                # float-coerce like _s/_s2: an int val_col yields Python
-                # ints here and the double schema rejects them
-                None if mn is None else float(mn),
-                None if mx is None else float(mx),
-            )
+            (p, _num(s), float(s2), n, _num(mn), _num(mx))
             for p, s, s2, n, mn, mx in carry_rows
         ],
-        "_pid int, _cs double, _cs2 double, _cn long, _cmn double, _cmx double",
+        f"_pid int, _cs {_vt}, _cs2 double, _cn long, _cmn {_vt}, _cmx {_vt}",
     )
     joined = local.join(F.broadcast(carries), "_pid")
     # coalesce the LOCAL running sums to 0: a within-partition prefix of
@@ -382,7 +411,9 @@ def cum_agg_global(
     # to NULL even when earlier partitions carried real values. The
     # null-until-first-value contract (matching the plain cum_agg
     # window) is restored via the tot_n == 0 guard.
-    tot_s = F.coalesce(F.col("_ls"), F.lit(0.0)) + F.col("_cs") if need_s else None
+    tot_s = (
+        F.coalesce(F.col("_ls"), F.lit(s_zero)) + F.col("_cs") if need_s else None
+    )
     tot_s2 = (
         F.coalesce(F.col("_ls2"), F.lit(0.0)) + F.col("_cs2") if need_s2 else None
     )
@@ -391,7 +422,7 @@ def cum_agg_global(
     if agg == "count":
         expr = tot_n
     elif agg == "sum":
-        expr = F.when(tot_n == 0, null_d).otherwise(tot_s)
+        expr = F.when(tot_n == 0, F.lit(None).cast(_vt)).otherwise(tot_s)
     elif agg == "avg":
         expr = F.when(tot_n == 0, null_d).otherwise(tot_s / tot_n)
     elif agg == "min":
@@ -501,7 +532,12 @@ def moving_agg_global(
     (≤ P×(n-1) rows — driver memory is bounded by partitions×window,
     the same order as the broadcast itself) are collected, chained into
     cumulative tails on the driver, and broadcast back. Exact for
-    sum/avg/min/max/count/var/dev."""
+    sum/avg/min/max/count/var/dev for values within double's exact
+    integer range (|v| < 2^53): the head-row recombination folds
+    through doubles, and the output column is double — use the plain
+    per-series moving_agg when exact wider-than-53-bit long windows
+    matter (cum_agg_global, by contrast, carries integral types
+    exactly)."""
     if agg not in ("sum", "avg", "min", "max", "count", "var", "dev"):
         raise ValueError(f"moving_agg_global: unsupported agg {agg!r}")
     out_name = out_col or f"window_{agg}"
@@ -613,7 +649,9 @@ def _ewm_global(
         return s.astype("float64").ewm(alpha=alpha, adjust=False).mean()
 
     pid = _range_by_pos(df, pos_col, num_partitions)
-    local = _recurrence_apply(pid, ["_pid"], val_col, {"_l": kernel}, pos_col)
+    local = _recurrence_apply(
+        pid, ["_pid"], val_col, {"_l": kernel}, pos_col, pre_partitioned=True
+    )
     w = Window.partitionBy("_pid").orderBy(pos_col)
     local = local.withColumn("_k", F.row_number().over(w) - 1)
     stats = (

@@ -64,7 +64,15 @@ def exact_dedup(
     id per digest. Returns the surviving rows."""
     if keep not in ("min", "max"):
         raise ValueError(f"exact_dedup: keep must be 'min' or 'max', got {keep!r}")
-    digest = F.md5(_normalize(text_col))
+    # NULL text must not dedup: md5(NULL) is NULL and partitionBy
+    # groups all NULL digests together, so a corpus of failed scrapes
+    # would silently collapse to ONE survivor. A per-doc fallback
+    # digest keeps every NULL-text row (consistent with the minhash/
+    # simhash paths, which also keep them).
+    digest = F.coalesce(
+        F.md5(_normalize(text_col)),
+        F.concat(F.lit("_null_text:"), F.col(id_col).cast("string")),
+    )
     w = Window.partitionBy("_digest").orderBy(
         F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     )
@@ -245,6 +253,14 @@ def jaccard_pairs(
     (semi-join pushdown before the heavy join)."""
     src = df.select(id_col, text_col)
     if candidates is not None:
+        # normalize pair orientation FIRST: the intersection below is
+        # only ever computed with left_id < right_id, so an externally
+        # built candidate given as (7, 3) would silently vanish from
+        # the output (read as "not a duplicate") without this
+        candidates = candidates.select(
+            F.least("left_id", "right_id").alias("left_id"),
+            F.greatest("left_id", "right_id").alias("right_id"),
+        )
         # candidates is referenced twice below (doc semi-join + pair
         # semi-join); without a persist its whole lineage — signatures
         # plus the LSH band join — executes twice. The pair list is
@@ -520,16 +536,12 @@ def embedding_near_dups(
     pairwise dot via join — quadratic; at scale use
     :func:`embedding_near_dups_lsh`, which gates the same exact filter
     behind an LSH bucket join."""
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x * x))
-    # zero-norm guard: an all-zero embedding would raise DIVIDE_BY_ZERO
-    # under ANSI mode (Spark 4 default) and NULL-poison cosines
-    # otherwise; norm->1 keeps the vector zero and its cosines 0, same
-    # convention as similarity._unit / unit_bucket_udf
-    safe = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
-    unit = df.select(
-        id_col,
-        F.transform(vec_col, lambda x: x / safe).alias("_unit"),
-    )
+    # normalization (incl. the zero-norm guard) lives ONCE in
+    # similarity._unit — an inline copy here had already started to
+    # drift from the shared convention
+    from .similarity import _unit
+
+    unit = df.select(id_col, _unit(vec_col).alias("_unit"))
     l = unit.select(F.col(id_col).alias("left_id"), F.col("_unit").alias("_lv"))
     r = unit.select(F.col(id_col).alias("right_id"), F.col("_unit").alias("_rv"))
     return (

@@ -99,12 +99,30 @@ def unit_bucket_udf(planes: list[list[float]]):
     def f(v: pd.Series) -> pd.DataFrame:
         if not len(v):
             return pd.DataFrame({"u": [], "b": []})
-        X = np.stack([np.asarray(x, dtype=np.float64) for x in v])
-        norms = np.linalg.norm(X, axis=1, keepdims=True)
-        norms[norms == 0.0] = 1.0
-        U = X / norms
-        b = ((U @ P >= 0) * weights).sum(axis=1)
-        return pd.DataFrame({"u": list(U), "b": b})
+        # NULL / wrong-length embeddings get a NULL row instead of an
+        # opaque np.stack shape crash that fails the whole stage (the
+        # Column paths _unit/bucket_ids propagate NULL; the Arrow path
+        # must match)
+        dim = P.shape[0]
+        arrs = [None if x is None else np.asarray(x, dtype=np.float64) for x in v]
+        ok = np.array(
+            [a is not None and a.ndim == 1 and len(a) == dim for a in arrs]
+        )
+        u_out = [None] * len(arrs)
+        b_out = [None] * len(arrs)
+        if ok.any():
+            X = np.stack([a for a, good in zip(arrs, ok) if good])
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            U = X / norms
+            b = ((U @ P >= 0) * weights).sum(axis=1)
+            j = 0
+            for i, good in enumerate(ok):
+                if good:
+                    u_out[i] = U[j]
+                    b_out[i] = int(b[j])
+                    j += 1
+        return pd.DataFrame({"u": u_out, "b": b_out})
 
     return f
 
@@ -118,9 +136,19 @@ def dot_udf():
     def f(a: pd.Series, b: pd.Series) -> pd.Series:
         if not len(a):
             return pd.Series([], dtype="float64")
-        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
-        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        out = np.full(len(a), np.nan)
+        pairs = [
+            (i, np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64))
+            for i, (x, y) in enumerate(zip(a, b))
+            if x is not None and y is not None
+        ]
+        ok = [(i, x, y) for i, x, y in pairs if x.ndim == 1 and x.shape == y.shape]
+        if ok:
+            A = np.stack([x for _, x, _ in ok])
+            B = np.stack([y for _, _, y in ok])
+            out[[i for i, _, _ in ok]] = np.einsum("ij,ij->i", A, B)
+        # NULL/ragged rows return NULL (NaN here -> comparisons false)
+        return pd.Series(out)
 
     return f
 
@@ -273,6 +301,11 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = [list(r["_u"]) for r in init]
+    if not centroids:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus — cannot initialize"
+            " centroids (same condition lsh_index reports)"
+        )
     dim = len(centroids[0])
     for _ in range(iters):
         # assignment + partial update in one Arrow pass: argmax(X·Cᵀ)

@@ -38,6 +38,10 @@ def token_count(text_col: str = "text", mode: str = "whitespace") -> Column:
     tokenizer cost accounting)."""
     if mode == "whitespace":
         return F.size(_tokens(text_col))
+    if mode != "bpe":
+        # a typo'd mode silently fell through to the BPE path and
+        # returned materially different counts
+        raise ValueError(f"token_count: unknown mode {mode!r}")
     return F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0))
 
 

@@ -474,6 +474,86 @@ def test_lsh_star_mode_and_bucket_cap(spark):
     assert {(r.left_id, r.right_id) for r in capped.collect() if r.left_id < 6 and r.right_id < 6} == set()
 
 
+def test_fifth_review_batch_guards(spark):
+    """Round-5 fifth review pass: NULL/NaN-keyed recurrence groups,
+    null-safe histogram densify, NULL-text exact_dedup, exact long
+    carries in cum_agg_global, candidate-pair orientation, NULL
+    embeddings through the Arrow UDFs, empty-corpus IVF, token_count
+    mode validation."""
+    import pytest
+
+    from imcs_spark.operators import grouping, windows
+    from imcs_spark.pipeline import similarity, text
+
+    # NaN keys are ONE group, not one group per row
+    rows = [(None, i, float(i)) for i in range(6)] + [(1, i, float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "k int, pos long, val double")
+    out = windows.ema(df, 3, partition_by=["k"])
+    nullg = sorted(
+        (r.pos, r.ema) for r in out.collect() if r.k is None
+    )
+    # a restarted-per-row recurrence would give ema == val everywhere;
+    # one smoothed series differs from pos 1 on
+    assert nullg[1][1] != 1.0 and nullg[2][1] != 2.0
+
+    # histogram: NULL-keyed group keeps its real counts
+    h = spark.createDataFrame(
+        [(None, 1.0), (None, 1.5), ("a", 9.0)], "src string, val double"
+    )
+    got = {
+        (r.src, r.pos): r["count"]
+        for r in grouping.histogram(h, 0.0, 10.0, 5, "val", ["src"]).collect()
+    }
+    assert got[(None, 0)] == 2 and got[("a", 4)] == 1
+
+    # NULL-text docs never dedup against each other
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(d).collect())
+    assert kept == [1, 2, 3]
+
+    # cum_agg_global: long min/max stay exact past 2^53 (a double
+    # round-trip would collapse big and big+1), and sums stay exact
+    # longs at magnitudes where doubles already lose integer precision
+    big = 1 << 60
+    g = spark.createDataFrame(
+        [(i, big + i) for i in range(100)], "pos long, val long"
+    )
+    cm = windows.cum_agg_global(g, "min", num_partitions=8)
+    got_min = {r.pos: r.cum_min for r in cm.collect()}
+    assert got_min[99] == big and all(v == big for v in got_min.values())
+    sm = (1 << 53) + 1  # not representable as double
+    g2 = spark.createDataFrame(
+        [(i, sm) for i in range(100)], "pos long, val long"
+    )
+    cs = windows.cum_agg_global(g2, "sum", num_partitions=8)
+    got_sum = {r.pos: r.cum_sum for r in cs.collect()}
+    assert got_sum[99] == 100 * sm and got_sum[0] == sm
+
+    # reversed candidate pairs are normalized, not dropped
+    docs = spark.createDataFrame(
+        [(3, "alpha beta gamma delta"), (7, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame([(7, 3)], "left_id long, right_id long")
+    jp = dedup.jaccard_pairs(docs, cand).collect()
+    assert len(jp) == 1 and jp[0].jaccard == 1.0
+
+    # NULL embedding rows: NULL bucket, not an np.stack crash
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None)], "vec_id long, embedding array<double>"
+    )
+    f = similarity.unit_bucket_udf([[1.0, 0.0], [0.0, 1.0]])
+    res = {r.vec_id: r.ub for r in emb.select("vec_id", f("embedding").alias("ub")).collect()}
+    assert res[1]["b"] is not None and res[2]["b"] is None
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.train_ivf_centroids(emb.filter(F.lit(False)), 4)
+    with pytest.raises(ValueError, match="unknown mode"):
+        text.token_count("text", mode="Whitespace")
+
+
 def test_connected_components(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (9, 2)], "left_id long, right_id long"
