@@ -118,6 +118,7 @@ def asof_join(
     strict: bool = False,
     filler=None,
     bounded: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """As-of join via union + one window pass.
 
@@ -128,14 +129,113 @@ def asof_join(
                    (reference cs_asof_join rule, func.c:4549-4551:
                    pick prev when x-prev ≤ next-x)
     Right columns arrive suffixed only on collision. `filler` replaces
-    nulls where no match exists (used by stretch).
+    nulls where no match exists (used by stretch). `cache_out` (a list)
+    receives any frame the global path persists, for callers that want
+    to unpersist after their downstream action (see
+    series.zip_with_global_pos_and_total for the convention).
     """
+    out, keys, lmark, payload = _asof_fill(
+        left, right, on, by, right_cols,
+        equal_goes_to_right_first=not (direction == "backward" and strict)
+        and not (direction == "forward" and not strict),
+        bounded=bounded,
+        cache_out=cache_out,
+    )
+    out, chosen = _directional_values(out, direction, payload)
+    for c in payload:
+        val = chosen[c]
+        if filler is not None:
+            val = F.coalesce(val, F.lit(filler))
+        name = c if c not in left.columns else f"{c}_right"
+        out = out.withColumn(name, val)
+    out = out.filter(F.col("_side") == lmark)
+    drop = ["_side", "_rrow", "_browc", "_frowc"] + [f"_r_{c}" for c in payload] + (
+        ["_bts", "_fts"] if direction == "nearest" else []
+    )
+    return out.withColumnRenamed("_ts", on).drop(*drop)
+
+
+def asof_join_multi(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] | None = None,
+    right_cols: Sequence[str] | None = None,
+    directions: Sequence[str] = ("backward", "nearest"),
+    strict: bool = False,
+    filler=None,
+    bounded: bool = False,
+    cache_out: list | None = None,
+) -> DataFrame:
+    """Multi-direction as-of join in ONE union + window pass.
+
+    Several fill semantics over the same timeline pair (e.g. the last
+    trade at-or-before each quote AND the nearest one) share the entire
+    union / ordering / carry machinery — the only per-direction work is
+    the final value selection, which is a row-local expression. Running
+    asof_join once per direction instead costs a full shuffle + two
+    window passes EACH plus a rejoin of the outputs on a key; at scale
+    that multiplies the dominant cost (the shuffle of both inputs) by
+    the direction count for zero information gain.
+
+    Output columns are named ``{col}_{direction}`` for each requested
+    right column. All requested directions must agree on the tie
+    ordering at equal timestamps: with strict=False that is
+    {'backward', 'nearest'}, with strict=True {'forward', 'nearest'}
+    (the reference's cs_asof_join tie rule is backward-inclusive,
+    func.c:4549-4551); mixing backward and forward raises — call
+    asof_join per direction in that case.
+    """
+    orderings = {
+        not (d == "backward" and strict) and not (d == "forward" and not strict)
+        for d in directions
+    }
+    if len(orderings) != 1:
+        raise ValueError(
+            f"asof_join_multi: directions {list(directions)} (strict={strict}) "
+            "need different tie orderings at equal timestamps; "
+            "use separate asof_join calls"
+        )
+    out, keys, lmark, payload = _asof_fill(
+        left, right, on, by, right_cols,
+        equal_goes_to_right_first=orderings.pop(),
+        bounded=bounded,
+        cache_out=cache_out,
+    )
+    used_nearest = False
+    for d in directions:
+        out, chosen = _directional_values(out, d, payload)
+        used_nearest = used_nearest or d == "nearest"
+        for c in payload:
+            val = chosen[c]
+            if filler is not None:
+                val = F.coalesce(val, F.lit(filler))
+            out = out.withColumn(f"{c}_{d}", val)
+    out = out.filter(F.col("_side") == lmark)
+    drop = ["_side", "_rrow", "_browc", "_frowc"] + [f"_r_{c}" for c in payload] + (
+        ["_bts", "_fts"] if used_nearest else []
+    )
+    return out.withColumnRenamed("_ts", on).drop(*drop)
+
+
+def _asof_fill(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str] | None,
+    right_cols: Sequence[str] | None,
+    equal_goes_to_right_first: bool,
+    bounded: bool = False,
+    cache_out: list | None = None,
+):
+    """Shared core of the as-of family: tag + union both sides, then
+    carry the nearest right ROW backward (``_browc``) and forward
+    (``_frowc``) onto every row. Returns (frame, keys, lmark, payload)."""
     payload = list(right_cols) if right_cols else [c for c in right.columns if c != on and not (by and c in by)]
     u, keys, lmark = _tagged_union(
         left, right, on, payload, by,
         [c for c in left.columns if c != on and not (by and c in by)],
-        equal_goes_to_right_first=not (direction == "backward" and strict)
-        and not (direction == "forward" and not strict),
+        equal_goes_to_right_first=equal_goes_to_right_first,
     )
     # ordering: for backward-inclusive and forward-strict, right rows sort
     # first at equal ts; for backward-strict and forward-inclusive, left
@@ -184,51 +284,44 @@ def asof_join(
             ),
         )
     else:
-        out = _global_asof_carry(out, order_cols)
+        out = _global_asof_carry(out, order_cols, cache_out=cache_out)
+    return out, keys, lmark, payload
+
+
+def _directional_values(out: DataFrame, direction: str, payload: list[str]):
+    """Row-local value selection for one as-of direction over a frame
+    carrying ``_browc`` / ``_frowc``. Returns (frame, {col: Column})."""
     brow = F.col("_browc")
     frow = F.col("_frowc")
-    bcols = {c: brow[c] for c in payload}
-    fcols = {c: frow[c] for c in payload}
-    bts = brow["_rts"]
-    fts = frow["_rts"]
-
     if direction == "backward":
-        chosen = {c: bcols[c] for c in payload}
-    elif direction == "forward":
-        chosen = {c: fcols[c] for c in payload}
-    else:  # nearest: prev if x - prev_ts <= next_ts - x, else next
-        out = out.withColumn("_bts", bts).withColumn("_fts", fts)
-        prefer_back = (
-            F.col("_fts").isNull()
-            | (
-                F.col("_bts").isNotNull()
-                # Subtraction, not cast-to-double: numeric types yield a
-                # number, timestamps (incl. TIMESTAMP_NTZ, which forbids
-                # numeric casts) yield a comparable day-time interval —
-                # one expression covers both with no timezone assumption.
-                & (
-                    (F.col("_ts") - F.col("_bts"))
-                    <= (F.col("_fts") - F.col("_ts"))
-                )
+        return out, {c: brow[c] for c in payload}
+    if direction == "forward":
+        return out, {c: frow[c] for c in payload}
+    # nearest: prev if x - prev_ts <= next_ts - x, else next
+    if "_bts" not in out.columns:
+        out = out.withColumn("_bts", brow["_rts"]).withColumn("_fts", frow["_rts"])
+    prefer_back = (
+        F.col("_fts").isNull()
+        | (
+            F.col("_bts").isNotNull()
+            # Subtraction, not cast-to-double: numeric types yield a
+            # number, timestamps (incl. TIMESTAMP_NTZ, which forbids
+            # numeric casts) yield a comparable day-time interval —
+            # one expression covers both with no timezone assumption.
+            & (
+                (F.col("_ts") - F.col("_bts"))
+                <= (F.col("_fts") - F.col("_ts"))
             )
         )
-        chosen = {
-            c: F.when(prefer_back, bcols[c]).otherwise(fcols[c]) for c in payload
-        }
-    for c in payload:
-        val = chosen[c]
-        if filler is not None:
-            val = F.coalesce(val, F.lit(filler))
-        name = c if c not in left.columns else f"{c}_right"
-        out = out.withColumn(name, val)
-    out = out.filter(F.col("_side") == lmark)
-    drop = ["_side", "_rrow", "_browc", "_frowc"] + [f"_r_{c}" for c in payload] + (
-        ["_bts", "_fts"] if direction == "nearest" else []
     )
-    return out.withColumnRenamed("_ts", on).drop(*drop)
+    return out, {
+        c: F.when(prefer_back, brow[c]).otherwise(frow[c]) for c in payload
+    }
 
 
-def _global_asof_carry(out: DataFrame, order_cols: Sequence[str]) -> DataFrame:
+def _global_asof_carry(
+    out: DataFrame, order_cols: Sequence[str], cache_out: list | None = None
+) -> DataFrame:
     """Scalable GLOBAL as-of carries (no by-keys): Window.orderBy with
     no partitioning executes as Exchange SinglePartition — the whole
     union through ONE task, the exact hazard every other global
@@ -241,7 +334,12 @@ def _global_asof_carry(out: DataFrame, order_cols: Sequence[str]) -> DataFrame:
 
     The range-partitioned frame is persisted: RangePartitioner samples
     per action, so the boundary pass and the main pass must share one
-    materialization (same contract as series.zip_with_global_pos)."""
+    materialization (same contract as series.zip_with_global_pos).
+    Lifecycle: the cache lives until session end or LRU eviction
+    (spill-backed, so correctness is unaffected); callers that issue
+    many global as-ofs in a loop pass ``cache_out`` (a list) to receive
+    the persisted frame and unpersist it once their downstream action
+    has run — the same convention as zip_with_global_pos_and_total."""
     ocols = [F.col(c) for c in order_cols]
     part = (
         out.repartitionByRange(*ocols)
@@ -249,6 +347,8 @@ def _global_asof_carry(out: DataFrame, order_cols: Sequence[str]) -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
+    if cache_out is not None:
+        cache_out.append(part)
     ordkey = F.when(F.col("_rrow").isNotNull(), F.struct(*ocols))
     bounds = part.groupBy("_pid").agg(
         F.max_by("_rrow", ordkey).alias("_plast"),
@@ -284,6 +384,7 @@ def asof_join_pos(
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
     bounded: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """cs_asof_join_pos (op `->`): position in right of the nearest
     element for each left value; ties to the earlier one. Output pos
@@ -293,7 +394,7 @@ def asof_join_pos(
     l = left.select(*keys, POS, val_col)
     joined = asof_join(
         l, r, on=val_col, by=keys or None, right_cols=["rpos"],
-        direction="nearest", bounded=bounded,
+        direction="nearest", bounded=bounded, cache_out=cache_out,
     )
     return joined.select(*keys, POS, F.col("rpos").cast("long").alias(VAL))
 
@@ -305,11 +406,14 @@ def asof_join_values(
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
     bounded: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """cs_asof_join: values (aligned to right by pos) at the nearest
     match."""
     keys = [*partition_by] if partition_by else []
-    pos_frame = asof_join_pos(left, right, val_col, partition_by, bounded=bounded)
+    pos_frame = asof_join_pos(
+        left, right, val_col, partition_by, bounded=bounded, cache_out=cache_out
+    )
     vals = values.select(*keys, F.col(POS).alias(VAL), F.col(val_col).alias("_v"))
     out = pos_frame.join(vals, on=keys + [VAL], how="inner")
     return out.select(*keys, POS, F.col("_v").alias(val_col))
@@ -323,6 +427,7 @@ def table_join(
     by: Sequence[str] | None = None,
     right_cols: Sequence[str] | None = None,
     bounded: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """TABLE_join (imcs--1.1.sql:334-347, func.c:6494-6553): join an
     unsorted probe against the stored sorted timestamp column;
@@ -337,7 +442,7 @@ def table_join(
     d = "backward" if direction < 0 else "forward"
     return asof_join(
         left, right, on=on, by=by, right_cols=right_cols, direction=d,
-        bounded=bounded,
+        bounded=bounded, cache_out=cache_out,
     )
 
 
@@ -349,6 +454,7 @@ def stretch(
     val_col: str = VAL,
     partition_by: Sequence[str] | None = None,
     bounded: bool = False,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """cs_stretch: map each left timestamp to the value attached to the
     first right timestamp strictly greater than it; filler past the
@@ -368,6 +474,7 @@ def stretch(
         direction="forward",
         strict=True,
         bounded=bounded,
+        cache_out=cache_out,
     )
     return out.select(
         *keys, POS, F.coalesce(F.col("_sval"), F.lit(filler)).alias(val_col)

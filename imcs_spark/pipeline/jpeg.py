@@ -28,6 +28,7 @@ entropy-coded decode end-to-end instead of a deterministic fake.
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -731,6 +732,23 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                 raise ValueError(
                     f"JPEG frame declares {n_blocks} blocks in a"
                     f" {len(d)}-byte stream — corrupt or truncated SOF"
+                )
+            # ...and an ABSOLUTE ceiling independent of stream length:
+            # the relative guard scales with len(d), so a crafted
+            # multi-MB progressive stream could still legally declare
+            # 64 blocks per input byte at 256 B of int32 store each
+            # (16 KB allocated per stream byte). 2^24 blocks = ~1 GB of
+            # coefficient store = a ~268-megapixel frame, far beyond
+            # any legitimate corpus image; env-overridable for callers
+            # that truly process larger frames.
+            max_blocks = int(
+                os.environ.get("IMCS_SPARK_JPEG_MAX_BLOCKS", str(1 << 24))
+            )
+            if n_blocks > max_blocks:
+                raise ValueError(
+                    f"JPEG frame declares {n_blocks} coefficient blocks"
+                    f" (> cap {max_blocks}); raise"
+                    " IMCS_SPARK_JPEG_MAX_BLOCKS if this is intentional"
                 )
             if progressive:
                 for c in comps:

@@ -110,10 +110,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so round-robin placement is safe. Tiny dimension tables
         # (region/nation) stay as-is: 32 near-empty cached partitions
         # would add a task-launch fan-out to every scan for nothing.
-        if df.rdd.getNumPartitions() < 4 and df.count() >= 1000:
-            df = df.repartition(spark.sparkContext.defaultParallelism)
-        df = df.persist()
-        df.count()
+        # Persist FIRST and gate the repartition on the cached count so
+        # the guard doesn't scan the un-persisted source a second time
+        # (the repartition then reads from the cache, not the file).
+        if df.rdd.getNumPartitions() < 4:
+            cached = df.persist()
+            if cached.count() >= 1000:
+                df = cached.repartition(spark.sparkContext.defaultParallelism).persist()
+                df.count()
+                cached.unpersist()
+            else:
+                df = cached
+        else:
+            df = df.persist()
+            df.count()
         return df
 
     return _artifact(spark, ("table", sf_dir, name), build)
@@ -562,13 +572,19 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("value").alias("pvalue")
     )
-    back = joins.asof_join(
-        clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"], direction="backward"
-    ).select("event_id", "user_id", _r6(F.col("pvalue")).alias("last_purchase_value"))
-    near = joins.asof_join(
-        clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"], direction="nearest"
-    ).select("event_id", _r6(F.col("pvalue")).alias("nearest_purchase_value"))
-    return back.join(near, "event_id")
+    # One union+window pass serves BOTH directions (asof_join_multi):
+    # backward and nearest share the tie ordering, so running asof_join
+    # twice and rejoining on event_id would double the shuffle and
+    # window work for zero information gain.
+    both = joins.asof_join_multi(
+        clicks, purchases, on="ts", by=["user_id"], right_cols=["pvalue"],
+        directions=("backward", "nearest"),
+    )
+    return both.select(
+        "event_id", "user_id",
+        _r6(F.col("pvalue_backward")).alias("last_purchase_value"),
+        _r6(F.col("pvalue_nearest")).alias("nearest_purchase_value"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -385,11 +385,14 @@ class Engine:
                 df = reader.options(**reader_options).format(format).load(source)
             else:
                 raise ValueError(f"Engine.create: unsupported format {format!r}")
-            if ts_col not in df.columns:
-                raise ValueError(
-                    f"Engine.create: ts_col {ts_col!r} not in source columns"
-                    f" {df.columns}"
-                )
+        # Fail fast on a missing/typo'd ts_col for EVERY source kind —
+        # DataFrame sources included — rather than surfacing as an
+        # analysis error deep inside the first query.
+        if ts_col not in df.columns:
+            raise ValueError(
+                f"Engine.create: ts_col {ts_col!r} not in source columns"
+                f" {df.columns}"
+            )
         t = TsTable(self.spark, name, df, ts_col, id_col, path, tiebreak)
         self.tables[name] = t
         return t

@@ -141,3 +141,61 @@ def test_global_asof_partition_carry(spark):
         if "SinglePartition" in ln:
             ctx = "\n".join(lines[max(0, i - 3) : i])
             assert "_pid" in ctx, f"unexpected SinglePartition:\n{ctx}"
+
+
+def test_asof_join_multi_one_pass_equivalence(spark):
+    """asof_join_multi must equal running asof_join once per direction
+    (same inputs, keyed and global), while sharing one union+window
+    pass; incompatible direction mixes raise."""
+    import random
+
+    import pytest
+
+    from imcs_spark.operators import joins as J
+
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(rng.randrange(5), t, float(i)) for i, t in enumerate(sorted(rng.sample(range(0, 2000), 120)))],
+        "k int, ts long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(rng.randrange(5), t, float(t)) for t in sorted(rng.sample(range(0, 2000), 50))],
+        "k int, ts long, rv double",
+    )
+    for by in (["k"], None):
+        multi = J.asof_join_multi(
+            left, right, by=by, right_cols=["rv"],
+            directions=("backward", "nearest"),
+        )
+        back = J.asof_join(left, right, by=by, right_cols=["rv"], direction="backward")
+        near = J.asof_join(left, right, by=by, right_cols=["rv"], direction="nearest")
+        cols = ["ts", "lv"]
+        got = sorted(
+            tuple(r) for r in multi.select(*cols, "rv_backward", "rv_nearest").collect()
+        )
+        b = {(r["ts"], r["lv"]): r["rv"] for r in back.collect()}
+        n = {(r["ts"], r["lv"]): r["rv"] for r in near.collect()}
+        want = sorted((ts, lv, b[(ts, lv)], n[(ts, lv)]) for (ts, lv) in b)
+        assert got == want, by
+    # forward+strict pairs with nearest; backward+forward never mixes
+    J.asof_join_multi(
+        left, right, by=["k"], right_cols=["rv"],
+        directions=("forward", "nearest"), strict=True,
+    ).collect()
+    with pytest.raises(ValueError, match="tie orderings"):
+        J.asof_join_multi(
+            left, right, right_cols=["rv"], directions=("backward", "forward")
+        )
+
+
+def test_engine_create_dataframe_tscol_fail_fast(spark):
+    """A DataFrame source with a missing ts_col must fail at create
+    time, not as an analysis error inside the first query."""
+    import pytest
+
+    from imcs_spark.table import Engine
+
+    eng = Engine(spark)
+    df = spark.range(5).select(F.col("id").alias("t"), F.lit(1.0).alias("v"))
+    with pytest.raises(ValueError, match="ts_col"):
+        eng.create("bad", df, ts_col="not_there")
