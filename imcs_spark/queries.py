@@ -1065,19 +1065,22 @@ def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pair_leg.unionByName(kept_leg).unionByName(comp_leg)
 
 
-@query(
-    "simhash_pairs",
-    # Two legs since round 5. 'md5': a TRUE cross-engine oracle — the
-    # 64-bit signature (per-bit majority votes over md5-derived token
-    # hash words) is recomputed from scratch in DuckDB as two 32-bit
-    # halves and the Hamming histogram taken BRUTE-FORCE over all
-    # pairs, so the banded-probe path's guaranteed-recall claim is
-    # verified end-to-end by the driver, not just by pytest. 'xx':
-    # the xxhash64 scale path stays under driver coverage via its
-    # pinned deterministic histogram (xxhash64 is not computable in
-    # DuckDB; brute-force equivalence covered by tests).
-    oracle=r"""
-WITH toks AS (
+def _simhash_oracle() -> str:
+    from .oracle_xxh64 import xxh64_ctes
+
+    # Two legs, BOTH true cross-engine oracles since round 6. 'md5':
+    # the 64-bit signature (per-bit majority votes over md5-derived
+    # token hash words) is recomputed from scratch in DuckDB as two
+    # 32-bit halves and the Hamming histogram taken BRUTE-FORCE over
+    # all pairs, so the banded-probe path's guaranteed-recall claim is
+    # verified end-to-end by the driver, not just by pytest. 'xx': the
+    # production xxhash64 scale path, with XXH64 seed-42 itself
+    # recomputed in DuckDB SQL (imcs_spark/oracle_xxh64.py) — distinct
+    # tokens hashed once, 32-bit halves joined back to the token
+    # stream, then identical majority-vote + brute-force Hamming SQL
+    # as the md5 leg.
+    return r"""
+WITH RECURSIVE toks AS (
   SELECT doc_id,
          string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
   FROM documents
@@ -1098,16 +1101,39 @@ WITH toks AS (
 ), pairs AS (
   SELECT bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS hamming
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+), xstr AS (
+  SELECT DISTINCT ws[i] AS s
+  FROM toks, UNNEST(generate_series(1, len(ws))) AS t(i)
+),""" + xxh64_ctes("xstr") + r""",
+xth AS (
+  SELECT e.doc_id, COUNT(*) AS n, list(x.h_hi) AS hh, list(x.h_lo) AS hl
+  FROM (SELECT doc_id, ws[i] AS s
+        FROM toks, UNNEST(generate_series(1, len(ws))) AS t(i)) e
+  JOIN xxh x USING (s)
+  GROUP BY e.doc_id
+), xsig AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 32), i ->
+           CASE WHEN 2 * list_sum(list_transform(hl, x -> (x >> i) & 1)) > n
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS slo,
+         list_sum(list_transform(range(0, 32), i ->
+           CASE WHEN 2 * list_sum(list_transform(hh, x -> (x >> i) & 1)) > n
+                THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)) AS shi
+  FROM xth
+), xpairs AS (
+  SELECT bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) AS hamming
+  FROM xsig a JOIN xsig b ON a.doc_id < b.doc_id
 )
 SELECT 'md5' AS algo, CAST(hamming AS INTEGER) AS hamming,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM pairs WHERE hamming <= 10 GROUP BY 2
 UNION ALL
-SELECT 'xx', CAST(h AS INTEGER), CAST(n AS BIGINT)
-FROM (VALUES (0, 4), (1, 2), (2, 6), (3, 5), (4, 16), (5, 40), (6, 116),
-             (7, 255), (8, 520), (9, 984), (10, 1769)) AS t(h, n)
-""",
-)
+SELECT 'xx', CAST(hamming AS INTEGER), CAST(COUNT(*) AS BIGINT)
+FROM xpairs WHERE hamming <= 10 GROUP BY 2
+"""
+
+
+@query("simhash_pairs", oracle=_simhash_oracle())
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import dedup
 
@@ -2119,20 +2145,25 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Document fingerprinting (winnowing-min rolling hash) — two legs since
-# round 5: the 'md5' leg is a TRUE cross-engine oracle (window-gram
-# strings hashed with the first 60 bits of md5, a hash DuckDB shares
-# bit-for-bit, so the whole winnowing profile is recomputed from
-# scratch in SQL); the 'xx' leg keeps the xxhash64 SCALE path under
-# driver coverage via its pinned deterministic profile (xxhash64 is
-# not computable in DuckDB; semantics covered by pytest vectors).
-# Both paths flag the same near-dup corpus structure (~5% rate).
+# Document fingerprinting (winnowing-min rolling hash) — two legs, BOTH
+# true cross-engine oracles since round 6: the 'md5' leg hashes tokens
+# with the first 48 bits of md5 (a hash DuckDB shares bit-for-bit);
+# the 'xx' leg is the production xxhash64 SCALE path, with XXH64
+# seed-42 itself recomputed from scratch in DuckDB SQL
+# (imcs_spark/oracle_xxh64.py — UHUGEINT mod-2^64 arithmetic, stripe
+# recursion, unrolled tail), so the whole winnowing profile including
+# the 64-bit rotate-XOR fold and the signed-min is re-derived in ANSI
+# SQL. Both paths flag the same near-dup corpus structure (~5% rate).
 # ---------------------------------------------------------------------------
 def _fingerprint_oracle(window: int = 8) -> str:
-    # The md5 leg's rotate-XOR fold is linear over XOR, so gram i
-    # equals XOR_j rot^((w-1-j)*13 mod 48)(h[i+j]) — one flat 8-term
-    # expression per position (no nested-fold duplication). Rotations
-    # split the shift so no intermediate exceeds 48 bits (BIGINT-safe).
+    from .oracle_xxh64 import xxh64_ctes
+
+    # The rotate-XOR fold is linear over XOR, so gram i equals
+    # XOR_j rot^((w-1-j)*13 mod width)(h[i+j]) — one flat 8-term
+    # expression per position (no nested-fold duplication). md5 leg:
+    # 48-bit rotations split so no intermediate exceeds 48 bits
+    # (BIGINT-safe). xx leg: full 64-bit rotations over UHUGEINT
+    # (shift-up modulo 2^64 plus shift-down — disjoint bits, so + is |).
     terms = []
     for j in range(window):
         r = ((window - 1 - j) * 13) % 48
@@ -2144,8 +2175,31 @@ def _fingerprint_oracle(window: int = 8) -> str:
     g = terms[0]
     for t in terms[1:]:
         g = f"xor({g}, {t})"
+    m64 = 1 << 64
+    xterms = []
+    for j in range(window):
+        r = ((window - 1 - j) * 13) % 64
+        e = f"h[i + {j}]"
+        if r:
+            e = (
+                f"(((({e}) * {1 << r}::UHUGEINT) % {m64}::UHUGEINT)"
+                f" + (({e}) // {1 << (64 - r)}::UHUGEINT))"
+            )
+        xterms.append(e)
+    gx = xterms[0]
+    for t in xterms[1:]:
+        gx = f"xor({gx}, {t})"
+
+    def signed(expr: str) -> str:
+        # u64 -> the int64 Spark sees (two's complement reinterpret)
+        return (
+            f"(CASE WHEN ({expr}) >= 9223372036854775808::UHUGEINT"
+            f" THEN ({expr})::HUGEINT - {m64}::HUGEINT"
+            f" ELSE ({expr})::HUGEINT END)::BIGINT"
+        )
+
     return f"""
-WITH toks AS (
+WITH RECURSIVE toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
   FROM documents
@@ -2168,11 +2222,43 @@ WITH toks AS (
          CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_in_collisions,
          CAST(MAX(n) AS BIGINT) AS max_group
   FROM sizes
+), xstr AS (
+  -- explicit DISTINCT over UNION ALL: under WITH RECURSIVE, DuckDB
+  -- (1.0) parses a bare UNION inside a non-recursive CTE as the
+  -- recursive base/step pattern and drops its dedup semantics
+  SELECT DISTINCT s FROM (
+    SELECT ws[i] AS s FROM toks, UNNEST(generate_series(1, len(ws))) AS t(i)
+    WHERE len(ws) >= {window}
+    UNION ALL
+    SELECT array_to_string(ws, ' ') FROM toks WHERE len(ws) < {window}
+  )
+),{xxh64_ctes('xstr')},
+xth AS (
+  SELECT e.doc_id, list(x.h ORDER BY e.i) AS h
+  FROM (SELECT doc_id, i, ws[i] AS s
+        FROM toks, UNNEST(generate_series(1, len(ws))) AS t(i)
+        WHERE len(ws) >= {window}) e
+  JOIN xxh x USING (s)
+  GROUP BY e.doc_id
+), xfp AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(
+           list_transform(range(1, len(h) - {window} + 2), i -> {gx}),
+           g -> {signed('g')}), 'min') AS fp
+  FROM xth
+  UNION ALL
+  SELECT t.doc_id, {signed('x.h')}
+  FROM toks t JOIN xxh x ON x.s = array_to_string(t.ws, ' ')
+  WHERE len(t.ws) < {window}
+), xsizes AS (
+  SELECT fp, COUNT(*) AS n FROM xfp GROUP BY fp
 )
 SELECT * FROM md5_leg
 UNION ALL
-SELECT 'xx', CAST(a AS BIGINT), CAST(b AS BIGINT), CAST(c AS BIGINT)
-FROM (VALUES (476, 47, 3)) AS t(a, b, c)
+SELECT 'xx', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT),
+       CAST(MAX(n) AS BIGINT)
+FROM xsizes
 """
 
 

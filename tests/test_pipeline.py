@@ -1144,3 +1144,39 @@ def test_lang_id_unsegmented_chinese(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.lang for r in df.select("doc_id", text.lang_id("text").alias("lang")).collect()}
     assert got[0] == "zh" and got[1] == "en", got
+
+
+def test_xxh64_sql_kernel_matches_spark(spark):
+    """The DuckDB-SQL XXH64 kernel (oracle_xxh64.xxh64_ctes) must be
+    bit-identical to Spark's xxhash64 across lengths spanning every
+    code path: empty, sub-4/8/32-byte tails, exact stripe multiples,
+    multi-stripe, and multi-byte UTF-8."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from imcs_spark.oracle_xxh64 import xxh64_ctes
+
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+            "hello world", "héllo wörld ünïcode", "x" * 31, "y" * 32,
+            "z" * 33, "w" * 39, "v" * 40, "u" * 63, "t" * 64, "s" * 65,
+            "日本語テキスト", "mixed 日本 and ascii padding here",
+            "the quick brown fox jumps over the lazy dog " * 3]
+    want = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame([(s,) for s in strs], "s string")
+        .select("s", F.xxhash64("s").alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (s VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?)", [(s,) for s in strs])
+    sql = (
+        "WITH RECURSIVE srcd AS (SELECT DISTINCT s FROM src),"
+        + xxh64_ctes("srcd")
+        + " SELECT s, h::VARCHAR AS h FROM xxh"
+    )
+    got = {s: int(h) for s, h in con.execute(sql).fetchall()}
+    signed = lambda u: u - (1 << 64) if u >= (1 << 63) else u  # noqa: E731
+    for s in strs:
+        assert signed(got[s]) == want[s], repr(s)
