@@ -374,6 +374,8 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
         out.update(_run_skew(spark, data_dir, runs))
     if os.environ.get("SPARK_GRAFT_SCALE_BIG", "1") == "1":
         out.update(_run_big(spark, data_dir, runs))
+    if os.environ.get("SPARK_GRAFT_SCALE_LSH", "1") == "1":
+        out.update(_run_lsh_mega(spark))
     return out
 
 
@@ -536,4 +538,106 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
         runs,
     )
     q.unpersist()
+    return out
+
+
+def _mega_docs(spark: SparkSession, cluster: int, background: int) -> DataFrame:
+    """Synthetic corpus with one near-duplicate MEGA-cluster: `cluster`
+    members share a 55-token base text with two id-derived tokens
+    varied (pairwise Jaccard ~0.85 — true near-dups that collide in
+    most LSH bands), plus `background` documents of hash-random tokens
+    from a 50k vocabulary (essentially no candidate collisions).
+    Deterministic pure-Column generation, same convention as
+    gen_quotes."""
+    base = " ".join(f"tok{i}" for i in range(55))
+    cl = spark.range(cluster).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(base + " "),
+            F.format_string("mutA%d mutB%d", F.col("id") % 7, F.col("id") % 13),
+        ).alias("text"),
+    )
+    bg = spark.range(background).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "array_join(transform(sequence(0, 39),"
+            " p -> concat('w', CAST(pmod(xxhash64(id, p), 50000) AS STRING))), ' ')"
+        ).alias("text"),
+    )
+    return cl.unionByName(bg).repartition(spark.sparkContext.defaultParallelism)
+
+
+def _run_lsh_mega(spark: SparkSession) -> dict:
+    """LSH mega-cluster section: drives the pair_mode='star' and
+    max_bucket controls (pipeline/dedup.py minhash_lsh_candidates)
+    through the recorded bench signal instead of pytest only.
+
+    The hazard under test: a near-duplicate mega-cluster of c members
+    lands in one bucket per band, and 'all' pairing emits bands*c^2/2
+    candidates (c=10^7 at 100 TB => 10^14 pairs). The star control
+    pairs every member against the bucket's minimum id only — O(c)
+    edges — and MUST yield identical connected components, because a
+    per-bucket star spans exactly the bucket's membership. Recorded:
+
+    - twin corpus (1k-member cluster): candidate counts under 'all'
+      vs 'star' (+ a non-binding max_bucket backstop), their ratio,
+      and lsh_mega_cc_equal = 1 iff the (node, component) sets match
+      exactly — the driver-visible form of the connectivity proof.
+    - lsh_mega_pairs_all_capped: 'all' with a BINDING max_bucket=256,
+      showing the cap evicting the mega-buckets (the alternative
+      control, which intentionally sacrifices the mega-cluster's
+      candidate edges in exchange for a hard pair-count bound).
+    - 10k-member cluster under star+backstop: pair count and
+      wall-clock, the scale leg 'all' mode could not run (it would
+      emit ~bands/2 * 10k^2 / 2 ~ 400M pre-distinct pair rows).
+    """
+    from .pipeline import dedup
+
+    out: dict[str, float] = {}
+
+    # --- twin corpus: all vs star must agree on components ---
+    docs = _mega_docs(spark, 1000, 3000).persist()
+    docs.count()
+    sigs = dedup.minhash_signatures(docs, num_hashes=32).persist()
+    sigs.count()
+    t0 = time.time()
+    all_pairs = dedup.minhash_lsh_candidates(
+        sigs, num_hashes=32, bands=16, pair_mode="all"
+    ).persist()
+    out["lsh_mega_pairs_all"] = all_pairs.count()
+    out["lsh_mega_all_sec"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    star_pairs = dedup.minhash_lsh_candidates(
+        sigs, num_hashes=32, bands=16, pair_mode="star", max_bucket=100_000
+    ).persist()
+    out["lsh_mega_pairs_star"] = star_pairs.count()
+    out["lsh_mega_star_sec"] = round(time.time() - t0, 4)
+    out["lsh_mega_pair_ratio"] = round(
+        out["lsh_mega_pairs_all"] / max(out["lsh_mega_pairs_star"], 1), 2
+    )
+    cc_all = set(
+        map(tuple, dedup.connected_components(all_pairs).collect())
+    )
+    cc_star = set(
+        map(tuple, dedup.connected_components(star_pairs).collect())
+    )
+    out["lsh_mega_cc_equal"] = int(cc_all == cc_star)
+    out["lsh_mega_pairs_all_capped"] = dedup.minhash_lsh_candidates(
+        sigs, num_hashes=32, bands=16, pair_mode="all", max_bucket=256
+    ).count()
+    for f in (all_pairs, star_pairs, sigs, docs):
+        f.unpersist()
+
+    # --- 10k-member cluster: star completes at O(c) edges ---
+    docs10 = _mega_docs(spark, 10_000, 5_000).persist()
+    docs10.count()
+    sigs10 = dedup.minhash_signatures(docs10, num_hashes=32).persist()
+    sigs10.count()
+    t0 = time.time()
+    out["lsh_mega10k_pairs_star"] = dedup.minhash_lsh_candidates(
+        sigs10, num_hashes=32, bands=16, pair_mode="star", max_bucket=100_000
+    ).count()
+    out["lsh_mega10k_star_sec"] = round(time.time() - t0, 4)
+    sigs10.unpersist()
+    docs10.unpersist()
     return out
