@@ -2429,6 +2429,158 @@ def split_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end curation pipeline: the composition the piecewise queries
+# verify stage-by-stage, run as ONE dataflow — exact dedup →
+# benchmark decontamination → PII redaction → quality filter →
+# deterministic split → sequence packing — with a true SQL oracle
+# recomputing every stage. The map-only middle (PII, quality, split)
+# fuses into the surrounding stages with zero extra shuffles
+# (plan-asserted in tests/test_pipeline.py): the only exchanges are
+# the dedup window, the decontamination hit-set distinct, the packing
+# window, and the final aggregate.
+# ---------------------------------------------------------------------------
+def _curation_e2e_oracle() -> str:
+    from .pipeline.curate import CCARD_PATTERN, IPV6_PATTERN, PII_PATTERNS
+
+    pat = {name: p for name, p, _ in PII_PATTERNS}
+    dg = "reverse(regexp_replace(c, '[^0-9]', '', 'g'))"
+    luhn = (
+        f"list_sum(list_transform(range(1, length({dg}) + 1), i -> "
+        f"CASE WHEN i % 2 = 1 THEN CAST({dg}[i] AS INT) "
+        f"WHEN CAST({dg}[i] AS INT) < 5 THEN 2 * CAST({dg}[i] AS INT) "
+        f"ELSE 2 * CAST({dg}[i] AS INT) - 9 END)) % 10 = 0"
+    )
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+), grams8 AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+  FROM words, UNNEST(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)
+), bwords AS (
+  SELECT string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents WHERE doc_id % 97 = 0
+), bench AS (
+  SELECT DISTINCT array_to_string(ws[i:i+7], ' ') AS g
+  FROM bwords, UNNEST(generate_series(1, greatest(len(ws) - 7, 1))) AS t(i)
+), hits AS (
+  SELECT DISTINCT doc_id FROM grams8 WHERE g IN (SELECT g FROM bench)
+), clean AS (
+  SELECT doc_id, source, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+), d2 AS (
+  -- dedup after decontamination (the stages commute: contamination is
+  -- a pure function of the normalized text all dedup-group members
+  -- share), matching the engine's one-corpus-shuffle order
+  SELECT doc_id, source, text FROM (
+    SELECT doc_id, source, text,
+           ROW_NUMBER() OVER (
+             PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+             ORDER BY doc_id) AS rn
+    FROM clean
+  ) WHERE rn = 1
+), r1 AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '{pat["email"]}', '[EMAIL]', 'g') AS t1
+  FROM d2
+), r2 AS (
+  SELECT *, regexp_replace(t1, '{pat["ssn"]}', '[SSN]', 'g') AS t2 FROM r1
+), c0 AS (
+  SELECT *, list_filter(regexp_extract_all(t2, '{CCARD_PATTERN}'), c -> {luhn}) AS cc_valid
+  FROM r2
+), r3 AS (
+  SELECT *, list_reduce(list_prepend(t2, cc_valid), (acc, x) -> regexp_replace(acc, '\b' || x || '\b', '[CCARD]', 'g')) AS t3 FROM c0
+), r4 AS (
+  SELECT *, regexp_replace(t3, '{pat["phone"]}', '\1[PHONE]', 'g') AS t4 FROM r3
+), r5 AS (
+  SELECT *, regexp_replace(t4, '{pat["ipv4"]}', '[IP]', 'g') AS t5 FROM r4
+), d3 AS (
+  SELECT doc_id, source,
+         regexp_replace(t5, '{IPV6_PATTERN}', '[IPV6]', 'g') AS text
+  FROM r5
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, t -> length(t))) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_word_len,
+         length(regexp_replace(text, '[^\.,;:!\?"''\(\)]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','that','it','for'))) * 1.0
+             / greatest(len(toks), 1) AS stopword_ratio,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+             / greatest(length(text), 1) AS digit_ratio
+  FROM (SELECT doc_id, text,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
+        FROM d3)
+), d4 AS (
+  SELECT d3.* FROM d3 JOIN f USING (doc_id)
+  WHERE (CASE WHEN f.n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
+        + (CASE WHEN f.mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.3 END) * 0.2
+        + LEAST(f.stopword_ratio * 5, 1.0) * 0.2
+        + GREATEST(0.0, 1.0 - f.digit_ratio * 2 - f.punct_ratio) * 0.3 >= 0.5
+), d5 AS (
+  SELECT *,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 80 THEN 'train'
+              WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split_regex(trim(text), '\s+')) AS ntok
+  FROM d4
+), packed AS (
+  SELECT source, split, doc_id, ntok, length(text) AS nchar,
+         COALESCE(SUM(ntok) OVER (PARTITION BY source, split ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 2048 AS seq_id
+  FROM d5
+)
+SELECT source, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       CAST(SUM(nchar) AS BIGINT) AS red_chars
+FROM packed GROUP BY source, split
+"""
+
+
+@query("curation_e2e", oracle=_curation_e2e_oracle())
+def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import curate, dedup
+    from .pipeline import text as T
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    # decontaminate BEFORE dedup: contamination is a pure function of
+    # the normalized text and dedup groups share normalized text, so
+    # the two stages commute — and this order builds the gram explode
+    # from the cached corpus scan instead of re-executing the dedup
+    # window a second time on the decontamination branch (one corpus
+    # shuffle, not two; the plan assert pins it)
+    clean = curate.decontaminate(
+        docs.select("doc_id", "source", "text"), bench, n=8, mode="drop"
+    )
+    d2 = dedup.exact_dedup(clean)
+    d3 = d2.withColumn("text", curate.redact_pii("text"))
+    d4 = (
+        T.quality_score(d3)
+        .filter(F.col("quality") >= 0.5)
+        .select("doc_id", "source", "text")
+    )
+    d5 = curate.dataset_split(d4, key_col="doc_id", weights=(80, 10, 10))
+    packed = curate.pack_sequences(
+        d5.withColumn("stream", F.concat_ws("/", "source", "split")),
+        budget=2048,
+        partition_by="stream",
+    )
+    return packed.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("red_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup (pipeline.dedup.embedding_near_dups_lsh) —
 # the 100 TB scale path: random-hyperplane sign-bucket equi-join with
 # multi-probe, exact cosine verified only inside colliding buckets.

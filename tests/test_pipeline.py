@@ -1180,3 +1180,20 @@ def test_xxh64_sql_kernel_matches_spark(spark):
     signed = lambda u: u - (1 << 64) if u >= (1 << 63) else u  # noqa: E731
     for s in strs:
         assert signed(got[s]) == want[s], repr(s)
+
+
+def test_curation_e2e_plan_shape(spark):
+    """The end-to-end curation pipeline's map-only middle (PII,
+    quality, split) must fuse with zero extra shuffles: the only
+    exchanges allowed are the decontamination gram/hit sides (distinct
+    + two broadcasts), ONE dedup window shuffle, the packing window,
+    and the final aggregate — and no join may degrade to a cartesian."""
+    from imcs_spark import queries as Q
+
+    df = Q.QUERIES["curation_e2e"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 7, plan
+    # exactly one corpus shuffle on the dedup digest (a second one
+    # means the decontamination branch re-executes the dedup window)
+    assert plan.count("hashpartitioning(_digest") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
