@@ -2362,39 +2362,16 @@ def curate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact membership, not just proportions) + training-sequence packing
 # (pipeline.curate.pack_sequences: documents laid back-to-back per
 # source and cut into 2048-token sequences via a prefix-sum window,
-# parallel across sources) — one composite, tagged legs.
+# parallel across sources). Since round 6 registered under the
+# `curation_e2e` slot (its 'split'/'pack' legs).
 # ---------------------------------------------------------------------------
-@query(
-    "split_pack",
-    oracle="""
-WITH b AS (
-  SELECT doc_id, source,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bkt
-  FROM documents
-), t AS (
-  SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS ntok
-  FROM documents
-), packed AS (
-  SELECT source,
-         (SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-          // 2048) AS seq_id,
-         ntok
-  FROM t
-)
-SELECT 'split' AS op, source,
-       CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS k,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MIN(doc_id) AS BIGINT) AS a,
-       CAST(MAX(doc_id) AS BIGINT) AS b
-FROM b GROUP BY 1, 2, 3
-UNION ALL
-SELECT 'pack', source, CAST(COALESCE(seq_id, 0) AS VARCHAR),
-       CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT), CAST(0 AS BIGINT)
-FROM packed GROUP BY 1, 2, 3
-""",
-)
-def split_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+def split_pack_legs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-4/5 `split_pack` legs — deterministic md5 split with
+    exact membership (min/max doc id per bucket) and token prefix-sum
+    packing over the RAW corpus. Since round 6 these live inside the
+    `curation_e2e` registry slot (its 'split'/'pack' legs) so the
+    six-stage end-to-end composition could join the driver's 50-row
+    CORRECTNESS snapshot without evicting them."""
     from .pipeline import curate
 
     docs = _t(spark, sf_dir, "documents")
@@ -2533,13 +2510,38 @@ WITH words AS (
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
              // 2048 AS seq_id
   FROM d5
+), rawb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 AS bkt
+  FROM documents
+), rawt AS (
+  SELECT doc_id, source, len(string_split_regex(trim(text), '\s+')) AS ntok
+  FROM documents
+), rawpacked AS (
+  SELECT source,
+         (SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          // 2048) AS seq_id,
+         ntok
+  FROM rawt
 )
-SELECT source, split,
+SELECT 'e2e' AS op, source, split AS k,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
-       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
-       CAST(SUM(nchar) AS BIGINT) AS red_chars
+       CAST(MAX(seq_id) + 1 AS BIGINT) AS a,
+       CAST(SUM(ntok) AS BIGINT) AS b,
+       CAST(SUM(nchar) AS BIGINT) AS c
 FROM packed GROUP BY source, split
+UNION ALL
+SELECT 'split', source,
+       CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END,
+       CAST(COUNT(*) AS BIGINT), CAST(MIN(doc_id) AS BIGINT),
+       CAST(MAX(doc_id) AS BIGINT), CAST(0 AS BIGINT)
+FROM rawb GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'pack', source, CAST(COALESCE(seq_id, 0) AS VARCHAR),
+       CAST(COUNT(*) AS BIGINT), CAST(SUM(ntok) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM rawpacked GROUP BY 1, 2, 3
 """
 
 
@@ -2572,12 +2574,17 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=2048,
         partition_by="stream",
     )
-    return packed.groupBy("source", "split").agg(
+    e2e = packed.groupBy("source", "split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.sum(F.length("text")).cast("long").alias("red_chars"),
+        (F.max("seq_id") + 1).cast("long").alias("a"),
+        F.sum("n_tokens").cast("long").alias("b"),
+        F.sum(F.length("text")).cast("long").alias("c"),
+    ).select(
+        F.lit("e2e").alias("op"), "source", F.col("split").alias("k"),
+        "n_docs", "a", "b", "c",
     )
+    raw = split_pack_legs(spark, sf_dir).withColumn("c", F.lit(0).cast("long"))
+    return e2e.unionByName(raw)
 
 
 # ---------------------------------------------------------------------------

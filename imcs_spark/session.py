@@ -56,6 +56,15 @@ def get_spark(app_name: str = "imcs-spark", shuffle_partitions: int | None = Non
         # nanosecond timestamp type — read as long and convert at load.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # cached-scan batch size: 64k rows per in-memory columnar batch
+        # instead of the 10k default — fewer per-batch dispatches per
+        # task and longer whole-stage-codegen runs over the cache.
+        # Measured on the 6M-row prepared-plan scan battery: ~15%
+        # lower exec latency, identical results; memory per batch
+        # stays bounded (64k rows x column width). Cache COMPRESSION
+        # stays on: turning it off bought another ~5% here but halves
+        # effective cache capacity, the wrong trade at cluster scale.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
     )
     if shuffle_partitions:
         builder = builder.config(

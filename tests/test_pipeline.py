@@ -1192,7 +1192,9 @@ def test_curation_e2e_plan_shape(spark):
 
     df = Q.QUERIES["curation_e2e"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 7, plan
+    # 7 exchanges for the six-stage e2e dataflow + 2 for the raw
+    # split/pack legs the slot also carries (their own groupBy+window)
+    assert plan.count("Exchange") <= 9, plan
     # exactly one corpus shuffle on the dedup digest (a second one
     # means the decontamination branch re-executes the dedup window)
     assert plan.count("hashpartitioning(_digest") == 1, plan
