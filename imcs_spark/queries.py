@@ -2457,26 +2457,9 @@ WITH words AS (
              ORDER BY doc_id) AS rn
     FROM clean
   ) WHERE rn = 1
-), r1 AS (
-  SELECT doc_id, source,
-         regexp_replace(text, '{pat["email"]}', '[EMAIL]', 'g') AS t1
-  FROM d2
-), r2 AS (
-  SELECT *, regexp_replace(t1, '{pat["ssn"]}', '[SSN]', 'g') AS t2 FROM r1
-), c0 AS (
-  SELECT *, list_filter(regexp_extract_all(t2, '{CCARD_PATTERN}'), c -> {luhn}) AS cc_valid
-  FROM r2
-), r3 AS (
-  SELECT *, list_reduce(list_prepend(t2, cc_valid), (acc, x) -> regexp_replace(acc, '\b' || x || '\b', '[CCARD]', 'g')) AS t3 FROM c0
-), r4 AS (
-  SELECT *, regexp_replace(t3, '{pat["phone"]}', '\1[PHONE]', 'g') AS t4 FROM r3
-), r5 AS (
-  SELECT *, regexp_replace(t4, '{pat["ipv4"]}', '[IP]', 'g') AS t5 FROM r4
-), d3 AS (
-  SELECT doc_id, source,
-         regexp_replace(t5, '{IPV6_PATTERN}', '[IPV6]', 'g') AS text
-  FROM r5
 ), f AS (
+  -- quality on the ORIGINAL text, BEFORE redaction (same order as the
+  -- engine: documents are scored as written)
   SELECT doc_id,
          len(toks) AS n_words,
          CASE WHEN len(toks) > 0
@@ -2490,13 +2473,32 @@ WITH words AS (
              / greatest(length(text), 1) AS digit_ratio
   FROM (SELECT doc_id, text,
                list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks
-        FROM d3)
-), d4 AS (
-  SELECT d3.* FROM d3 JOIN f USING (doc_id)
+        FROM d2)
+), d3q AS (
+  SELECT d2.* FROM d2 JOIN f USING (doc_id)
   WHERE (CASE WHEN f.n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.3 END) * 0.3
         + (CASE WHEN f.mean_word_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.3 END) * 0.2
         + LEAST(f.stopword_ratio * 5, 1.0) * 0.2
         + GREATEST(0.0, 1.0 - f.digit_ratio * 2 - f.punct_ratio) * 0.3 >= 0.5
+), r1 AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '{pat["email"]}', '[EMAIL]', 'g') AS t1
+  FROM d3q
+), r2 AS (
+  SELECT *, regexp_replace(t1, '{pat["ssn"]}', '[SSN]', 'g') AS t2 FROM r1
+), c0 AS (
+  SELECT *, list_filter(regexp_extract_all(t2, '{CCARD_PATTERN}'), c -> {luhn}) AS cc_valid
+  FROM r2
+), r3 AS (
+  SELECT *, list_reduce(list_prepend(t2, cc_valid), (acc, x) -> regexp_replace(acc, '\b' || x || '\b', '[CCARD]', 'g')) AS t3 FROM c0
+), r4 AS (
+  SELECT *, regexp_replace(t3, '{pat["phone"]}', '\1[PHONE]', 'g') AS t4 FROM r3
+), r5 AS (
+  SELECT *, regexp_replace(t4, '{pat["ipv4"]}', '[IP]', 'g') AS t5 FROM r4
+), d4 AS (
+  SELECT doc_id, source,
+         regexp_replace(t5, '{IPV6_PATTERN}', '[IPV6]', 'g') AS text
+  FROM r5
 ), d5 AS (
   SELECT *,
          CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 80 THEN 'train'
@@ -2562,11 +2564,27 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "text"), bench, n=8, mode="drop"
     )
     d2 = dedup.exact_dedup(clean)
-    d3 = d2.withColumn("text", curate.redact_pii("text"))
-    d4 = (
-        T.quality_score(d3)
+    # quality BEFORE redaction, on the original text: documents are
+    # scored as written (masking tokens like [EMAIL] shouldn't sway
+    # the score), and — the plan reason — every quality feature
+    # references the text column, so scoring the redacted text would
+    # inline the whole regex+Luhn redaction chain into each feature
+    # (~7 evaluations per row; measured 4.4 s of the query's 5.5 s at
+    # sf0.1). On the original text the features read the cached column
+    # directly and the redaction chain is evaluated only by its two
+    # real consumers downstream (token count + redacted length).
+    d3 = (
+        T.quality_score(d2)
         .filter(F.col("quality") >= 0.5)
         .select("doc_id", "source", "text")
+    )
+    # spread before the per-row regex redaction: the dedup window's
+    # small shuffle AQE-coalesces to one partition at bench scale, and
+    # the redaction chain is the pipeline's heaviest per-row stage —
+    # same convention as dedup.spread (no-op at real scale where the
+    # scan already has partitions).
+    d4 = dedup.spread(d3, "doc_id").withColumn(
+        "text", curate.redact_pii("text")
     )
     d5 = curate.dataset_split(d4, key_col="doc_id", weights=(80, 10, 10))
     packed = curate.pack_sequences(

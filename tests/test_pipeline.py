@@ -1194,7 +1194,9 @@ def test_curation_e2e_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # 7 exchanges for the six-stage e2e dataflow + 2 for the raw
     # split/pack legs the slot also carries (their own groupBy+window)
-    assert plan.count("Exchange") <= 9, plan
+    # + 1 for the spread before redaction (fires only at sf0.001,
+    # where the 500-row documents table is a single cached partition)
+    assert plan.count("Exchange") <= 10, plan
     # exactly one corpus shuffle on the dedup digest (a second one
     # means the decontamination branch re-executes the dedup window)
     assert plan.count("hashpartitioning(_digest") == 1, plan
