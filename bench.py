@@ -31,7 +31,20 @@ import __spark_entry__ as entry_mod  # noqa: E402
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("imcs-spark-bench")
+    # Bench-process session settings (library defaults unchanged): a
+    # full run executes ~3500 stages, and the UI's retained stage/task
+    # store alone holds hundreds of MB of heap by the final sections
+    # (observed: Java heap OOM in the last scale section in-session,
+    # never standalone). Headless bench → UI off, and a roomier heap
+    # than the 8g library default (128 GiB box; env-overridable).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark(
+        "imcs-spark-bench",
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "50",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up: JVM, codegen, parquet footer reads, Python/Arrow workers
@@ -129,7 +142,16 @@ def main():
             )
             payload["scale"] = run_scale(spark, data_dir, runs=runs)
         except Exception as e:  # pragma: no cover - safety net
-            payload["scale"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            # keep the ROOT cause line, not just the py4j wrapper
+            msg = str(e)
+            root = [
+                ln for ln in msg.splitlines()
+                if "Caused by" in ln or ("Error" in ln and "Py4J" not in ln)
+            ]
+            payload["scale"] = {
+                "error": f"{type(e).__name__}: "
+                + (root[-1] if root else msg)[:400]
+            }
 
     print(json.dumps(payload))
     # Truncation guard: the full payload above is one multi-KB line; a

@@ -370,12 +370,24 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
     # Adversarial sections, DEFAULT ON since round 5 (opt out with
     # SPARK_GRAFT_SCALE_BIG=0 / SPARK_GRAFT_SCALE_SKEW=0): the uniform
     # rows above never stress the de-skew rewrites; these do.
-    if os.environ.get("SPARK_GRAFT_SCALE_SKEW", "1") == "1":
-        out.update(_run_skew(spark, data_dir, runs))
-    if os.environ.get("SPARK_GRAFT_SCALE_BIG", "1") == "1":
-        out.update(_run_big(spark, data_dir, runs))
-    if os.environ.get("SPARK_GRAFT_SCALE_LSH", "1") == "1":
-        out.update(_run_lsh_mega(spark))
+    # Each adversarial section is fault-isolated: a lost task deep in
+    # one section (the whole bench session has run ~3000 stages by
+    # now) must not zero out every other section's keys. The error is
+    # recorded per-section with its ROOT cause line (the py4j wrapper
+    # line alone is useless).
+    def _section(flag, key, fn):
+        if os.environ.get(flag, "1") != "1":
+            return
+        try:
+            out.update(fn())
+        except Exception as e:  # pragma: no cover - safety net
+            msg = str(e)
+            root = [ln for ln in msg.splitlines() if "Caused by" in ln or "Error" in ln]
+            out[key + "_error"] = (root[-1] if root else msg)[:300]
+
+    _section("SPARK_GRAFT_SCALE_SKEW", "skew", lambda: _run_skew(spark, data_dir, runs))
+    _section("SPARK_GRAFT_SCALE_BIG", "big", lambda: _run_big(spark, data_dir, runs))
+    _section("SPARK_GRAFT_SCALE_LSH", "lsh", lambda: _run_lsh_mega(spark))
     return out
 
 
@@ -594,6 +606,18 @@ def _run_lsh_mega(spark: SparkSession) -> dict:
     from .pipeline import dedup
 
     out: dict[str, float] = {}
+
+    # This section runs LAST in a bench session that has already
+    # executed ~3000 stages and cached the 6M/60M tables; on an 8g
+    # local-mode heap the leftover blocks + broadcast remnants leave
+    # too little headroom for the 'all'-mode candidate join (observed:
+    # Java heap OOM only in-session, never standalone). Drop every
+    # cached block and nudge the JVM before allocating.
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
     # --- twin corpus: all vs star must agree on components ---
     docs = _mega_docs(spark, 1000, 3000).persist()

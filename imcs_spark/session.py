@@ -24,11 +24,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def get_spark(app_name: str = "imcs-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "imcs-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     In a real deployment the master/memory come from spark-submit; only
     SQL-level settings are pinned here so they survive cluster mode.
+    ``extra_conf`` lets batch entry points (bench.py) layer
+    process-specific settings (UI retention, heap) without changing
+    library defaults.
     """
     cpus = default_parallelism()
     on_cluster = bool(os.environ.get("SPARK_GRAFT_ON_CLUSTER"))
@@ -70,6 +77,8 @@ def get_spark(app_name: str = "imcs-spark", shuffle_partitions: int | None = Non
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
     if not on_cluster:
         # Local mode only; cluster deployments take memory from
         # spark-submit. 8g measured best here: larger heaps (tried 48g)
