@@ -119,6 +119,7 @@ def asof_join(
     filler=None,
     bounded: bool = False,
     cache_out: list | None = None,
+    tolerance=None,
 ) -> DataFrame:
     """As-of join via union + one window pass.
 
@@ -133,6 +134,12 @@ def asof_join(
     receives any frame the global path persists, for callers that want
     to unpersist after their downstream action (see
     series.zip_with_global_pos_and_total for the convention).
+    `tolerance` (beyond the reference; pandas merge_asof parity)
+    rejects a match whose |left ts − matched ts| exceeds it — the row
+    then counts as unmatched (NULL, or `filler`). Pass a number for
+    numeric keys or an interval Column for timestamps
+    (``F.expr("INTERVAL 5 MINUTES")``). Row-local mask over the same
+    single pass — no extra shuffle.
     """
     out, keys, lmark, payload = _asof_fill(
         left, right, on, by, right_cols,
@@ -141,9 +148,12 @@ def asof_join(
         bounded=bounded,
         cache_out=cache_out,
     )
-    out, chosen = _directional_values(out, direction, payload)
+    out, chosen, mts = _directional_values(out, direction, payload)
+    ok = _within_tolerance(mts, tolerance)
     for c in payload:
         val = chosen[c]
+        if ok is not None:
+            val = F.when(ok, val)
         if filler is not None:
             val = F.coalesce(val, F.lit(filler))
         name = c if c not in left.columns else f"{c}_right"
@@ -166,6 +176,7 @@ def asof_join_multi(
     filler=None,
     bounded: bool = False,
     cache_out: list | None = None,
+    tolerance=None,
 ) -> DataFrame:
     """Multi-direction as-of join in ONE union + window pass.
 
@@ -204,10 +215,13 @@ def asof_join_multi(
     )
     used_nearest = False
     for d in directions:
-        out, chosen = _directional_values(out, d, payload)
+        out, chosen, mts = _directional_values(out, d, payload)
+        ok = _within_tolerance(mts, tolerance)
         used_nearest = used_nearest or d == "nearest"
         for c in payload:
             val = chosen[c]
+            if ok is not None:
+                val = F.when(ok, val)
             if filler is not None:
                 val = F.coalesce(val, F.lit(filler))
             out = out.withColumn(f"{c}_{d}", val)
@@ -288,15 +302,33 @@ def _asof_fill(
     return out, keys, lmark, payload
 
 
+def _within_tolerance(mts, tolerance):
+    """Match-accept mask: None when no tolerance is configured, else
+    matched-ts non-null AND |left ts − matched ts| ≤ tolerance. The
+    absolute difference is built by branch, not abs(): subtraction of
+    timestamps yields a day-time interval, which supports comparison
+    but not abs()."""
+    if tolerance is None:
+        return None
+    from pyspark.sql import Column
+
+    tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+    dist = F.when(mts <= F.col("_ts"), F.col("_ts") - mts).otherwise(
+        mts - F.col("_ts")
+    )
+    return mts.isNotNull() & (dist <= tol)
+
+
 def _directional_values(out: DataFrame, direction: str, payload: list[str]):
     """Row-local value selection for one as-of direction over a frame
-    carrying ``_browc`` / ``_frowc``. Returns (frame, {col: Column})."""
+    carrying ``_browc`` / ``_frowc``. Returns (frame, {col: Column},
+    matched-ts Column)."""
     brow = F.col("_browc")
     frow = F.col("_frowc")
     if direction == "backward":
-        return out, {c: brow[c] for c in payload}
+        return out, {c: brow[c] for c in payload}, brow["_rts"]
     if direction == "forward":
-        return out, {c: frow[c] for c in payload}
+        return out, {c: frow[c] for c in payload}, frow["_rts"]
     # nearest: prev if x - prev_ts <= next_ts - x, else next
     if "_bts" not in out.columns:
         out = out.withColumn("_bts", brow["_rts"]).withColumn("_fts", frow["_rts"])
@@ -316,7 +348,7 @@ def _directional_values(out: DataFrame, direction: str, payload: list[str]):
     )
     return out, {
         c: F.when(prefer_back, brow[c]).otherwise(frow[c]) for c in payload
-    }
+    }, F.when(prefer_back, F.col("_bts")).otherwise(F.col("_fts"))
 
 
 def _global_asof_carry(

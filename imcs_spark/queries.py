@@ -1700,7 +1700,8 @@ SELECT * FROM (VALUES
   ('tail',    0, 40.0), ('tail', 1, 50.0),
   ('map',     0, 40.0), ('map', 1, 10.0),
   ('fpos',    0, 0.0), ('fpos', 1, 2.0),
-  ('if',      0, 1.0), ('if', 1, 0.1), ('if', 2, 2.0)
+  ('if',      0, 1.0), ('if', 1, 0.1), ('if', 2, 2.0),
+  ('asof_tol', 0, 10.0), ('asof_tol', 1, 40.0), ('asof_tol', 2, 100.0), ('asof_tol', 3, -1.0)
 ) AS t(op, pos, val)
 """,
 )
@@ -1750,6 +1751,16 @@ def literal_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: tag("if", positional.if_streams(
             seq(spark, [1, 0, 1], "int"), seq(spark, [1.0, 2.0, 3.0]),
             seq(spark, [0.1, 0.2, 0.3]))),
+        # tolerance-bounded as-of (beyond the reference; merge_asof
+        # parity): nearest within max gap 2, filler for rejected rows
+        lambda: tag("asof_tol", joins.asof_join(
+            seq(spark, [1, 5, 9, 14], "int").select("pos", F.col("val").alias("t")),
+            seq(spark, [0, 4, 10], "int").join(
+                seq(spark, [10.0, 40.0, 100.0]).withColumnRenamed("val", "rv"), "pos"
+            ).select(F.col("val").alias("t"), "rv"),
+            on="t", right_cols=["rv"], direction="nearest",
+            tolerance=2, filler=-1.0, bounded=True,
+        ).select("pos", F.col("rv").alias("val"))),
     ]
     return _parallel_union(builders)
 

@@ -199,3 +199,52 @@ def test_engine_create_dataframe_tscol_fail_fast(spark):
     df = spark.range(5).select(F.col("id").alias("t"), F.lit(1.0).alias("v"))
     with pytest.raises(ValueError, match="ts_col"):
         eng.create("bad", df, ts_col="not_there")
+
+
+def test_asof_tolerance(spark):
+    """tolerance rejects matches farther than the configured gap (the
+    row becomes unmatched -> NULL/filler), for every direction, for
+    numeric keys and for timestamps with an interval tolerance, and
+    through asof_join_multi."""
+    from imcs_spark.operators import joins as J
+
+    left = spark.createDataFrame([(t,) for t in [1, 5, 9, 14]], "ts long")
+    right = spark.createDataFrame(
+        [(0, 10.0), (4, 40.0), (10, 100.0)], "ts long, rv double"
+    )
+
+    def got(d, **kw):
+        rows = J.asof_join(
+            left, right, right_cols=["rv"], direction=d, bounded=True, **kw
+        ).collect()
+        return [r["rv"] for r in sorted(rows, key=lambda r: r["ts"])]
+
+    assert got("backward", tolerance=2) == [10.0, 40.0, None, None]
+    assert got("forward", tolerance=1) == [None, None, 100.0, None]
+    assert got("nearest", tolerance=1) == [10.0, 40.0, 100.0, None]
+    assert got("nearest", tolerance=1, filler=-1.0) == [10.0, 40.0, 100.0, -1.0]
+    # no tolerance: unchanged behavior
+    assert got("nearest") == [10.0, 40.0, 100.0, 100.0]
+
+    lt = spark.createDataFrame(
+        [("2024-01-01 00:00:10",), ("2024-01-01 00:02:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    rt = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:03:00", 2.0)],
+        "ts string, rv double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "rv")
+    out = J.asof_join(
+        lt, rt, right_cols=["rv"], direction="nearest", bounded=True,
+        tolerance=F.expr("INTERVAL 30 SECONDS"),
+    )
+    vals = [r["rv"] for r in sorted(out.collect(), key=lambda r: r["ts"])]
+    assert vals == [1.0, None]
+
+    m = J.asof_join_multi(
+        left, right, right_cols=["rv"], directions=("backward", "nearest"),
+        bounded=True, tolerance=2,
+    )
+    rows = sorted(m.collect(), key=lambda r: r["ts"])
+    assert [(r["rv_backward"], r["rv_nearest"]) for r in rows] == [
+        (10.0, 10.0), (40.0, 40.0), (None, 100.0), (None, None)
+    ]
