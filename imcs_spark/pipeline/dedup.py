@@ -155,6 +155,37 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Explode a minhash signature frame to one (id, band, bucket) row
+    per band — bucket = xxhash64 of the band's signature rows + the
+    band index. The shared first stage of every LSH consumer (pair
+    candidates, streaming near-dedup)."""
+    if bands <= 0 or num_hashes % bands != 0:
+        # same contract as minhash_lsh_candidates: silent truncation
+        # would change the configured S-curve
+        raise ValueError(
+            f"band_buckets: bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    rows = num_hashes // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
+            "bucket"
+        )
+        for b in range(bands)
+    ]
+    return signatures.select(
+        id_col,
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -198,19 +229,7 @@ def minhash_lsh_candidates(
         )
     if pair_mode not in ("all", "star"):
         raise ValueError(f"minhash_lsh_candidates: unknown pair_mode {pair_mode!r}")
-    rows = num_hashes // bands
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * rows + r}") for r in range(rows)], F.lit(b)).alias(
-            "bucket"
-        )
-        for b in range(bands)
-    ]
-    stacked = signatures.select(
-        id_col,
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), band_cols[b]) for b in range(bands)])
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    stacked = band_buckets(signatures, id_col, num_hashes, bands)
     if max_bucket is not None:
         sizes = stacked.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("_bsz")

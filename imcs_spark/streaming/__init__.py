@@ -421,3 +421,189 @@ def dedup_stream(
     else:
         s = s.dropDuplicates([digest_col])
     return s.drop(digest_col)
+
+
+def near_dedup_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 16,
+    sim_threshold: float | None = None,
+    checkpoint: str | None = None,
+    trigger_once: bool = True,
+    state_path: str | None = None,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate dedup — the streaming face of the batch
+    MinHash/LSH pipeline (pipeline.dedup): keep a document only if none
+    of its LSH band buckets has been occupied by an earlier document;
+    survivors are appended to ``target_path``.
+
+    Greedy arrival-order semantics, matching batch
+    ``minhash_dedup``'s candidate rule exactly: a document is dropped
+    when ANY of its (band, bucket) cells collides with (a) any document
+    from an earlier micro-batch, or (b) a smaller-id document within
+    its own batch — whether or not that document itself survived (the
+    same non-transitive greedy rule the batch path applies). With
+    ``sim_threshold`` set, a collision only drops the document if its
+    signature-estimated Jaccard (matching minhash components /
+    num_hashes) against the bucket's FIRST occupant (the hub — the
+    same hub convention as pair_mode='star') reaches the threshold;
+    without it, any collision drops (signature-level dedup, the
+    standard streaming-ingest trade).
+
+    Scale design — no driver state, same versioned-side-table protocol
+    as :func:`append_stream`: the seen-bucket set lives in a parquet
+    side table ``{target}_buckets/v{batch_id}`` storing one row per
+    occupied (band, bucket) with its hub id + full signature
+    (num_hashes longs — the state a signature-verified near-dedup
+    minimally needs). Each batch is one distributed join against it
+    (auto-broadcast while small); the post-batch snapshot is
+    ``old ∪ batch-hubs → first occupant per bucket``. Crash-replay
+    safe: only snapshots with version < batch_id are read, and the
+    first batch over a pre-existing target derives + persists the
+    pre-append state before writing (``v{batch_id}pre``). State grows
+    with the distinct-bucket count of the corpus — content dedup has
+    no time locality to evict by, the same trade as global
+    dropDuplicates (use dedup_stream's watermarked digest variant when
+    near-miss detection is not needed).
+    """
+    from ..pipeline import dedup as D
+
+    side_path = state_path or f"{target_path.rstrip('/')}_buckets"
+    sig_cols = [f"mh_{k}" for k in range(num_hashes)]
+
+    def _hfs(spark, path: str):
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return fs, hpath, jvm
+
+    def _table_exists(spark, path: str) -> bool:
+        fs, hpath, _ = _hfs(spark, path)
+        return fs.exists(hpath) and fs.exists(
+            hpath.suffix("/_SUCCESS")
+        )
+
+    def _versions(spark) -> list[int]:
+        fs, hside, _ = _hfs(spark, side_path)
+        if not fs.exists(hside):
+            return []
+        out = []
+        for st in fs.listStatus(hside):
+            nm = st.getPath().getName()
+            if nm.startswith("v") and not nm.endswith("pre"):
+                try:
+                    out.append(int(nm[1:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def _hubs(bb: DataFrame, sigs: DataFrame) -> DataFrame:
+        """One row per (band, bucket): the minimum-id occupant and its
+        signature."""
+        hub = bb.groupBy("band", "bucket").agg(F.min(id_col).alias("hub_id"))
+        return hub.join(
+            sigs.withColumnRenamed(id_col, "hub_id"), "hub_id"
+        ).select("band", "bucket", "hub_id", *sig_cols)
+
+    def _est_sim(prefix: str) -> F.Column:
+        matches = None
+        for c in sig_cols:
+            m = (F.col(c) == F.col(f"{prefix}{c}")).cast("int")
+            matches = m if matches is None else matches + m
+        return matches / F.lit(num_hashes)
+
+    def handle_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select(id_col, text_col)
+        sigs = D.minhash_signatures(
+            batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+        ).persist()
+        bb = D.band_buckets(sigs, id_col, num_hashes, bands).persist()
+        versions = _versions(spark)
+        usable = [v for v in versions if v < batch_id]
+        pre_path = f"{side_path}/v{batch_id}pre"
+        if usable:
+            seen = spark.read.parquet(f"{side_path}/v{usable[-1]}")
+        elif _table_exists(spark, pre_path):
+            seen = spark.read.parquet(pre_path)
+        elif _table_exists(spark, target_path):
+            # first batch over a pre-existing table: derive its bucket
+            # state once and persist BEFORE appending (replay safety)
+            existing = spark.read.parquet(target_path).select(id_col, text_col)
+            esigs = D.minhash_signatures(
+                existing, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+            )
+            ebb = D.band_buckets(esigs, id_col, num_hashes, bands)
+            _hubs(ebb, esigs).write.mode("overwrite").parquet(pre_path)
+            seen = spark.read.parquet(pre_path)
+        else:
+            seen = None
+
+        # (a) collisions against earlier batches
+        if seen is not None:
+            prev = bb.join(
+                seen.select(
+                    "band", "bucket",
+                    *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
+                ),
+                ["band", "bucket"],
+            )
+            if sim_threshold is not None:
+                prev = prev.join(sigs, id_col)
+                prev = prev.filter(_est_sim("_h_") >= sim_threshold)
+            drop_prev = prev.select(id_col).distinct()
+        else:
+            drop_prev = None
+
+        # (b) within-batch: collision with a smaller-id document's cell
+        mins = bb.groupBy("band", "bucket").agg(F.min(id_col).alias("_min_id"))
+        inb = bb.join(mins, ["band", "bucket"]).filter(F.col(id_col) > F.col("_min_id"))
+        if sim_threshold is not None:
+            hub_sigs = sigs.select(
+                F.col(id_col).alias("_min_id"),
+                *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
+            )
+            inb = inb.join(hub_sigs, "_min_id").join(sigs, id_col)
+            inb = inb.filter(_est_sim("_h_") >= sim_threshold)
+        drop_in = inb.select(id_col).distinct()
+        drops = drop_in if drop_prev is None else drop_prev.unionByName(drop_in).distinct()
+
+        kept = batch.join(drops, id_col, "left_anti")
+        kept.write.mode("append").parquet(target_path)
+
+        # post-batch state: earlier occupants win their cells; new
+        # cells take this batch's min-id occupant
+        batch_hubs = _hubs(bb, sigs)
+        if seen is None:
+            new = batch_hubs
+        else:
+            fresh = batch_hubs.join(
+                seen.select("band", "bucket"), ["band", "bucket"], "left_anti"
+            )
+            new = seen.unionByName(fresh)
+        new.write.mode("overwrite").parquet(f"{side_path}/v{batch_id}")
+        sigs.unpersist()
+        bb.unpersist()
+        keep = {batch_id} | ({usable[-1]} if usable else set())
+        fs, hside, jvm = _hfs(spark, side_path)
+        for v in versions:
+            if v not in keep:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{side_path}/v{v}"), True)
+        for st in fs.listStatus(hside):
+            nm = st.getPath().getName()
+            if nm.startswith("v") and nm.endswith("pre"):
+                try:
+                    if int(nm[1:-3]) <= batch_id:
+                        fs.delete(st.getPath(), True)
+                except ValueError:
+                    pass
+
+    writer = stream_df.writeStream.foreachBatch(handle_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -600,3 +600,92 @@ def test_sessionize_stream_rejects_string_key(spark):
     df = spark.createDataFrame([], "user_id string, ts timestamp")
     with pytest.raises(TypeError, match="integer type"):
         sessionize_stream(df, "ts", "user_id")
+
+
+def test_streaming_near_dedup(spark):
+    """near_dedup_stream must equal the batch greedy candidate rule
+    (drop any doc sharing an LSH band bucket with a smaller-id doc)
+    when ids are assigned in arrival order — across TWO stream runs
+    (cross-batch state via the versioned bucket side table), and the
+    sim_threshold gate must pass everything when set above 1.0."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from imcs_spark.pipeline import dedup as D
+    from imcs_spark.streaming import near_dedup_stream
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+
+    def text(seed_words, mutate_at=None):
+        ws = list(seed_words)
+        if mutate_at is not None:
+            ws[mutate_at] = "mut" + str(mutate_at)
+        return " ".join(ws)
+
+    bases = [[rng.choice(vocab) for _ in range(30)] for _ in range(8)]
+    run1, run2 = [], []
+    nid = 0
+    for b in range(6):
+        run1.append((nid, text(bases[b]))); nid += 1
+    # near-dups of bases 0 and 1 inside run 1
+    run1.append((nid, text(bases[0], 3))); nid += 1
+    run1.append((nid, text(bases[1], 7))); nid += 1
+    for b in range(6, 8):
+        run2.append((nid, text(bases[b]))); nid += 1
+    # cross-batch near-dups of bases 0 and 5
+    run2.append((nid, text(bases[0], 11))); nid += 1
+    run2.append((nid, text(bases[5], 2))); nid += 1
+
+    tmp = tempfile.mkdtemp(prefix="imcs_neardup_")
+    target = os.path.join(tmp, "kept")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    try:
+        spark.createDataFrame(run1, "doc_id long, text string").coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = near_dedup_stream(stream, target, checkpoint=chk, bands=16)
+        q.awaitTermination(120)
+        spark.createDataFrame(run2, "doc_id long, text string").coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = near_dedup_stream(stream, target, checkpoint=chk, bands=16)
+        q.awaitTermination(120)
+
+        kept = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+
+        # batch reference: arrival order == id order, so the greedy
+        # rule is exactly "no bucket with a smaller-id occupant"
+        all_docs = spark.createDataFrame(run1 + run2, "doc_id long, text string")
+        sigs = D.minhash_signatures(all_docs, num_hashes=32)
+        bb = D.band_buckets(sigs, "doc_id", 32, 16)
+        mins = bb.groupBy("band", "bucket").agg(F.min("doc_id").alias("m"))
+        dropped = (
+            bb.join(mins, ["band", "bucket"])
+            .filter(F.col("doc_id") > F.col("m"))
+            .select("doc_id").distinct()
+        )
+        ref = {r["doc_id"] for r in all_docs.join(dropped, "doc_id", "left_anti").collect()}
+        assert kept == ref
+        # sanity: the planted near-dups actually collided and dropped
+        assert 6 not in kept and 7 not in kept  # in-batch near-dups
+        assert 10 not in kept and 11 not in kept  # cross-batch near-dups
+
+        # gate above 1.0: estimated similarity can never reach it, so
+        # every document survives the sim-gated variant
+        target2 = os.path.join(tmp, "kept2")
+        chk2 = os.path.join(tmp, "chk2")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = near_dedup_stream(
+            stream, target2, checkpoint=chk2, bands=16, sim_threshold=1.01
+        )
+        q.awaitTermination(120)
+        kept2 = {r["doc_id"] for r in spark.read.parquet(target2).collect()}
+        assert kept2 == {i for i, _ in run1 + run2}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
