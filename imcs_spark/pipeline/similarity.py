@@ -67,18 +67,38 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
+def _d(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-tripping
+    decimal form and both Python and the SQL parser parse it
+    correctly-rounded, so the parsed plan carries bit-identical
+    doubles to the F.lit() form."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_lit_sql(vec_col: str, values: list[float]) -> str:
+    """SQL text of the SAME sequential-fold dot product _dot() builds
+    (aggregate over zip_with — identical Catalyst nodes, identical
+    accumulation order, so results stay bit-exact with the DuckDB
+    oracles that reproduce that fold). Built as ONE parsed string
+    because constructing it Column-by-Column costs ~4 py4j round
+    trips per literal — ~1.5 s of pure driver time per query at
+    8 planes x 64 dims before a single row moves."""
+    arr = "array(" + ", ".join(_d(x) for x in values) + ")"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def bucket_ids(vec_col: str, planes: list[list[float]]):
     """Sign-bit bucket id from dot products with fixed hyperplanes —
-    pure Column expression, the planes are literals in the plan."""
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        d = _dot(vec_col, plane)
-        bits.append(F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    pure (parsed) Column expression, the planes are literals in the
+    plan; semantics identical to the historical Column-built form."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_lit_sql(vec_col, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return F.expr(f"CAST({bits} AS BIGINT)")
 
 
 def unit_bucket_udf(planes: list[list[float]]):
@@ -223,7 +243,14 @@ def lsh_topk(
         .withColumn("_b", bucket_ids("_qv", planes))
         .withColumn(
             "bucket",
-            F.explode(F.array(*[F.col("_b").bitwiseXOR(F.lit(m)) for m in masks])),
+            # one parsed expression instead of C(n,<=r) Column ops
+            F.explode(
+                F.expr(
+                    "transform(array("
+                    + ", ".join(str(m) for m in masks)
+                    + "), m -> _b ^ CAST(m AS BIGINT))"
+                )
+            ),
         )
         .withColumn("_qu", _unit("_qv"))
         .drop("_qv", "_b")
@@ -247,14 +274,13 @@ def _sim_cells(unit_col: str, centroids: list[list[float]]):
     the LAST element after array_sort is (max sim, lowest cell on tie),
     matching argmax semantics. Centroid literals are inlined once and
     the array is evaluated once (array_position+array_max would build
-    the aggregate array twice)."""
-    structs = []
-    for i, cvec in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
-        structs.append(
-            F.struct(_dot(unit_col, lit).alias("s"), F.lit(-i).alias("nc"))
-        )
-    return F.array_sort(F.array(*structs))
+    the aggregate array twice). Built as one parsed string for the
+    same plan-construction-cost reason as _dot_lit_sql."""
+    structs = ", ".join(
+        f"named_struct('s', {_dot_lit_sql(unit_col, cvec)}, 'nc', {-i})"
+        for i, cvec in enumerate(centroids)
+    )
+    return F.array_sort(F.expr(f"array({structs})"))
 
 
 def _assign_expr(unit_col: str, centroids: list[list[float]]):
