@@ -14,12 +14,140 @@ reference cannot express (SURVEY §2.8: it has no watermarks).
 
 from __future__ import annotations
 
-
+import hashlib
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
+
+
+# --------------------------------------------------------------------- #
+# Versioned parquet side-table protocol, shared by append_stream and
+# near_dedup_stream: one state snapshot per micro-batch
+# ({side}/v{batch_id}, overwrite-written so _SUCCESS marks a complete
+# snapshot), read newest-usable-first, GC'd down to {fallback, newest}
+# after each batch.  All probes go through the Hadoop FileSystem API so
+# the protocol works on any scheme (s3a://, hdfs://, file:) — os.path
+# would be local-only and would silently disable the checks on remote
+# storage.
+# --------------------------------------------------------------------- #
+
+
+def _hfs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _data_exists(spark, path: str) -> bool:
+    """Data-table probe: plain existence. A legitimate table may lack
+    _SUCCESS (markers can be disabled at write time); treating it as
+    absent would silently skip the first-batch state derivation."""
+    fs, hpath, _ = _hfs(spark, path)
+    return bool(fs.exists(hpath))
+
+
+def _snapshot_ok(spark, path: str) -> bool:
+    """State-snapshot probe: existence AND _SUCCESS. A snapshot dir
+    left by a crash mid-write (created, partial files, no marker) must
+    not be trusted — the replay re-derives state instead."""
+    fs, hpath, _ = _hfs(spark, path)
+    return bool(fs.exists(hpath) and fs.exists(hpath.suffix("/_SUCCESS")))
+
+
+def _versions(spark, side_path: str) -> list[int]:
+    """Committed (_SUCCESS-gated) snapshot versions, ascending."""
+    fs, hside, _ = _hfs(spark, side_path)
+    if not fs.exists(hside):
+        return []
+    out = []
+    for st in fs.listStatus(hside):
+        nm = st.getPath().getName()
+        if nm.startswith("v") and not nm.endswith("pre"):
+            try:
+                v = int(nm[1:])
+            except ValueError:
+                continue
+            if fs.exists(st.getPath().suffix("/_SUCCESS")):
+                out.append(v)
+    return sorted(out)
+
+
+def _gc_versions(
+    spark, side_path: str, versions: list[int], keep: set[int], batch_id: int
+) -> None:
+    """Delete superseded snapshots. Keeps `keep` (the snapshot just
+    read — the crash fallback — plus the one just written) and every
+    pre-append snapshot with version >= batch_id: v{N}pre protects THIS
+    batch's replay until the stream checkpoint commits (which happens
+    only after this function returns), so it is reclaimed by the NEXT
+    batch's GC, never by its own — deleting it in-batch re-opens the
+    poisoned-target replay window the pre-snapshot exists to close."""
+    fs, hside, jvm = _hfs(spark, side_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    for v in versions:
+        if v not in keep:
+            fs.delete(P(f"{side_path}/v{v}"), True)
+    for st in fs.listStatus(hside):
+        nm = st.getPath().getName()
+        if nm.startswith("v") and nm.endswith("pre"):
+            try:
+                if int(nm[1:-3]) < batch_id:
+                    fs.delete(st.getPath(), True)
+            except ValueError:
+                pass
+
+
+def _stream_token(checkpoint: str | None) -> str:
+    """Stable per-stream file-name token: replays of a checkpointed
+    stream must reuse the SAME (token, batch_id) keys for idempotent
+    appends, while distinct streams targeting one table must not
+    collide. Without a checkpoint a replay cannot happen, so a random
+    token is safe."""
+    if checkpoint:
+        return hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+    return uuid.uuid4().hex[:8]
+
+
+def _idempotent_append(
+    spark, df: DataFrame, target_path: str, prefix: str, n_files: int = 8
+) -> None:
+    """Replay-idempotent batch append: write to a scratch dir
+    (overwrite mode — itself idempotent), then move the part files into
+    the target under DETERMINISTIC names ({prefix}{i}.parquet),
+    deleting anything a previous attempt of the same batch left under
+    the same prefix. A replayed batch therefore REPLACES its own output
+    instead of appending a second copy — exactly-once target contents
+    on plain parquet, no transaction log needed. (mode('append') alone
+    is at-least-once: a crash between the append and the checkpoint
+    commit duplicates the batch's rows on replay.) Determinism of the
+    NAMES is what matters: even if a replay distributes rows across
+    part files differently, the same name set is replaced wholesale."""
+    target = target_path.rstrip("/")
+    scratch = f"{target}_staging/{prefix.rstrip('-')}"
+    df.coalesce(n_files).write.mode("overwrite").parquet(scratch)
+    fs, htgt, jvm = _hfs(spark, target)
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(htgt):
+        fs.mkdirs(htgt)
+    for st in fs.listStatus(htgt):
+        if st.getPath().getName().startswith(prefix):
+            fs.delete(st.getPath(), False)
+    parts = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(P(scratch))
+        if st.getPath().getName().startswith("part-")
+    )
+    for i, nm in enumerate(parts):
+        if not fs.rename(P(f"{scratch}/{nm}"), P(f"{target}/{prefix}{i:05d}.parquet")):
+            raise IOError(f"rename failed moving {nm} into {target}")
+    fs.delete(P(scratch), True)
+    staging = P(f"{target}_staging")
+    if fs.exists(staging) and len(fs.listStatus(staging)) == 0:
+        fs.delete(staging, True)
 
 
 def append_stream(
@@ -56,56 +184,34 @@ def append_stream(
     true pre-append maxes instead of re-deriving them from a table
     that already contains the failed attempt's own rows (which would
     poison 'error' mode permanently and silently drop rows in 'drop'
-    mode). The at-least-once data append itself is the standard
-    foreachBatch contract; make the sink idempotent downstream if
-    exactly-once is required.
+    mode). The data append itself is replay-idempotent: each batch's
+    rows land under deterministic file names keyed by (checkpoint,
+    batch_id), so a replayed batch replaces its own files instead of
+    appending a second copy — exactly-once target contents (do not
+    delete the checkpoint while keeping the target: that restarts
+    batch numbering and reuses the keys).
 
     Dropped-late rows can never advance a series max (they are behind
     it by definition), so batch maxes are folded from the RAW batch —
     the join lineage is not recomputed for state maintenance."""
     side_path = (maxes_path or target_path.rstrip("/") + "_maxes").rstrip("/")
-
-    def _hfs(spark, path: str):
-        jvm = spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
-
-    def _table_exists(spark, path: str) -> bool:
-        # Hadoop FileSystem probe — works for any scheme (s3a://,
-        # hdfs://, file:). os.path.exists is local-only and would
-        # silently disable the ordered-append check on remote storage;
-        # a blanket except around the read would likewise treat ANY
-        # failure (permissions, corrupt footer) as "first batch".
-        fs, hpath, _ = _hfs(spark, path)
-        return bool(fs.exists(hpath))
-
-    def _versions(spark) -> list[int]:
-        fs, hpath, _ = _hfs(spark, side_path)
-        if not fs.exists(hpath):
-            return []
-        out = []
-        for st in fs.listStatus(hpath):
-            nm = st.getPath().getName()
-            if nm.startswith("v"):
-                try:
-                    out.append(int(nm[1:]))
-                except ValueError:
-                    pass
-        return sorted(out)
+    token = _stream_token(checkpoint)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        versions = _versions(spark)
+        versions = _versions(spark, side_path)
         usable = [v for v in versions if v < batch_id]
         pre_path = f"{side_path}/v{batch_id}pre"
         if usable:
             old = spark.read.parquet(f"{side_path}/v{usable[-1]}")
-        elif _table_exists(spark, pre_path):
+        elif _snapshot_ok(spark, pre_path):
             # replay of a crashed attempt that had already persisted
             # this batch's pre-append state — use it, NOT the data
-            # table (which may contain the failed attempt's own rows)
+            # table (which may contain the failed attempt's own rows).
+            # _SUCCESS-gated: a pre dir from a crash mid-write means
+            # the append never ran, so re-deriving below is correct.
             old = spark.read.parquet(pre_path)
-        elif _table_exists(spark, target_path):
+        elif _data_exists(spark, target_path):
             # first batch over a pre-existing table: derive the maxes
             # from the data once (distributed) and persist them BEFORE
             # appending, so a replay never checks the batch against
@@ -141,7 +247,7 @@ def append_stream(
                     F.col("_maxts").isNull() | (F.col(ts_col) >= F.col("_maxts"))
                 )
             out = out.drop("_maxts")
-        out.write.mode("append").parquet(target_path)
+        _idempotent_append(spark, out, target_path, f"batch-{token}-{batch_id}-")
         # next maxes snapshot: old ∪ raw-batch maxes, distributed
         if id_col:
             bm = batch.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
@@ -156,22 +262,10 @@ def append_stream(
                 F.max("_maxts").alias("_maxts")
             ).filter(F.col("_maxts").isNotNull())
         new.coalesce(8).write.mode("overwrite").parquet(f"{side_path}/v{batch_id}")
-        # GC: keep only the snapshot just read (crash fallback) + new;
-        # pre-append snapshots are superseded the moment the post-batch
-        # snapshot commits
+        # GC: keep the snapshot just read (crash fallback) + new; this
+        # batch's pre snapshot survives until the NEXT batch's GC
         keep = {batch_id} | ({usable[-1]} if usable else set())
-        fs, hside, jvm = _hfs(spark, side_path)
-        for v in versions:
-            if v not in keep:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{side_path}/v{v}"), True)
-        for st in fs.listStatus(hside):
-            nm = st.getPath().getName()
-            if nm.startswith("v") and nm.endswith("pre"):
-                try:
-                    if int(nm[1:-3]) <= batch_id:
-                        fs.delete(st.getPath(), True)
-                except ValueError:
-                    pass
+        _gc_versions(spark, side_path, versions, keep, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:
@@ -461,9 +555,16 @@ def near_dedup_stream(
     minimally needs). Each batch is one distributed join against it
     (auto-broadcast while small); the post-batch snapshot is
     ``old ∪ batch-hubs → first occupant per bucket``. Crash-replay
-    safe: only snapshots with version < batch_id are read, and the
-    first batch over a pre-existing target derives + persists the
-    pre-append state before writing (``v{batch_id}pre``). State grows
+    safe: only committed (_SUCCESS-gated) snapshots with version <
+    batch_id are read, the first batch over a pre-existing target
+    derives + persists the pre-append state before writing
+    (``v{batch_id}pre``, reclaimed only by the NEXT batch's GC), and
+    the data append itself is idempotent — each batch's rows land
+    under deterministic file names keyed by (checkpoint, batch_id), so
+    a replay replaces its own output instead of appending duplicate
+    rows into the deduplicated table (do not delete the checkpoint
+    while keeping the target: that restarts batch numbering and
+    reuses the keys). State grows
     with the distinct-bucket count of the corpus — content dedup has
     no time locality to evict by, the same trade as global
     dropDuplicates (use dedup_stream's watermarked digest variant when
@@ -473,32 +574,7 @@ def near_dedup_stream(
 
     side_path = state_path or f"{target_path.rstrip('/')}_buckets"
     sig_cols = [f"mh_{k}" for k in range(num_hashes)]
-
-    def _hfs(spark, path: str):
-        jvm = spark.sparkContext._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-        return fs, hpath, jvm
-
-    def _table_exists(spark, path: str) -> bool:
-        fs, hpath, _ = _hfs(spark, path)
-        return fs.exists(hpath) and fs.exists(
-            hpath.suffix("/_SUCCESS")
-        )
-
-    def _versions(spark) -> list[int]:
-        fs, hside, _ = _hfs(spark, side_path)
-        if not fs.exists(hside):
-            return []
-        out = []
-        for st in fs.listStatus(hside):
-            nm = st.getPath().getName()
-            if nm.startswith("v") and not nm.endswith("pre"):
-                try:
-                    out.append(int(nm[1:]))
-                except ValueError:
-                    pass
-        return sorted(out)
+    token = _stream_token(checkpoint)
 
     def _hubs(bb: DataFrame, sigs: DataFrame) -> DataFrame:
         """One row per (band, bucket): the minimum-id occupant and its
@@ -522,14 +598,14 @@ def near_dedup_stream(
             batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes
         ).persist()
         bb = D.band_buckets(sigs, id_col, num_hashes, bands).persist()
-        versions = _versions(spark)
+        versions = _versions(spark, side_path)
         usable = [v for v in versions if v < batch_id]
         pre_path = f"{side_path}/v{batch_id}pre"
         if usable:
             seen = spark.read.parquet(f"{side_path}/v{usable[-1]}")
-        elif _table_exists(spark, pre_path):
+        elif _snapshot_ok(spark, pre_path):
             seen = spark.read.parquet(pre_path)
-        elif _table_exists(spark, target_path):
+        elif _data_exists(spark, target_path):
             # first batch over a pre-existing table: derive its bucket
             # state once and persist BEFORE appending (replay safety)
             existing = spark.read.parquet(target_path).select(id_col, text_col)
@@ -559,8 +635,19 @@ def near_dedup_stream(
             drop_prev = None
 
         # (b) within-batch: collision with a smaller-id document's cell
-        mins = bb.groupBy("band", "bucket").agg(F.min(id_col).alias("_min_id"))
-        inb = bb.join(mins, ["band", "bucket"]).filter(F.col(id_col) > F.col("_min_id"))
+        # — restricted to cells with NO earlier-batch occupant: a seen
+        # cell's hub is its ORIGINAL occupant and rule (a) already
+        # gates every batch doc against that hub; gating against the
+        # batch-local min id instead would over-drop under
+        # sim_threshold (similar to the batch min but dissimilar to
+        # the true hub must survive under the star convention)
+        fresh_bb = bb if seen is None else bb.join(
+            seen.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        )
+        mins = fresh_bb.groupBy("band", "bucket").agg(F.min(id_col).alias("_min_id"))
+        inb = fresh_bb.join(mins, ["band", "bucket"]).filter(
+            F.col(id_col) > F.col("_min_id")
+        )
         if sim_threshold is not None:
             hub_sigs = sigs.select(
                 F.col(id_col).alias("_min_id"),
@@ -572,7 +659,7 @@ def near_dedup_stream(
         drops = drop_in if drop_prev is None else drop_prev.unionByName(drop_in).distinct()
 
         kept = batch.join(drops, id_col, "left_anti")
-        kept.write.mode("append").parquet(target_path)
+        _idempotent_append(spark, kept, target_path, f"batch-{token}-{batch_id}-")
 
         # post-batch state: earlier occupants win their cells; new
         # cells take this batch's min-id occupant
@@ -588,18 +675,7 @@ def near_dedup_stream(
         sigs.unpersist()
         bb.unpersist()
         keep = {batch_id} | ({usable[-1]} if usable else set())
-        fs, hside, jvm = _hfs(spark, side_path)
-        for v in versions:
-            if v not in keep:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(f"{side_path}/v{v}"), True)
-        for st in fs.listStatus(hside):
-            nm = st.getPath().getName()
-            if nm.startswith("v") and nm.endswith("pre"):
-                try:
-                    if int(nm[1:-3]) <= batch_id:
-                        fs.delete(st.getPath(), True)
-                except ValueError:
-                    pass
+        _gc_versions(spark, side_path, versions, keep, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:

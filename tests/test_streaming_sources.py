@@ -296,12 +296,26 @@ def test_streaming_append_replay_uses_pre_snapshot(spark):
         final = spark.read.parquet(target)
         assert final.count() == 6  # base 2 + failed append 2 + replay 2
         vdirs = sorted(d for d in os.listdir(target + "_maxes"))
-        assert "v0" in vdirs and "v0pre" not in vdirs  # pre GC'd post-commit
+        # v0pre survives ITS OWN batch: the stream checkpoint commits
+        # only after the batch returns, so the pre snapshot must stay
+        # available as the replay fallback until the NEXT batch's GC
+        # (deleting it in-batch re-opened the poisoned-target window)
+        assert "v0" in vdirs and "v0pre" in vdirs
         maxes = {
             r["id"]: r["_maxts"]
             for r in spark.read.parquet(target + "_maxes/v0").collect()
         }
         assert maxes == {1: 200, 2: 250}
+        # the next committed batch reclaims the pre snapshot
+        spark.createDataFrame(
+            [(1, 300, 3.0)], "id int, ts long, v double"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("id int, ts long, v double").parquet(src)
+        q = append_stream(stream, target, "ts", "id", on_violation="error", checkpoint=chk)
+        q.awaitTermination(120)
+        vdirs = sorted(d for d in os.listdir(target + "_maxes"))
+        assert "v1" in vdirs and "v0pre" not in vdirs
+        assert spark.read.parquet(target).count() == 7
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -687,5 +701,84 @@ def test_streaming_near_dedup(spark):
         q.awaitTermination(120)
         kept2 = {r["doc_id"] for r in spark.read.parquet(target2).collect()}
         assert kept2 == {i for i, _ in run1 + run2}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_idempotent_append_replaces_batch_output(spark):
+    """The streaming data append writes each batch under deterministic
+    file names: re-running the same (prefix, batch) REPLACES the prior
+    attempt's files instead of appending a second copy (the crash-
+    replay duplicate path of a plain mode('append')), while a new
+    batch id appends alongside."""
+    from imcs_spark.streaming import _idempotent_append
+
+    tmp = tempfile.mkdtemp(prefix="imcs_idem_")
+    tgt = os.path.join(tmp, "t")
+    try:
+        df = spark.range(10)
+        _idempotent_append(spark, df, tgt, "batch-tok-0-")
+        assert spark.read.parquet(tgt).count() == 10
+        # replay of the same batch: replaced, not duplicated
+        _idempotent_append(spark, df, tgt, "batch-tok-0-")
+        assert spark.read.parquet(tgt).count() == 10
+        # next batch appends
+        _idempotent_append(spark, spark.range(5), tgt, "batch-tok-1-")
+        assert spark.read.parquet(tgt).count() == 15
+        # replay with different row distribution still replaces whole
+        _idempotent_append(spark, spark.range(3), tgt, "batch-tok-1-")
+        assert spark.read.parquet(tgt).count() == 13
+        # no scratch dir left behind
+        assert not os.path.exists(tgt + "_staging")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_near_dedup_sim_gate_uses_true_hub(spark, monkeypatch):
+    """With sim_threshold set, a doc colliding in a cell whose hub is
+    an EARLIER-batch occupant must be gated against THAT hub only —
+    not against the batch-local minimum id (which over-drops: similar
+    to the batch min but dissimilar to the true hub must survive under
+    the star convention). Signatures are injected per doc_id so the
+    collision pattern is exact: H=[1,1,2,2]; A=[1,1,9,9] and
+    B=[1,1,9,8] share H's (1,1) band but est-sim(·,H)=0.5 < 0.6, while
+    est-sim(B,A)=0.75 >= 0.6 — the old batch-min gate dropped B."""
+    from imcs_spark.pipeline import dedup as D
+    from imcs_spark.streaming import near_dedup_stream
+
+    SIGS = {0: [1, 1, 2, 2], 1: [1, 1, 9, 9], 2: [1, 1, 9, 8]}
+
+    def fake_sigs(df, text_col="text", id_col="doc_id", num_hashes=4, **kw):
+        lit = df.sparkSession.createDataFrame(
+            [(i, *s) for i, s in SIGS.items()],
+            f"{id_col} long, " + ", ".join(f"mh_{k} long" for k in range(4)),
+        )
+        return df.select(id_col).join(lit, id_col)
+
+    monkeypatch.setattr(D, "minhash_signatures", fake_sigs)
+
+    tmp = tempfile.mkdtemp(prefix="imcs_hubgate_")
+    target = os.path.join(tmp, "kept")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "incoming")
+    try:
+        spark.createDataFrame(
+            [(0, "doc H")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(src, mode="append")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = near_dedup_stream(
+            stream, target, checkpoint=chk, num_hashes=4, bands=2, sim_threshold=0.6
+        )
+        q.awaitTermination(120)
+        spark.createDataFrame(
+            [(1, "doc A"), (2, "doc B")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(src, mode="append")
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = near_dedup_stream(
+            stream, target, checkpoint=chk, num_hashes=4, bands=2, sim_threshold=0.6
+        )
+        q.awaitTermination(120)
+        kept = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+        assert kept == {0, 1, 2}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
