@@ -96,8 +96,13 @@ def main():
             # median alongside min: a median far above the min flags
             # machine contention in the artifact itself (round 5's
             # driver box showed 4x phantom regressions on a calm-
-            # machine-flat query)
-            medians[name] = round(times[len(times) // 2], 4)
+            # machine-flat query). True median for even run counts —
+            # the upper-middle element would read a single contended
+            # run out of an even set as median >> min, the exact false
+            # positive this field exists to rule out.
+            n = len(times)
+            med = times[n // 2] if n % 2 else (times[n // 2 - 1] + times[n // 2]) / 2
+            medians[name] = round(med, 4)
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             print(f"[bench] query {name} FAILED: {errors[name]}", file=sys.stderr)

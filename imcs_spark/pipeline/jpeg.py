@@ -635,7 +635,7 @@ def _extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
-def decode_jpeg(content: bytes) -> np.ndarray:
+def decode_jpeg(content: bytes, max_blocks: int | None = None) -> np.ndarray:
     """Decode a baseline sequential OR progressive (SOF2) JPEG to
     uint8 pixels: (H, W) for grayscale streams, (H, W, 3) RGB
     otherwise. Supports component sampling factors in {1, 2}, restart
@@ -643,7 +643,14 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     selection, successive approximation, DC/AC refinement scans, EOB
     runs, interleaved DC / non-interleaved AC ordering). Arithmetic /
     hierarchical / lossless / 12-bit streams raise
-    NotImplementedError naming the unsupported marker."""
+    NotImplementedError naming the unsupported marker.
+
+    ``max_blocks`` caps the declared coefficient-block count (see the
+    SOF guard below); None reads IMCS_SPARK_JPEG_MAX_BLOCKS from this
+    process's environment. Distributed callers must resolve the value
+    DRIVER-side and pass it through (executor Python workers do not
+    see env vars set on the driver after launch) — extract_features
+    does this."""
     d = bytes(content)
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (missing SOI)")
@@ -741,9 +748,10 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             # coefficient store = a ~268-megapixel frame, far beyond
             # any legitimate corpus image; env-overridable for callers
             # that truly process larger frames.
-            max_blocks = int(
-                os.environ.get("IMCS_SPARK_JPEG_MAX_BLOCKS", str(1 << 24))
-            )
+            if max_blocks is None:
+                max_blocks = int(
+                    os.environ.get("IMCS_SPARK_JPEG_MAX_BLOCKS", str(1 << 24))
+                )
             if n_blocks > max_blocks:
                 raise ValueError(
                     f"JPEG frame declares {n_blocks} coefficient blocks"

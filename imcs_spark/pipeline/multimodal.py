@@ -18,6 +18,7 @@ mapInPandas signatures, partition sizing).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import numpy as np
@@ -323,7 +324,9 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> np.ndarray:
     return np.asarray(head + bands, dtype=np.float32)
 
 
-def real_decode(content: bytes, mime: str) -> np.ndarray:
+def real_decode(
+    content: bytes, mime: str, jpeg_max_blocks: int | None = None
+) -> np.ndarray:
     """Real decode + featurize for the formats decodable with numpy +
     the standard library: binary PPM/PGM pixels, 8-bit PNG, baseline
     JPEG (pipeline/jpeg.py), PCM WAV samples, and mp4 CONTAINERS
@@ -342,7 +345,7 @@ def real_decode(content: bytes, mime: str) -> np.ndarray:
     if head[:2] == b"\xff\xd8" or mime == "image/jpeg":
         from .jpeg import decode_jpeg
 
-        return image_features(decode_jpeg(bytes(content)))
+        return image_features(decode_jpeg(bytes(content), jpeg_max_blocks))
     if head[:4] == b"RIFF" or mime == "audio/x-wav":
         return audio_features(*decode_wav(bytes(content)))
     if head[4:8] == b"ftyp" or mime == "video/mp4":
@@ -383,6 +386,13 @@ def extract_features(
     rows are large — size partitions by bytes (maxPartitionBytes), not
     row count, before calling this."""
     out_schema = StructType(df.schema.fields + [_FEATURES_FIELD])
+    # resolve guard overrides DRIVER-side at plan-build time: the gen
+    # closure runs in executor Python workers, which never see env vars
+    # set on the driver after launch — the captured value ships with
+    # the serialized closure instead
+    jpeg_max_blocks = int(
+        os.environ.get("IMCS_SPARK_JPEG_MAX_BLOCKS", str(1 << 24))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -390,7 +400,7 @@ def extract_features(
             mimes = pdf["mime"] if "mime" in pdf else [None] * len(pdf)
             for content, mid, mime in zip(pdf["content"], pdf["media_id"], mimes):
                 if use_real_decoder:
-                    arr = real_decode(content, mime or "")
+                    arr = real_decode(content, mime or "", jpeg_max_blocks)
                 else:
                     arr = _fake_decode(content, int(mid))
                 feats.append(arr.tolist())
