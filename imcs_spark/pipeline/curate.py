@@ -156,6 +156,51 @@ def dataset_split(
     )
 
 
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    components: DataFrame | None = None,
+    key_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+    out_col: str = "split",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Leakage-safe dataset split: every document in a near-duplicate
+    CLUSTER is assigned the split of the cluster's minimum-id
+    representative, so a near-copy of a test document can never land
+    in train — the benchmark-leakage path that hashing each doc id
+    independently (dataset_split) leaves open whenever dedup keeps
+    more than one cluster member (or runs after splitting).
+
+    Pass either `pairs` (verified near-dup edges, e.g. minhash
+    jaccard_pairs output — connected components are computed here) or
+    a precomputed `components` frame (columns node/comp, the
+    connected_components contract) when the caller already has one.
+    Documents in no cluster hash by their own key — identical to
+    dataset_split on a pair-free corpus.
+
+    Scale shape: one left join of the corpus against the component
+    map (small — only clustered docs appear; auto-broadcast while it
+    fits) plus dataset_split's map-only bucketing. No extra shuffle
+    beyond the CC itself."""
+    if (pairs is None) == (components is None):
+        raise ValueError("cluster_split: pass exactly one of pairs / components")
+    if components is None:
+        from .dedup import connected_components
+
+        components = connected_components(pairs, left_col, right_col)
+    rep = components.select(
+        F.col("node").alias(key_col), F.col("comp").alias("_rep")
+    )
+    keyed = df.join(rep, key_col, "left").withColumn(
+        "_skey", F.coalesce(F.col("_rep"), F.col(key_col))
+    )
+    return dataset_split(
+        keyed, key_col="_skey", weights=weights, out_col=out_col
+    ).drop("_rep", "_skey")
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -1035,6 +1035,13 @@ WHERE doc_id NOT IN (SELECT r FROM pairs WHERE j >= 0.8)
 UNION ALL
 SELECT 'comp', component, CAST(COUNT(*) AS BIGINT), -1.0
 FROM comp GROUP BY component
+UNION ALL
+SELECT 'csplit', d.doc_id,
+       CAST(CASE WHEN CAST(('0x' || substring(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 80 THEN 0
+                 WHEN CAST(('0x' || substring(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 12)) AS BIGINT) % 100 < 90 THEN 1
+                 ELSE 2 END AS BIGINT),
+       -1.0
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """,
 )
 def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,7 +1069,29 @@ def minhash_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("b"))
         .select(F.lit("comp").alias("op"), "a", "b", F.lit(-1.0).alias("v"))
     )
-    return pair_leg.unionByName(kept_leg).unionByName(comp_leg)
+    # leakage-safe cluster-aware split: every cluster member gets the
+    # split of the cluster's min-id representative (per-doc exact
+    # membership checked against the oracle's recursive-CTE closure)
+    from .pipeline import curate
+
+    cs = curate.cluster_split(
+        docs.select("doc_id"), components=comp, key_col="doc_id"
+    )
+    csplit_leg = cs.select(
+        F.lit("csplit").alias("op"),
+        F.col("doc_id").alias("a"),
+        F.when(F.col("split") == "train", 0)
+        .when(F.col("split") == "val", 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("b"),
+        F.lit(-1.0).alias("v"),
+    )
+    return (
+        pair_leg.unionByName(kept_leg)
+        .unionByName(comp_leg)
+        .unionByName(csplit_leg)
+    )
 
 
 def _simhash_oracle() -> str:

@@ -1201,3 +1201,50 @@ def test_curation_e2e_plan_shape(spark):
     # means the decontamination branch re-executes the dedup window)
     assert plan.count("hashpartitioning(_digest") == 1, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_cluster_split_leakage_safe(spark):
+    """cluster_split: every member of a near-dup cluster gets the
+    split of the cluster's min-id representative (no train/test
+    leakage through near-copies); unclustered docs match
+    dataset_split exactly; passing both/neither of pairs and
+    components raises."""
+    import hashlib
+
+    import pytest as _pytest
+
+    from imcs_spark.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # clusters: {3,40,99} (chained edges) and {7,150}
+    pairs = spark.createDataFrame(
+        [(3, 40), (40, 99), (7, 150)], "left_id long, right_id long"
+    )
+    out = {r["doc_id"]: r["split"] for r in
+           curate.cluster_split(docs, pairs=pairs).collect()}
+
+    def h(k):
+        bkt = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16) % 100
+        return "train" if bkt < 80 else ("val" if bkt < 90 else "test")
+
+    # cluster members share their representative's split
+    assert out[3] == out[40] == out[99] == h(3)
+    assert out[7] == out[150] == h(7)
+    # everyone else is identical to the plain per-doc split
+    plain = {r["doc_id"]: r["split"] for r in curate.dataset_split(docs).collect()}
+    clustered = {3, 40, 99, 7, 150}
+    assert all(out[i] == plain[i] for i in range(200) if i not in clustered)
+    # precomputed-components path agrees
+    from imcs_spark.pipeline import dedup
+
+    comp = dedup.connected_components(pairs)
+    out2 = {r["doc_id"]: r["split"] for r in
+            curate.cluster_split(docs, components=comp).collect()}
+    assert out2 == out
+    with _pytest.raises(ValueError, match="exactly one"):
+        curate.cluster_split(docs)
+    with _pytest.raises(ValueError, match="exactly one"):
+        curate.cluster_split(docs, pairs=pairs, components=comp)
+
