@@ -463,6 +463,129 @@ def encode_jpeg(
 
 
 
+# fixed DC-class table for the lossless encoder: categories 0-7 at
+# length 4, 8-16 at length 5 (Kraft sum 0.78 — valid, no all-ones
+# max-length code). Not entropy-optimal; chosen for correctness and
+# symmetry with the decoder, which rebuilds it from the DHT bytes.
+_LL_BITS = [0, 0, 0, 8, 9] + [0] * 11
+_LL_VALUES = list(range(17))
+
+
+def encode_jpeg_lossless(
+    pixels: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    precision: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a lossless (SOF3, T.81 Annex H) JPEG: (H, W) grayscale
+    or (H, W, 3) direct-RGB samples, any precision 2-16 (values must
+    fit the declared precision — pass an int array for P > 8).
+    Round-trips bit-exactly through decode_jpeg for point_transform=0
+    and P=8; with Pt > 0 the decoder reconstructs (sample >> Pt) << Pt,
+    and deep precisions are reduced to uint8 on decode (>> (P-8)).
+    `restart_interval` (in samples-per-component MCUs) exercises the
+    restart prediction reset (H.2.1: prediction returns to the default
+    after every RST)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range 1-7")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless precision {precision} out of 2-16")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    arr = np.asarray(pixels)
+    if arr.ndim == 2:
+        comps = [arr]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        comps = [arr[:, :, i] for i in range(3)]
+    else:
+        raise ValueError("pixels must be (H, W) or (H, W, 3)")
+    h, w = comps[0].shape
+    if h == 0 or w == 0:
+        raise ValueError("cannot encode an empty image")
+    maxv = (1 << precision) - 1
+    samples = []
+    for pl in comps:
+        a = pl.astype(np.int64)
+        if a.min() < 0 or a.max() > maxv:
+            raise ValueError(
+                f"sample out of range for {precision}-bit precision"
+            )
+        samples.append(a >> point_transform)
+    pt = point_transform
+    ncomp = len(samples)
+    codes = _canonical_codes(_LL_BITS, _LL_VALUES)
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xC4, bytes([0x00] + _LL_BITS + _LL_VALUES))
+    sof = bytearray(struct.pack(">BHHB", precision, h, w, ncomp))
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += _seg(0xC3, bytes(sof))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, pt])
+    out += _seg(0xDA, bytes(sos))
+    default = 1 << (precision - pt - 1)
+    bw = _BitWriter()
+    reset = [True] * ncomp
+    mcu = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                out += bw.flush()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                bw = _BitWriter()
+                reset = [True] * ncomp
+            mcu += 1
+            for ci in range(ncomp):
+                s = samples[ci]
+                if reset[ci]:
+                    px = default
+                    reset[ci] = False
+                elif y == 0:
+                    px = int(s[0, x - 1])
+                elif x == 0:
+                    px = int(s[y - 1, 0])
+                else:
+                    ra = int(s[y, x - 1])
+                    rb = int(s[y - 1, x])
+                    rc = int(s[y - 1, x - 1])
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                diff = (int(s[y, x]) - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:  # transmitted as the SSSS=16 special
+                    code, ln = codes[16]
+                    bw.write(code, ln)
+                else:
+                    ssss, amp = _magnitude(diff)
+                    code, ln = codes[ssss]
+                    bw.write(code, ln)
+                    if ssss:
+                        bw.write(amp, ssss)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
@@ -660,6 +783,7 @@ def decode_jpeg(content: bytes, max_blocks: int | None = None) -> np.ndarray:
     frame = None
     restart_interval = 0
     progressive = False
+    lossless = False
     stores: dict[int, np.ndarray] = {}  # component id -> (nblocks, 64) zigzag int32
     geom = None  # (hmax, vmax, mcux, mcuy)
     n_scans = 0
@@ -692,19 +816,31 @@ def decode_jpeg(content: bytes, max_blocks: int | None = None) -> np.ndarray:
             raise NotImplementedError(
                 "non-baseline JPEG frame marker 0xFF%02X not supported" % marker
             )
-        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+        if marker in (0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
             raise NotImplementedError(
                 "non-baseline JPEG frame marker 0xFF%02X not supported" % marker
             )
+        extended = marker == 0xC1
         if marker == 0xC2:
             progressive = True
             marker = 0xC0  # parse the SOF payload identically below
+        if marker == 0xC3:
+            lossless = True
+            marker = 0xC0
         if marker in (0xC0, 0xC1):  # baseline / extended sequential SOF
             if len(payload) < 6:
                 raise ValueError("truncated JPEG SOF segment")
             precision, h, w, ncomp = struct.unpack(">BHHB", payload[:6])
-            if precision != 8:
-                raise NotImplementedError(f"{precision}-bit JPEG not supported")
+            if lossless:
+                # T.81 Annex H: any precision 2-16 (predictive, no DCT)
+                if not 2 <= precision <= 16:
+                    raise ValueError(f"lossless precision {precision} out of 2-16")
+            elif precision == 12 and extended:
+                pass  # 12-bit extended sequential (SOF1): DCT path below
+            elif precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit JPEG not supported for this frame type"
+                )
             if ncomp not in (1, 3):
                 # 4-component Adobe CMYK/YCCK would silently decode to
                 # garbage through the YCbCr branch — refuse instead
@@ -716,13 +852,38 @@ def decode_jpeg(content: bytes, max_blocks: int | None = None) -> np.ndarray:
             for ci in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * ci : 9 + 3 * ci]
                 sh, sv = hv >> 4, hv & 0xF
+                if lossless and (sh != 1 or sv != 1):
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG not supported (1x1 only)"
+                    )
                 if sh not in (1, 2) or sv not in (1, 2):
                     raise NotImplementedError(
                         f"sampling factor {sh}x{sv} not supported"
                         " (factors must be 1 or 2)"
                     )
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps, "precision": precision}
+            if lossless:
+                # same two-tier allocation guard as the DCT path, in
+                # sample units: >= 1 bit per sample for any decodable
+                # stream, plus the absolute pixel ceiling
+                if h * w * ncomp > 8 * len(d):
+                    raise ValueError(
+                        f"lossless JPEG declares {h * w * ncomp} samples in"
+                        f" a {len(d)}-byte stream — corrupt or truncated SOF"
+                    )
+                if max_blocks is None:
+                    max_blocks = int(
+                        os.environ.get("IMCS_SPARK_JPEG_MAX_BLOCKS", str(1 << 24))
+                    )
+                if h * w > max_blocks * 64:
+                    raise ValueError(
+                        f"lossless JPEG declares {h * w} pixels (> cap"
+                        f" {max_blocks * 64}); raise IMCS_SPARK_JPEG_MAX_BLOCKS"
+                        " if this is intentional"
+                    )
+                pos += seglen
+                continue
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             geom = (hmax, vmax, -(-w // (8 * hmax)), -(-h // (8 * vmax)))
@@ -767,13 +928,18 @@ def decode_jpeg(content: bytes, max_blocks: int | None = None) -> np.ndarray:
             i = 0
             while i < len(payload):
                 prec, tid = payload[i] >> 4, payload[i] & 0xF
-                if prec:
-                    raise NotImplementedError("16-bit quantization tables")
-                tab = np.frombuffer(payload[i + 1 : i + 65], dtype=np.uint8)
+                if prec:  # Pq=1: 16-bit entries (12-bit frames use these)
+                    if i + 129 > len(payload):
+                        raise ValueError("truncated 16-bit DQT segment")
+                    tab = np.frombuffer(
+                        payload[i + 1 : i + 129], dtype=">u2"
+                    ).astype(np.float64)
+                else:
+                    tab = np.frombuffer(payload[i + 1 : i + 65], dtype=np.uint8)
                 nat = np.empty(64, dtype=np.float64)
                 nat[ZIGZAG] = tab  # stored in zigzag order
                 qt[tid] = nat
-                i += 65
+                i += 129 if prec else 65
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(payload):
@@ -796,6 +962,20 @@ def decode_jpeg(content: bytes, max_blocks: int | None = None) -> np.ndarray:
                 cs, tt = payload[1 + 2 * ci : 3 + 2 * ci]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan_comps.append((comp, tt >> 4, tt & 0xF))
+            if lossless:
+                # T.81 Annex H scan header reuse: Ss = predictor
+                # selector, Al = point transform
+                sel = payload[1 + 2 * ns]
+                pt = payload[3 + 2 * ns] & 0xF
+                if ns != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "multi-scan lossless JPEG not supported — one"
+                        " interleaved scan only"
+                    )
+                return _decode_lossless_scan(
+                    d, pos + seglen, frame, scan_comps, huff,
+                    restart_interval, sel, pt,
+                )
             if progressive:
                 ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
                 ahal = payload[3 + 2 * ns]
@@ -885,11 +1065,95 @@ def _decode_scan(d, pos, frame, scan_comps, qt, huff, restart_interval):
     )
 
 
+def _decode_lossless_scan(
+    d, pos, frame, scan_comps, huff, restart_interval, predictor, pt
+):
+    """Lossless JPEG (SOF3, T.81 Annex H): Huffman-coded prediction
+    differences, no DCT and no quantization. Per sample: a DC-class
+    Huffman code gives the difference's magnitude category SSSS
+    (16 encodes the fixed difference 32768 with no extra bits), the
+    appended bits give the value, and the reconstruction is
+    (prediction + diff) mod 2^16. Prediction (H.1.2.1): the selected
+    one of 7 neighbor functions over Ra (left), Rb (above), Rc
+    (above-left); the first sample of the scan — and the first sample
+    of each component after a restart — predicts the default
+    2^(P-Pt-1); the rest of the first line predicts from Ra, the first
+    column from Rb. Decoded samples are scaled by the point transform
+    (<< Pt) and the plane is reduced to uint8 (>> (P-8) for deep
+    precisions). Three-component frames are returned as direct RGB —
+    lossless JPEG carries component values verbatim (no YCbCr
+    convention, per DNG/medical practice)."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range 1-7")
+    h, w, P = frame["h"], frame["w"], frame["precision"]
+    for _, td, _ in scan_comps:
+        if (0, td) not in huff:
+            raise ValueError(f"missing Huffman table (class, id)=(0, {td})")
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in scan_comps]
+    br = _BitReader(d, pos)
+    default = 1 << (P - pt - 1)
+    reset = [True] * len(scan_comps)
+    mcu = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.restart()
+                reset = [True] * len(scan_comps)
+            mcu += 1
+            for ci, (_, td, _) in enumerate(scan_comps):
+                ssss = br.huffman(huff[(0, td)])
+                if ssss == 16:
+                    diff = 32768
+                elif ssss > 16:
+                    raise ValueError("lossless SSSS category > 16")
+                else:
+                    diff = _extend(br.bits(ssss), ssss)
+                pl = planes[ci]
+                if reset[ci]:
+                    px = default
+                    reset[ci] = False
+                elif y == 0:
+                    px = int(pl[0, x - 1])
+                elif x == 0:
+                    px = int(pl[y - 1, 0])
+                else:
+                    ra = int(pl[y, x - 1])
+                    rb = int(pl[y - 1, x])
+                    rc = int(pl[y - 1, x - 1])
+                    if predictor == 1:
+                        px = ra
+                    elif predictor == 2:
+                        px = rb
+                    elif predictor == 3:
+                        px = rc
+                    elif predictor == 4:
+                        px = ra + rb - rc
+                    elif predictor == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif predictor == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                pl[y, x] = (px + diff) & 0xFFFF
+    out = [pl << pt for pl in planes]
+    if P > 8:
+        out = [pl >> (P - 8) for pl in out]
+    elif P < 8:
+        out = [pl << (8 - P) for pl in out]
+    if len(out) == 1:
+        return np.clip(out[0], 0, 255).astype(np.uint8)
+    return np.clip(np.stack(out, axis=-1), 0, 255).astype(np.uint8)
+
+
 def _reconstruct(frame, comp_stores, qt, geom):
     """Dequantize + IDCT + color-convert the per-component zigzag
     coefficient arrays (shared by the baseline one-shot path and the
-    progressive multi-scan accumulator)."""
+    progressive multi-scan accumulator). Precision-aware (T.81 A.3.1:
+    level shift is 2^(P-1)): 12-bit extended-sequential frames decode
+    at native range and scale to uint8 by >> (P-8)."""
     h, w = frame["h"], frame["w"]
+    P = frame.get("precision", 8)
+    level, maxv = float(1 << (P - 1)), float((1 << P) - 1)
     hmax, vmax, mcux, mcuy = geom
     planes = []
     for comp, zzstore in comp_stores:
@@ -903,7 +1167,7 @@ def _reconstruct(frame, comp_stores, qt, geom):
         by, bx = mcuy * comp["v"], mcux * comp["h"]
         plane = (
             pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
-            + 128.0
+            + level
         )
         # upsample to full MCU-padded resolution, then crop to (h, w)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
@@ -912,13 +1176,17 @@ def _reconstruct(frame, comp_stores, qt, geom):
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        out = np.clip(np.round(planes[0]), 0, maxv).astype(np.int64)
+    else:
+        y, cb, cr = planes[0], planes[1] - level, planes[2] - level
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+        out = np.clip(np.round(rgb), 0, maxv).astype(np.int64)
+    if P > 8:
+        out >>= P - 8
+    return out.astype(np.uint8)
 
 
 def _scan_units(frame, scan_comps, geom, restart_interval):

@@ -1248,3 +1248,107 @@ def test_cluster_split_leakage_safe(spark):
     with _pytest.raises(ValueError, match="exactly one"):
         curate.cluster_split(docs, pairs=pairs, components=comp)
 
+
+
+def test_jpeg_lossless_roundtrip():
+    """SOF3 lossless codec (T.81 Annex H): bit-exact round trips for
+    every predictor, RGB, restart intervals (prediction reset), point
+    transform, and deep precisions (decode reduces by >> (P-8))."""
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (13, 17)).astype(np.uint8)
+    for p in range(1, 8):
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(img, predictor=p))
+        assert np.array_equal(out, img), f"predictor {p}"
+    rgb = rng.randint(0, 256, (9, 11, 3)).astype(np.uint8)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(rgb, predictor=4)), rgb
+    )
+    assert np.array_equal(
+        jpeg.decode_jpeg(
+            jpeg.encode_jpeg_lossless(img, predictor=5, restart_interval=7)
+        ),
+        img,
+    )
+    deep = rng.randint(0, 1 << 12, (8, 9)).astype(np.int64)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(deep, predictor=2, precision=12)),
+        (deep >> 4).astype(np.uint8),
+    )
+    deep16 = rng.randint(0, 1 << 16, (6, 7)).astype(np.int64)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(deep16, predictor=7, precision=16)),
+        (deep16 >> 8).astype(np.uint8),
+    )
+    # point transform: decoder reconstructs (s >> pt) << pt
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(img, point_transform=2)),
+        (img >> 2) << 2,
+    )
+    # worst-case diff alternation (0 <-> max) exercises the big
+    # category + mod-2^16 paths
+    stripes = np.zeros((4, 8), np.int64)
+    stripes[:, 1::2] = (1 << 16) - 1
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(stripes, precision=16)),
+        (stripes >> 8).astype(np.uint8),
+    )
+    # guards
+    with pytest.raises(ValueError, match="predictor"):
+        jpeg.encode_jpeg_lossless(img, predictor=0)
+    with pytest.raises(ValueError, match="range"):
+        jpeg.encode_jpeg_lossless(deep)  # 12-bit values at default P=8
+
+
+def test_jpeg_12bit_extended_sequential():
+    """12-bit extended-sequential (SOF1) decode with a 16-bit DQT: a
+    hand-built DC-only stream decodes to blockwise-constant pixels in
+    closed form (DC/8 + 2048, clipped to 12 bits, reduced >> 4)."""
+    import struct
+
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    targets = [0, 1024, 2048, 4095]  # 12-bit block values
+    dcs = [8 * (v - 2048) for v in targets]
+    dqt = bytes([0x10]) + b"".join(struct.pack(">H", 1) for _ in range(64))
+    dht_dc = bytes([0x00] + jpeg._LL_BITS + jpeg._LL_VALUES)
+    ac_bits = [1] + [0] * 15
+    dht_ac = bytes([0x10] + ac_bits + [0x00])
+    out = bytearray(b"\xff\xd8")
+    out += jpeg._seg(0xDB, dqt)
+    out += jpeg._seg(0xC4, dht_dc)
+    out += jpeg._seg(0xC4, dht_ac)
+    out += jpeg._seg(0xC1, struct.pack(">BHHB", 12, 8, 32, 1) + bytes([1, 0x11, 0]))
+    out += jpeg._seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = jpeg._BitWriter()
+    dc_codes = jpeg._canonical_codes(jpeg._LL_BITS, jpeg._LL_VALUES)
+    ac_codes = jpeg._canonical_codes(ac_bits, [0x00])
+    pred = 0
+    for dc in dcs:
+        ssss, amp = jpeg._magnitude(dc - pred)
+        c, ln = dc_codes[ssss]
+        bw.write(c, ln)
+        if ssss:
+            bw.write(amp, ssss)
+        pred = dc
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)  # EOB
+    out += bw.flush()
+    out += b"\xff\xd9"
+    px = jpeg.decode_jpeg(bytes(out))
+    assert px.shape == (8, 32)
+    for b, v in enumerate(targets):
+        block = px[:, 8 * b : 8 * (b + 1)]
+        assert (block == (v >> 4)).all(), (b, v, block[0, 0])
+    # 12-bit is extended-sequential only: the same stream as SOF0 is
+    # refused (baseline is 8-bit by definition)
+    i = bytes(out).find(b"\xff\xc1")
+    bad = bytearray(out)
+    bad[i + 1] = 0xC0
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg.decode_jpeg(bytes(bad))
