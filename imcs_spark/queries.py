@@ -2387,6 +2387,29 @@ SELECT 'rep', CAST(doc_id AS VARCHAR),
        ROUND(MAX(c) * 1.0 / SUM(c), 6),
        CAST(SUM(c) AS BIGINT)
 FROM per_gram GROUP BY doc_id
+UNION ALL
+SELECT 'samp_u', CAST(doc_id AS VARCHAR), 0.0, 0.0, CAST(0 AS BIGINT)
+FROM (
+  SELECT doc_id FROM documents
+  ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT), doc_id
+  LIMIT 32
+)
+UNION ALL
+SELECT 'samp_s', CAST(doc_id AS VARCHAR), 0.0, 0.0, CAST(0 AS BIGINT)
+FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT), doc_id
+  ) AS rn FROM documents
+) WHERE rn <= 8
+UNION ALL
+SELECT 'samp_w', CAST(doc_id AS VARCHAR), 0.0, 0.0, CAST(0 AS BIGINT)
+FROM (
+  SELECT doc_id FROM documents
+  ORDER BY ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5) / 281474976710656.0)
+           / length(text) DESC, doc_id
+  LIMIT 32
+)
 """,
 )
 def curate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2413,7 +2436,29 @@ def curate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r6(F.col("top_gram_frac")).alias("b"),
         F.col("n_grams").cast("long").alias("n"),
     )
-    return decon.unionByName(rep)
+    # deterministic sampling (pipeline.sample): exact MEMBERSHIP legs —
+    # the oracle recomputes the same hash order / A-Res keys in SQL
+    from .pipeline import sample as S
+
+    su = S.uniform_sample(docs, "doc_id", 32).select(
+        F.lit("samp_u").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    ss = S.stratified_sample(docs, "source", "doc_id", 8).select(
+        F.lit("samp_s").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    sw = S.weighted_sample(docs, "doc_id", F.length("text"), 32).select(
+        F.lit("samp_w").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b"),
+        F.lit(0).cast("long").alias("n"),
+    )
+    return decon.unionByName(rep).unionByName(su).unionByName(ss).unionByName(sw)
 
 
 # ---------------------------------------------------------------------------

@@ -1352,3 +1352,66 @@ def test_jpeg_12bit_extended_sequential():
     bad[i + 1] = 0xC0
     with pytest.raises(NotImplementedError, match="12-bit"):
         jpeg.decode_jpeg(bytes(bad))
+
+
+def test_deterministic_sampling(spark):
+    """pipeline.sample: hash-ordered samples are stable under corpus
+    growth (selection changes only by boundary displacement), exact-n,
+    stratified per group, and weighted by inclusion dominance; bad
+    sizes raise."""
+    from imcs_spark.pipeline import sample as S
+
+    docs = spark.createDataFrame(
+        [(i, ["web", "book", "code"][i % 3], "x" * (10 + i % 50)) for i in range(300)],
+        "doc_id long, source string, text string",
+    )
+    u1 = {r["doc_id"] for r in S.uniform_sample(docs, "doc_id", 20).collect()}
+    assert len(u1) == 20
+    # determinism + growth stability: the 20-of-300 winners are exactly
+    # the original winners among a 400-doc corpus minus displaced ones
+    more = spark.createDataFrame(
+        [(i, "web", "t") for i in range(300, 400)], "doc_id long, source string, text string"
+    )
+    u2 = {r["doc_id"] for r in S.uniform_sample(docs.unionByName(more), "doc_id", 20).collect()}
+    assert u2 & set(range(300)) <= u1  # old docs only drop out, never reorder
+
+    st = S.stratified_sample(docs, "source", "doc_id", 5).collect()
+    from collections import Counter
+
+    cnt = Counter(r["source"] for r in st)
+    assert cnt == {"web": 5, "book": 5, "code": 5}
+    # stratum smaller than n: all its rows, no padding
+    tiny = spark.createDataFrame(
+        [(0, "a", "t"), (1, "a", "t"), (2, "b", "t")],
+        "doc_id long, source string, text string",
+    )
+    cnt = Counter(r["source"] for r in S.stratified_sample(tiny, "source", "doc_id", 5).collect())
+    assert cnt == {"a": 2, "b": 1}
+
+    # weighted: a dominant weight always wins; zero/NULL never do
+    import pyspark.sql.functions as F
+
+    wdf = docs.withColumn(
+        "w",
+        F.when(F.col("doc_id") == 7, 1e9)
+        .when(F.col("doc_id") % 10 == 0, F.lit(None))
+        .when(F.col("doc_id") % 7 == 0, 0.0)
+        .otherwise(F.col("doc_id").cast("double") + 1.0),
+    )
+    wn = {r["doc_id"] for r in S.weighted_sample(wdf, "doc_id", "w", 25).collect()}
+    assert 7 in wn and len(wn) == 25
+    assert all(i % 10 != 0 or i == 7 for i in wn)  # NULL weight excluded
+    assert all(i % 7 != 0 or i == 7 for i in wn)   # zero weight excluded
+    # weighted selection is reproducible
+    wn2 = {r["doc_id"] for r in S.weighted_sample(wdf, "doc_id", "w", 25).collect()}
+    assert wn2 == wn
+
+    import pytest as _pytest
+
+    for fn in (
+        lambda: S.uniform_sample(docs, "doc_id", 0),
+        lambda: S.stratified_sample(docs, "source", "doc_id", -1),
+        lambda: S.weighted_sample(docs, "doc_id", "doc_id", 0),
+    ):
+        with _pytest.raises(ValueError, match="positive"):
+            fn()
