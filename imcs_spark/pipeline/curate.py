@@ -120,19 +120,27 @@ def repetition_profile(
     )
 
 
+def hash48(key_col: str | Column) -> Column:
+    """Uniform 48-bit integer from the md5 of the key (first 12 hex
+    digits) — THE engine-stability convention every hash-ordered
+    operator shares (split_bucket, pipeline.sample), recomputable in
+    DuckDB as ('0x' || substring(md5(k), 1, 12))::BIGINT. One
+    implementation: forking it would silently desynchronize sampling
+    from splitting and from the SQL oracles."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+
+
 def split_bucket(key_col: str | Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from the md5 of the key —
-    stable across engines (the first 12 hex digits of md5, i.e. 48
-    bits, modulo `buckets`; the old 16-bit prefix silently broke past
-    65,536 buckets and skewed badly approaching it). Use a stable
-    business key (id, URL), never a row position."""
+    stable across engines (hash48; the old 16-bit prefix silently
+    broke past 65,536 buckets and skewed badly approaching it). Use a
+    stable business key (id, URL), never a row position."""
     if not 0 < buckets <= 1 << 31:
         # 2^31 still yields int-safe bucket ids (max id 2^31 - 1); past
         # that the int cast below would overflow
         raise ValueError(f"split_bucket: buckets must be in (0, 2^31], got {buckets}")
-    c = F.col(key_col) if isinstance(key_col, str) else key_col
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
-    return (h % buckets).cast("int")
+    return (hash48(key_col) % buckets).cast("int")
 
 
 def dataset_split(

@@ -471,6 +471,26 @@ _LL_BITS = [0, 0, 0, 8, 9] + [0] * 11
 _LL_VALUES = list(range(17))
 
 
+def _ll_predict(ra: int, rb: int, rc: int, selector: int) -> int:
+    """T.81 H.1.2.1 neighbor predictors 1-7 — ONE implementation
+    shared by encoder and decoder (round-trip correctness depends on
+    the two sides computing bit-identical predictions, so the dispatch
+    must never fork)."""
+    if selector == 1:
+        return ra
+    if selector == 2:
+        return rb
+    if selector == 3:
+        return rc
+    if selector == 4:
+        return ra + rb - rc
+    if selector == 5:
+        return ra + ((rb - rc) >> 1)
+    if selector == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
 def encode_jpeg_lossless(
     pixels: np.ndarray,
     predictor: int = 1,
@@ -552,23 +572,10 @@ def encode_jpeg_lossless(
                 elif x == 0:
                     px = int(s[y - 1, 0])
                 else:
-                    ra = int(s[y, x - 1])
-                    rb = int(s[y - 1, x])
-                    rc = int(s[y - 1, x - 1])
-                    if predictor == 1:
-                        px = ra
-                    elif predictor == 2:
-                        px = rb
-                    elif predictor == 3:
-                        px = rc
-                    elif predictor == 4:
-                        px = ra + rb - rc
-                    elif predictor == 5:
-                        px = ra + ((rb - rc) >> 1)
-                    elif predictor == 6:
-                        px = rb + ((ra - rc) >> 1)
-                    else:
-                        px = (ra + rb) >> 1
+                    px = _ll_predict(
+                        int(s[y, x - 1]), int(s[y - 1, x]),
+                        int(s[y - 1, x - 1]), predictor,
+                    )
                 diff = (int(s[y, x]) - px) & 0xFFFF
                 if diff >= 32768:
                     diff -= 65536
@@ -876,9 +883,13 @@ def decode_jpeg(content: bytes, max_blocks: int | None = None) -> np.ndarray:
                     max_blocks = int(
                         os.environ.get("IMCS_SPARK_JPEG_MAX_BLOCKS", str(1 << 24))
                     )
-                if h * w > max_blocks * 64:
+                # TOTAL samples across components, strictly compared —
+                # the DCT guard sums blocks over all components too; a
+                # per-plane-only cap would let a 3-component SOF3 at
+                # the limit allocate 3x the intended store
+                if h * w * ncomp > max_blocks * 64:
                     raise ValueError(
-                        f"lossless JPEG declares {h * w} pixels (> cap"
+                        f"lossless JPEG declares {h * w * ncomp} samples (> cap"
                         f" {max_blocks * 64}); raise IMCS_SPARK_JPEG_MAX_BLOCKS"
                         " if this is intentional"
                     )
@@ -1117,23 +1128,10 @@ def _decode_lossless_scan(
                 elif x == 0:
                     px = int(pl[y - 1, 0])
                 else:
-                    ra = int(pl[y, x - 1])
-                    rb = int(pl[y - 1, x])
-                    rc = int(pl[y - 1, x - 1])
-                    if predictor == 1:
-                        px = ra
-                    elif predictor == 2:
-                        px = rb
-                    elif predictor == 3:
-                        px = rc
-                    elif predictor == 4:
-                        px = ra + rb - rc
-                    elif predictor == 5:
-                        px = ra + ((rb - rc) >> 1)
-                    elif predictor == 6:
-                        px = rb + ((ra - rc) >> 1)
-                    else:
-                        px = (ra + rb) >> 1
+                    px = _ll_predict(
+                        int(pl[y, x - 1]), int(pl[y - 1, x]),
+                        int(pl[y - 1, x - 1]), predictor,
+                    )
                 pl[y, x] = (px + diff) & 0xFFFF
     out = [pl << pt for pl in planes]
     if P > 8:

@@ -29,16 +29,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .curate import hash48 as _hash_rank
+
 _HASH_BITS = 48
-
-
-def _hash_rank(key_col: str | Column) -> Column:
-    """Uniform 48-bit integer from the md5 of the key — the same
-    12-hex-digit prefix convention as curate.split_bucket, so the
-    draw is engine-stable (DuckDB: ('0x' || substring(md5(k), 1, 12))
-    ::BIGINT)."""
-    c = F.col(key_col) if isinstance(key_col, str) else key_col
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast("long")
 
 
 def uniform_sample(df: DataFrame, key_col: str, n: int) -> DataFrame:

@@ -50,16 +50,37 @@ def _data_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _write_snapshot(spark, df, path: str, n_files: int = 8) -> None:
+    """Write a state snapshot and stamp the protocol's OWN commit
+    marker (_COMMITTED). Snapshot reads must not depend on Hadoop's
+    _SUCCESS alone: with mapreduce.fileoutputcommitter.marksuccessfuljobs
+    =false (a common object-store tuning) _SUCCESS never appears and a
+    marker-gated protocol would silently ignore every snapshot it
+    itself wrote — the replay protection would be inert."""
+    df.coalesce(n_files).write.mode("overwrite").parquet(path)
+    fs, _, jvm = _hfs(spark, path)
+    fs.create(jvm.org.apache.hadoop.fs.Path(f"{path}/_COMMITTED"), True).close()
+
+
+def _committed(fs, hpath) -> bool:
+    return bool(
+        fs.exists(hpath.suffix("/_COMMITTED"))
+        or fs.exists(hpath.suffix("/_SUCCESS"))
+    )
+
+
 def _snapshot_ok(spark, path: str) -> bool:
-    """State-snapshot probe: existence AND _SUCCESS. A snapshot dir
-    left by a crash mid-write (created, partial files, no marker) must
-    not be trusted — the replay re-derives state instead."""
+    """State-snapshot probe: existence AND a commit marker (our
+    _COMMITTED, or _SUCCESS for snapshots written before the marker
+    existed). A snapshot dir left by a crash mid-write (created,
+    partial files, no marker) must not be trusted — the replay
+    re-derives state instead."""
     fs, hpath, _ = _hfs(spark, path)
-    return bool(fs.exists(hpath) and fs.exists(hpath.suffix("/_SUCCESS")))
+    return bool(fs.exists(hpath) and _committed(fs, hpath))
 
 
 def _versions(spark, side_path: str) -> list[int]:
-    """Committed (_SUCCESS-gated) snapshot versions, ascending."""
+    """Committed (marker-gated) snapshot versions, ascending."""
     fs, hside, _ = _hfs(spark, side_path)
     if not fs.exists(hside):
         return []
@@ -71,7 +92,7 @@ def _versions(spark, side_path: str) -> list[int]:
                 v = int(nm[1:])
             except ValueError:
                 continue
-            if fs.exists(st.getPath().suffix("/_SUCCESS")):
+            if _committed(fs, st.getPath()):
                 out.append(v)
     return sorted(out)
 
@@ -101,14 +122,19 @@ def _gc_versions(
                 pass
 
 
-def _stream_token(checkpoint: str | None) -> str:
+def _stream_token(spark, checkpoint: str | None) -> str:
     """Stable per-stream file-name token: replays of a checkpointed
     stream must reuse the SAME (token, batch_id) keys for idempotent
     appends, while distinct streams targeting one table must not
-    collide. Without a checkpoint a replay cannot happen, so a random
-    token is safe."""
+    collide. The checkpoint path is Hadoop-qualified first so spelling
+    variants of one location ('/chk', '/chk/', 'file:///chk') hash to
+    one token — a raw-string hash would give a restart under a variant
+    spelling a fresh token and re-append the replayed batch. Without a
+    checkpoint a replay cannot happen, so a random token is safe."""
     if checkpoint:
-        return hashlib.md5(checkpoint.encode()).hexdigest()[:8]
+        fs, hpath, _ = _hfs(spark, checkpoint)
+        qualified = fs.makeQualified(hpath).toString()
+        return hashlib.md5(qualified.encode()).hexdigest()[:8]
     return uuid.uuid4().hex[:8]
 
 
@@ -145,9 +171,11 @@ def _idempotent_append(
         if not fs.rename(P(f"{scratch}/{nm}"), P(f"{target}/{prefix}{i:05d}.parquet")):
             raise IOError(f"rename failed moving {nm} into {target}")
     fs.delete(P(scratch), True)
-    staging = P(f"{target}_staging")
-    if fs.exists(staging) and len(fs.listStatus(staging)) == 0:
-        fs.delete(staging, True)
+    # the {target}_staging PARENT is deliberately left in place: it is
+    # shared by every stream writing this table, and an exists-then-
+    # delete of an "empty" parent races a concurrent stream creating
+    # its scratch dir inside it (the delete would yank that stream's
+    # in-flight write out from under it)
 
 
 def append_stream(
@@ -195,7 +223,7 @@ def append_stream(
     it by definition), so batch maxes are folded from the RAW batch —
     the join lineage is not recomputed for state maintenance."""
     side_path = (maxes_path or target_path.rstrip("/") + "_maxes").rstrip("/")
-    token = _stream_token(checkpoint)
+    token = _stream_token(stream_df.sparkSession, checkpoint)
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -223,7 +251,7 @@ def append_stream(
                 old = current.agg(F.max(ts_col).alias("_maxts")).filter(
                     F.col("_maxts").isNotNull()
                 )
-            old.coalesce(8).write.mode("overwrite").parquet(pre_path)
+            _write_snapshot(spark, old, pre_path)
             old = spark.read.parquet(pre_path)
         else:
             old = None
@@ -261,7 +289,7 @@ def append_stream(
             new = bm if old is None else old.unionByName(bm).agg(
                 F.max("_maxts").alias("_maxts")
             ).filter(F.col("_maxts").isNotNull())
-        new.coalesce(8).write.mode("overwrite").parquet(f"{side_path}/v{batch_id}")
+        _write_snapshot(spark, new, f"{side_path}/v{batch_id}")
         # GC: keep the snapshot just read (crash fallback) + new; this
         # batch's pre snapshot survives until the NEXT batch's GC
         keep = {batch_id} | ({usable[-1]} if usable else set())
@@ -574,7 +602,7 @@ def near_dedup_stream(
 
     side_path = state_path or f"{target_path.rstrip('/')}_buckets"
     sig_cols = [f"mh_{k}" for k in range(num_hashes)]
-    token = _stream_token(checkpoint)
+    token = _stream_token(stream_df.sparkSession, checkpoint)
 
     def _hubs(bb: DataFrame, sigs: DataFrame) -> DataFrame:
         """One row per (band, bucket): the minimum-id occupant and its
@@ -613,7 +641,7 @@ def near_dedup_stream(
                 existing, text_col=text_col, id_col=id_col, num_hashes=num_hashes
             )
             ebb = D.band_buckets(esigs, id_col, num_hashes, bands)
-            _hubs(ebb, esigs).write.mode("overwrite").parquet(pre_path)
+            _write_snapshot(spark, _hubs(ebb, esigs), pre_path)
             seen = spark.read.parquet(pre_path)
         else:
             seen = None
@@ -671,7 +699,7 @@ def near_dedup_stream(
                 seen.select("band", "bucket"), ["band", "bucket"], "left_anti"
             )
             new = seen.unionByName(fresh)
-        new.write.mode("overwrite").parquet(f"{side_path}/v{batch_id}")
+        _write_snapshot(spark, new, f"{side_path}/v{batch_id}")
         sigs.unpersist()
         bb.unpersist()
         keep = {batch_id} | ({usable[-1]} if usable else set())

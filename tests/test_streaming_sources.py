@@ -728,8 +728,10 @@ def test_idempotent_append_replaces_batch_output(spark):
         # replay with different row distribution still replaces whole
         _idempotent_append(spark, spark.range(3), tgt, "batch-tok-1-")
         assert spark.read.parquet(tgt).count() == 13
-        # no scratch dir left behind
-        assert not os.path.exists(tgt + "_staging")
+        # per-batch scratch dirs are cleaned up (the shared _staging
+        # parent is deliberately kept: deleting it would race another
+        # stream's in-flight scratch write)
+        assert os.listdir(tgt + "_staging") == []
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
