@@ -62,6 +62,50 @@ def brute_force_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = round(x_i / scale) ∈ [-127, 127] stored as array<tinyint> —
+    4-8x smaller than float32/float64 on disk and across shuffles,
+    and at 100 TB the embedding column IS the IO bill. Cosine is
+    scale-invariant, so similarity ranking over the int8 codes equals
+    ranking over the dequantized vectors exactly; the quantization
+    error only perturbs the scores themselves (bounded by scale/2 per
+    component). Zero vectors quantize to zeros with scale 0. Pure
+    Column expressions (transform/array_max) — no UDF, no shuffle."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint"))
+    )
+    return df.withColumn(scale_col, scale.cast("double")).withColumn(q_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of quantize_embeddings: x̂_i = q_i * scale (array of
+    doubles). round(x/s)*s is the value the oracles recompute, so
+    quantized similarity legs stay engine-exact (integer products and
+    sums are exact in doubles at this range)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)
+        ),
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).tolist()

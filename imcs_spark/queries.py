@@ -943,6 +943,11 @@ def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_cosine",
+    # two legs: 'exact' — float cosine top-5 — and 'q8' — the same
+    # top-5 over symmetric per-vector int8 quantization (round(x/s)*s,
+    # s = max|x|/127), the 100 TB storage path. The oracle recomputes
+    # the quantizer in SQL; integer-valued products/sums are exact in
+    # doubles, so the q8 scores are engine-identical by construction.
     oracle="""
 WITH q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
@@ -954,9 +959,31 @@ WITH q AS (
   SELECT query_id, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
   FROM scored
+), qv AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS s,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), dq AS (
+  SELECT vec_id,
+         CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+              ELSE list_transform(v, x -> round(x / s) * s) END AS v
+  FROM qv
+), scored8 AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         LIST_COSINE_SIMILARITY(e.v, q.v) AS cos
+  FROM dq e, dq q WHERE q.vec_id < 3
+), ranked8 AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+  FROM scored8
 )
-SELECT query_id, vec_id, ROUND(cos, 4) AS cosine, CAST(rn AS INT) AS rank
+SELECT 'exact' AS method, query_id, vec_id, ROUND(cos, 4) AS cosine,
+       CAST(rn AS INT) AS rank
 FROM ranked WHERE rn <= 5
+UNION ALL
+SELECT 'q8', query_id, vec_id, ROUND(cos, 4), CAST(rn AS INT)
+FROM ranked8 WHERE rn <= 5
 """,
 )
 def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,11 +993,23 @@ def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = similarity.brute_force_topk(emb, queries_df, k=5)
-    return out.select(
+    exact = similarity.brute_force_topk(emb, queries_df, k=5).select(
+        F.lit("exact").alias("method"),
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
     )
+    dq = similarity.dequantize_embeddings(
+        similarity.quantize_embeddings(emb)
+    ).select("vec_id", "embedding")
+    dq_queries = dq.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    q8 = similarity.brute_force_topk(dq, dq_queries, k=5).select(
+        F.lit("q8").alias("method"),
+        "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return exact.unionByName(q8)
 
 
 # Shared CTE prefix replicating shingle_hashes' semantics in SQL: word
