@@ -1460,3 +1460,39 @@ def test_quantize_embeddings_roundtrip(spark):
         for r in S.brute_force_topk(dq, dqq, k=3).collect()
     }
     assert got == exact
+
+
+def test_jpeg_lossless_fuzz_soak():
+    """Seeded fuzz over the lossless codec's parameter space: random
+    shapes x predictors x precisions x restart intervals x point
+    transforms, every trip bit-exact (after the documented pt / deep-
+    precision reductions)."""
+    import numpy as np
+
+    from imcs_spark.pipeline import jpeg
+
+    rng = np.random.RandomState(17)
+    for trial in range(40):
+        h = int(rng.randint(1, 24))
+        w = int(rng.randint(1, 24))
+        ncomp = int(rng.choice([1, 3]))
+        precision = int(rng.choice([2, 4, 8, 8, 8, 12, 16]))
+        predictor = int(rng.randint(1, 8))
+        pt = int(rng.randint(0, min(3, precision)))
+        ri = int(rng.choice([0, 0, 1, 3, 5, 11]))
+        shape = (h, w) if ncomp == 1 else (h, w, 3)
+        img = rng.randint(0, 1 << precision, shape).astype(np.int64)
+        enc = jpeg.encode_jpeg_lossless(
+            img, predictor=predictor, point_transform=pt,
+            precision=precision, restart_interval=ri,
+        )
+        got = jpeg.decode_jpeg(enc)
+        want = (img >> pt) << pt
+        if precision > 8:
+            want = want >> (precision - 8)
+        elif precision < 8:
+            want = want << (8 - precision)
+        want = np.clip(want, 0, 255).astype(np.uint8)
+        assert np.array_equal(got, want), (
+            trial, h, w, ncomp, precision, predictor, pt, ri,
+        )
