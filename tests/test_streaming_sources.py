@@ -784,3 +784,50 @@ def test_near_dedup_sim_gate_uses_true_hub(spark, monkeypatch):
         assert kept == {0, 1, 2}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_append_stream_without_success_markers(spark):
+    """With mapreduce.fileoutputcommitter.marksuccessfuljobs=false (a
+    common object-store tuning) Hadoop writes no _SUCCESS files; the
+    protocol must still see its own snapshots via its _COMMITTED
+    marker. Observable: batch 1 READS v0 instead of re-deriving state
+    from the target — the derive path would have written a v1pre
+    snapshot (which the corrected GC keeps until batch 2)."""
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = conf.get(key)
+    conf.set(key, "false")
+    tmp = tempfile.mkdtemp(prefix="imcs_nomark_")
+    target = os.path.join(tmp, "t")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "in")
+    try:
+        spark.createDataFrame(
+            [(1, 100, 1.0)], "id int, ts long, v double"
+        ).write.parquet(src)
+        stream = spark.readStream.schema("id int, ts long, v double").parquet(src)
+        q = append_stream(stream, target, "ts", "id", on_violation="drop", checkpoint=chk)
+        q.awaitTermination(120)
+        vdir = target + "_maxes/v0"
+        assert os.path.exists(vdir + "/_COMMITTED")
+        assert not os.path.exists(vdir + "/_SUCCESS")  # markers really off
+        # batch 1: one late row (dropped) + one fresh row
+        spark.createDataFrame(
+            [(1, 50, 9.0), (1, 200, 2.0)], "id int, ts long, v double"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("id int, ts long, v double").parquet(src)
+        q = append_stream(stream, target, "ts", "id", on_violation="drop", checkpoint=chk)
+        q.awaitTermination(120)
+        got = sorted(
+            r["ts"] for r in spark.read.parquet(target).collect()
+        )
+        assert got == [100, 200]  # late 50 dropped against the v0 state
+        # the snapshot was READ, not re-derived: no v1pre was created
+        assert not os.path.exists(target + "_maxes/v1pre")
+        assert os.path.exists(target + "_maxes/v1/_COMMITTED")
+    finally:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
+        shutil.rmtree(tmp, ignore_errors=True)
