@@ -41,10 +41,16 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    rank_decimals: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. The query side is broadcast —
     the corpus is never shuffled; per-corpus-partition partial top-k
-    then global top-k per query (rank-limit)."""
+    then global top-k per query (rank-limit). `rank_decimals` orders
+    by the ROUNDED cosine (ties broken by id) instead of the raw
+    double: cross-engine comparisons should use it so a 1-ULP
+    accumulation difference between engines at a top-k boundary
+    cannot flip the ranking — raw doubles stay the default for
+    in-engine use."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qv")
     ).withColumn("_qu", _unit("_qv")).drop("_qv")
@@ -52,8 +58,13 @@ def brute_force_topk(
         "_cu", _unit("_cv")
     ).drop("_cv")
     scored = c.join(F.broadcast(q)).withColumn("cosine", _dot("_cu", "_qu"))
+    rank_key = (
+        F.col("cosine")
+        if rank_decimals is None
+        else F.round("cosine", rank_decimals)
+    )
     w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
+        rank_key.desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -76,16 +87,23 @@ def quantize_embeddings(
     ranking over the dequantized vectors exactly; the quantization
     error only perturbs the scores themselves (bounded by scale/2 per
     component). Zero vectors quantize to zeros with scale 0. Pure
-    Column expressions (transform/array_max) — no UDF, no shuffle."""
+    Column expressions (transform/array_max) — no UDF, no shuffle.
+    The scale is materialized as its own column FIRST and the
+    transform lambda references that column: higher-order functions
+    are interpreted per element with no subexpression hoisting, so
+    embedding the array_max reduction inside the lambda would
+    recompute it for every component — O(d^2) per row on exactly the
+    column this operator exists to shrink."""
     v = F.col(vec_col)
     amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = amax / F.lit(127.0)
+    out = df.withColumn(scale_col, (amax / F.lit(127.0)).cast("double"))
+    s = F.col(scale_col)
     q = F.when(
-        amax == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+        s == 0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
     ).otherwise(
-        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint"))
+        F.transform(v, lambda x: F.round(x.cast("double") / s).cast("tinyint"))
     )
-    return df.withColumn(scale_col, scale.cast("double")).withColumn(q_col, q)
+    return out.withColumn(q_col, q)
 
 
 def dequantize_embeddings(

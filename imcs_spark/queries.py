@@ -946,14 +946,17 @@ def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two legs: 'exact' — float cosine top-5 — and 'q8' — the same
     # top-5 over symmetric per-vector int8 quantization (round(x/s)*s,
     # s = max|x|/127), the 100 TB storage path. The oracle recomputes
-    # the quantizer in SQL; integer-valued products/sums are exact in
-    # doubles, so the q8 scores are engine-identical by construction.
+    # the quantizer in SQL. BOTH engines rank by the 4-decimal-ROUNDED
+    # cosine with id tiebreaks: a 1-ULP accumulation difference
+    # between Spark's normalize-then-dot and DuckDB's
+    # LIST_COSINE_SIMILARITY at a top-5 boundary can otherwise flip
+    # the ranking nondeterministically at a new SF.
     oracle="""
 WITH q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
 ), scored AS (
   SELECT q.query_id, e.vec_id,
-         LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+         ROUND(LIST_COSINE_SIMILARITY(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
   FROM embeddings e, q
 ), ranked AS (
   SELECT query_id, vec_id, cos,
@@ -971,18 +974,18 @@ WITH q AS (
   FROM qv
 ), scored8 AS (
   SELECT q.vec_id AS query_id, e.vec_id,
-         LIST_COSINE_SIMILARITY(e.v, q.v) AS cos
+         ROUND(LIST_COSINE_SIMILARITY(e.v, q.v), 4) AS cos
   FROM dq e, dq q WHERE q.vec_id < 3
 ), ranked8 AS (
   SELECT query_id, vec_id, cos,
          ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
   FROM scored8
 )
-SELECT 'exact' AS method, query_id, vec_id, ROUND(cos, 4) AS cosine,
+SELECT 'exact' AS method, query_id, vec_id, cos AS cosine,
        CAST(rn AS INT) AS rank
 FROM ranked WHERE rn <= 5
 UNION ALL
-SELECT 'q8', query_id, vec_id, ROUND(cos, 4), CAST(rn AS INT)
+SELECT 'q8', query_id, vec_id, cos, CAST(rn AS INT)
 FROM ranked8 WHERE rn <= 5
 """,
 )
@@ -993,7 +996,9 @@ def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = similarity.brute_force_topk(emb, queries_df, k=5).select(
+    exact = similarity.brute_force_topk(
+        emb, queries_df, k=5, rank_decimals=4
+    ).select(
         F.lit("exact").alias("method"),
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),
@@ -1004,7 +1009,9 @@ def ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq_queries = dq.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    q8 = similarity.brute_force_topk(dq, dq_queries, k=5).select(
+    q8 = similarity.brute_force_topk(
+        dq, dq_queries, k=5, rank_decimals=4
+    ).select(
         F.lit("q8").alias("method"),
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"),
         F.col("rank").cast("int").alias("rank"),

@@ -50,14 +50,20 @@ def _data_exists(spark, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
-def _write_snapshot(spark, df, path: str, n_files: int = 8) -> None:
+def _write_snapshot(spark, df, path: str, n_files: int | None = 8) -> None:
     """Write a state snapshot and stamp the protocol's OWN commit
     marker (_COMMITTED). Snapshot reads must not depend on Hadoop's
     _SUCCESS alone: with mapreduce.fileoutputcommitter.marksuccessfuljobs
     =false (a common object-store tuning) _SUCCESS never appears and a
     marker-gated protocol would silently ignore every snapshot it
-    itself wrote — the replay protection would be inert."""
-    df.coalesce(n_files).write.mode("overwrite").parquet(path)
+    itself wrote — the replay protection would be inert.
+
+    n_files=8 suits small state (per-series maxes); pass None to keep
+    the plan's own parallelism for state that grows with the corpus
+    (the LSH bucket table) — coalesce(8) there would funnel the whole
+    reduce side through 8 tasks."""
+    w = df if n_files is None else df.coalesce(n_files)
+    w.write.mode("overwrite").parquet(path)
     fs, _, jvm = _hfs(spark, path)
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{path}/_COMMITTED"), True).close()
 
@@ -130,7 +136,13 @@ def _stream_token(spark, checkpoint: str | None) -> str:
     variants of one location ('/chk', '/chk/', 'file:///chk') hash to
     one token — a raw-string hash would give a restart under a variant
     spelling a fresh token and re-append the replayed batch. Without a
-    checkpoint a replay cannot happen, so a random token is safe."""
+    checkpoint a replay cannot happen, so a random token is safe.
+
+    Versioning note: any change to this keying (it previously hashed
+    the raw string) re-keys in-flight streams' file names, so a batch
+    that crashed pre-commit under the OLD keying replays under the new
+    one without replacing the old files — drain or checkpoint-commit
+    running streams before upgrading across a keying change."""
     if checkpoint:
         fs, hpath, _ = _hfs(spark, checkpoint)
         qualified = fs.makeQualified(hpath).toString()
@@ -236,8 +248,9 @@ def append_stream(
             # replay of a crashed attempt that had already persisted
             # this batch's pre-append state — use it, NOT the data
             # table (which may contain the failed attempt's own rows).
-            # _SUCCESS-gated: a pre dir from a crash mid-write means
-            # the append never ran, so re-deriving below is correct.
+            # Marker-gated (_COMMITTED/_SUCCESS): a pre dir from a
+            # crash mid-write means the append never ran, so
+            # re-deriving below is correct.
             old = spark.read.parquet(pre_path)
         elif _data_exists(spark, target_path):
             # first batch over a pre-existing table: derive the maxes
@@ -254,6 +267,22 @@ def append_stream(
             _write_snapshot(spark, old, pre_path)
             old = spark.read.parquet(pre_path)
         else:
+            # genuinely fresh target — persist an EMPTY pre snapshot
+            # before appending. Without it, a replay of a crashed
+            # first batch finds the target EXISTING (the failed
+            # attempt's own files) and the derive branch above builds
+            # state from the batch's own rows: 'drop' mode would then
+            # filter the replay against its own in-batch maxes
+            # (silently deleting rows) and 'error' mode would reject
+            # the batch forever. The empty snapshot routes the replay
+            # through the pre branch with the true (empty) state.
+            if id_col:
+                empty = batch.groupBy(id_col).agg(
+                    F.max(ts_col).alias("_maxts")
+                ).limit(0)
+            else:
+                empty = batch.agg(F.max(ts_col).alias("_maxts")).limit(0)
+            _write_snapshot(spark, empty, pre_path, n_files=1)
             old = None
         out = batch
         if old is not None:
@@ -641,9 +670,17 @@ def near_dedup_stream(
                 existing, text_col=text_col, id_col=id_col, num_hashes=num_hashes
             )
             ebb = D.band_buckets(esigs, id_col, num_hashes, bands)
-            _write_snapshot(spark, _hubs(ebb, esigs), pre_path)
+            _write_snapshot(spark, _hubs(ebb, esigs), pre_path, n_files=None)
             seen = spark.read.parquet(pre_path)
         else:
+            # fresh target: persist an EMPTY pre snapshot before the
+            # append (same reasoning as append_stream — without it, a
+            # replay of a crashed first batch would derive bucket
+            # state from the failed attempt's own kept docs, drop
+            # every replayed doc as a self-collision, and the
+            # idempotent replace would wipe the first batch from the
+            # dedup table)
+            _write_snapshot(spark, _hubs(bb, sigs).limit(0), pre_path, n_files=1)
             seen = None
 
         # (a) collisions against earlier batches
@@ -699,7 +736,7 @@ def near_dedup_stream(
                 seen.select("band", "bucket"), ["band", "bucket"], "left_anti"
             )
             new = seen.unionByName(fresh)
-        _write_snapshot(spark, new, f"{side_path}/v{batch_id}")
+        _write_snapshot(spark, new, f"{side_path}/v{batch_id}", n_files=None)
         sigs.unpersist()
         bb.unpersist()
         keep = {batch_id} | ({usable[-1]} if usable else set())

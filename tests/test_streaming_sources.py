@@ -831,3 +831,40 @@ def test_append_stream_without_success_markers(spark):
         else:
             conf.set(key, old)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_append_stream_fresh_target_replay(spark):
+    """Replay of a crashed FIRST batch over an initially-absent
+    target: the empty pre-snapshot written before the first append
+    routes the replay through the true (empty) state instead of
+    deriving maxes from the failed attempt's own files — which in
+    'drop' mode would silently delete every row behind its series'
+    in-batch max, and the idempotent replace would shrink the table."""
+    tmp = tempfile.mkdtemp(prefix="imcs_fresh_replay_")
+    target = os.path.join(tmp, "t")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "in")
+    try:
+        spark.createDataFrame(
+            [(1, 100, 1.0), (1, 200, 2.0)], "id int, ts long, v double"
+        ).write.parquet(src)
+        stream = spark.readStream.schema("id int, ts long, v double").parquet(src)
+        q = append_stream(stream, target, "ts", "id", on_violation="drop", checkpoint=chk)
+        q.awaitTermination(120)
+        assert spark.read.parquet(target).count() == 2
+        # the fresh-target empty pre-snapshot exists and is committed
+        assert os.path.exists(target + "_maxes/v0pre/_COMMITTED")
+        assert spark.read.parquet(target + "_maxes/v0pre").count() == 0
+        # simulate the crash window: post-snapshot written but
+        # checkpoint not committed -> replay = drop v0 + checkpoint
+        shutil.rmtree(chk)
+        shutil.rmtree(target + "_maxes/v0")
+        stream = spark.readStream.schema("id int, ts long, v double").parquet(src)
+        q = append_stream(stream, target, "ts", "id", on_violation="drop", checkpoint=chk)
+        q.awaitTermination(120)
+        # exactly-once: rows replaced, neither duplicated (4) nor
+        # self-filtered (1 - the derive-branch bug this test pins)
+        got = sorted(r["ts"] for r in spark.read.parquet(target).collect())
+        assert got == [100, 200]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
