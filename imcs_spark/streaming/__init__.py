@@ -85,15 +85,18 @@ def _snapshot_ok(spark, path: str) -> bool:
     return bool(fs.exists(hpath) and _committed(fs, hpath))
 
 
-def _versions(spark, side_path: str) -> list[int]:
-    """Committed (marker-gated) snapshot versions, ascending."""
+def _versions(spark, side_path: str, prefix: str = "v") -> list[int]:
+    """Committed (marker-gated) snapshot versions, ascending.
+    prefix 'v' = full snapshots; 'd' = delta versions (rows ADDED by
+    one batch, read as base-snapshot ∪ deltas — see near_dedup_stream's
+    state protocol)."""
     fs, hside, _ = _hfs(spark, side_path)
     if not fs.exists(hside):
         return []
     out = []
     for st in fs.listStatus(hside):
         nm = st.getPath().getName()
-        if nm.startswith("v") and not nm.endswith("pre"):
+        if nm.startswith(prefix) and not nm.endswith("pre"):
             try:
                 v = int(nm[1:])
             except ValueError:
@@ -126,6 +129,31 @@ def _gc_versions(
                     fs.delete(st.getPath(), True)
             except ValueError:
                 pass
+
+
+def _gc_deltas(spark, side_path: str, base: int | None, batch_id: int) -> None:
+    """Delete delta versions outside (base, batch_id]: deltas at or
+    below the base snapshot are folded into it (superseded); deltas
+    above batch_id cannot belong to a live stream (batch ids are
+    sequential — they only appear if a checkpoint was deleted while
+    the state dir was kept, the documented no-no, and deleting them is
+    the safe recovery). Deltas in (base, batch_id) are this batch's
+    crash fallback — a replay of batch_id re-reads base ∪ those deltas
+    — and are reclaimed only once a later compaction moves the base
+    past them."""
+    fs, hside, _ = _hfs(spark, side_path)
+    if not fs.exists(hside):
+        return
+    lo = base if base is not None else -1
+    for st in fs.listStatus(hside):
+        nm = st.getPath().getName()
+        if nm.startswith("d") and not nm.endswith("pre"):
+            try:
+                v = int(nm[1:])
+            except ValueError:
+                continue
+            if v <= lo or v > batch_id:
+                fs.delete(st.getPath(), True)
 
 
 def _stream_token(spark, checkpoint: str | None) -> str:
@@ -585,11 +613,21 @@ def near_dedup_stream(
     checkpoint: str | None = None,
     trigger_once: bool = True,
     state_path: str | None = None,
+    compact_every: int = 8,
+    keep_all_columns: bool = False,
 ) -> StreamingQuery:
     """Streaming NEAR-duplicate dedup — the streaming face of the batch
     MinHash/LSH pipeline (pipeline.dedup): keep a document only if none
     of its LSH band buckets has been occupied by an earlier document;
     survivors are appended to ``target_path``.
+
+    By default only (id_col, text_col) of each survivor are persisted
+    to the dedup table — the minimal near-dedup product, and what the
+    first-batch state derivation re-reads. ``keep_all_columns=True``
+    instead joins the kept ids back to the ORIGINAL batch rows so every
+    stream column survives (one extra broadcast-sized join per batch;
+    the state derivation over a pre-existing target still reads only
+    id+text).
 
     Greedy arrival-order semantics, matching batch
     ``minhash_dedup``'s candidate rule exactly: a document is dropped
@@ -604,24 +642,36 @@ def near_dedup_stream(
     without it, any collision drops (signature-level dedup, the
     standard streaming-ingest trade).
 
-    Scale design — no driver state, same versioned-side-table protocol
-    as :func:`append_stream`: the seen-bucket set lives in a parquet
-    side table ``{target}_buckets/v{batch_id}`` storing one row per
+    Scale design — no driver state, versioned-side-table protocol
+    shared with :func:`append_stream` plus DELTA versions: the
+    seen-bucket set lives in a parquet side table storing one row per
     occupied (band, bucket) with its hub id + full signature
     (num_hashes longs — the state a signature-verified near-dedup
     minimally needs). Each batch is one distributed join against it
-    (auto-broadcast while small); the post-batch snapshot is
-    ``old ∪ batch-hubs → first occupant per bucket``. Crash-replay
-    safe: only committed (_SUCCESS-gated) snapshots with version <
-    batch_id are read, the first batch over a pre-existing target
-    derives + persists the pre-append state before writing
-    (``v{batch_id}pre``, reclaimed only by the NEXT batch's GC), and
-    the data append itself is idempotent — each batch's rows land
-    under deterministic file names keyed by (checkpoint, batch_id), so
-    a replay replaces its own output instead of appending duplicate
-    rows into the deduplicated table (do not delete the checkpoint
-    while keeping the target: that restarts batch numbering and
-    reuses the keys). State grows
+    (auto-broadcast while small). State maintenance is **O(batch), not
+    O(corpus)**: a batch writes only its NEWLY-occupied cells as a
+    delta version (``{state}/d{batch_id}``) and readers take
+    ``base snapshot ∪ deltas`` — cells are disjoint across versions
+    because each delta was anti-joined against the state it was built
+    on, so the union IS the state, no merge needed. Every
+    ``compact_every`` batches the union is rewritten as a full
+    snapshot (``v{batch_id}``) and superseded versions are GC'd, so
+    read fan-in stays bounded at ``compact_every`` files while a small
+    late micro-batch never rewrites a corpus-scale table (the per-batch
+    state I/O is proportional to the batch's new cells; compaction
+    cost amortizes to corpus/compact_every per batch).
+
+    Crash-replay safe: only committed (_COMMITTED/_SUCCESS-gated)
+    versions with version < batch_id are read, the first batch over a
+    pre-existing target derives + persists the pre-append state before
+    writing (``v{batch_id}pre``, reclaimed only by the NEXT batch's
+    GC), delta writes are overwrite-mode (a replayed batch replaces
+    its own delta), and the data append itself is idempotent — each
+    batch's rows land under deterministic file names keyed by
+    (checkpoint, batch_id), so a replay replaces its own output
+    instead of appending duplicate rows into the deduplicated table
+    (do not delete the checkpoint while keeping the target: that
+    restarts batch numbering and reuses the keys). State grows
     with the distinct-bucket count of the corpus — content dedup has
     no time locality to evict by, the same trade as global
     dropDuplicates (use dedup_stream's watermarked digest variant when
@@ -650,6 +700,7 @@ def near_dedup_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        full_batch = batch
         batch = batch.select(id_col, text_col)
         sigs = D.minhash_signatures(
             batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes
@@ -657,9 +708,17 @@ def near_dedup_stream(
         bb = D.band_buckets(sigs, id_col, num_hashes, bands).persist()
         versions = _versions(spark, side_path)
         usable = [v for v in versions if v < batch_id]
+        deltas = (
+            [d for d in _versions(spark, side_path, "d") if usable[-1] < d < batch_id]
+            if usable
+            else []
+        )
         pre_path = f"{side_path}/v{batch_id}pre"
         if usable:
-            seen = spark.read.parquet(f"{side_path}/v{usable[-1]}")
+            seen = spark.read.parquet(
+                f"{side_path}/v{usable[-1]}",
+                *[f"{side_path}/d{d}" for d in deltas],
+            )
         elif _snapshot_ok(spark, pre_path):
             seen = spark.read.parquet(pre_path)
         elif _data_exists(spark, target_path):
@@ -724,23 +783,44 @@ def near_dedup_stream(
         drops = drop_in if drop_prev is None else drop_prev.unionByName(drop_in).distinct()
 
         kept = batch.join(drops, id_col, "left_anti")
+        if keep_all_columns:
+            kept = full_batch.join(kept.select(id_col), id_col, "left_semi")
         _idempotent_append(spark, kept, target_path, f"batch-{token}-{batch_id}-")
 
         # post-batch state: earlier occupants win their cells; new
-        # cells take this batch's min-id occupant
+        # cells take this batch's min-id occupant. O(batch) path:
+        # write ONLY the fresh cells as a delta; compact the union to
+        # a full snapshot every `compact_every` batches (bounding the
+        # reader's file fan-in) or when no base snapshot exists yet.
         batch_hubs = _hubs(bb, sigs)
         if seen is None:
-            new = batch_hubs
+            _write_snapshot(spark, batch_hubs, f"{side_path}/v{batch_id}", n_files=None)
+            keep = {batch_id}
+            base = None
         else:
             fresh = batch_hubs.join(
                 seen.select("band", "bucket"), ["band", "bucket"], "left_anti"
             )
-            new = seen.unionByName(fresh)
-        _write_snapshot(spark, new, f"{side_path}/v{batch_id}", n_files=None)
+            if usable and len(deltas) + 1 < compact_every:
+                _write_snapshot(spark, fresh, f"{side_path}/d{batch_id}")
+                keep = {usable[-1]}
+                base = usable[-1]
+            else:
+                # compaction (or first batch whose base was a pre/
+                # derived snapshot): one corpus-size write, amortized
+                # over compact_every delta-only batches. The old base
+                # + its deltas stay until the NEXT batch's GC — they
+                # are this batch's replay fallback.
+                _write_snapshot(
+                    spark, seen.unionByName(fresh), f"{side_path}/v{batch_id}",
+                    n_files=None,
+                )
+                keep = {batch_id} | ({usable[-1]} if usable else set())
+                base = usable[-1] if usable else None
         sigs.unpersist()
         bb.unpersist()
-        keep = {batch_id} | ({usable[-1]} if usable else set())
         _gc_versions(spark, side_path, versions, keep, batch_id)
+        _gc_deltas(spark, side_path, base, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:
