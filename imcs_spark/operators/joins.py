@@ -190,7 +190,10 @@ def asof_join_multi(
     the direction count for zero information gain.
 
     Output columns are named ``{col}_{direction}`` for each requested
-    right column. All requested directions must agree on the tie
+    right column; if the left frame already has a column with that
+    name, ``_right`` is appended (same collision convention as
+    asof_join — silently overwriting a left column would corrupt the
+    caller's frame). All requested directions must agree on the tie
     ordering at equal timestamps: with strict=False that is
     {'backward', 'nearest'}, with strict=True {'forward', 'nearest'}
     (the reference's cs_asof_join tie rule is backward-inclusive,
@@ -224,7 +227,8 @@ def asof_join_multi(
                 val = F.when(ok, val)
             if filler is not None:
                 val = F.coalesce(val, F.lit(filler))
-            out = out.withColumn(f"{c}_{d}", val)
+            name = f"{c}_{d}" if f"{c}_{d}" not in left.columns else f"{c}_{d}_right"
+            out = out.withColumn(name, val)
     out = out.filter(F.col("_side") == lmark)
     drop = ["_side", "_rrow", "_browc", "_frowc"] + [f"_r_{c}" for c in payload] + (
         ["_bts", "_fts"] if used_nearest else []
@@ -357,30 +361,44 @@ def _global_asof_carry(
     """Scalable GLOBAL as-of carries (no by-keys): Window.orderBy with
     no partitioning executes as Exchange SinglePartition — the whole
     union through ONE task, the exact hazard every other global
-    operator here avoids. Instead: range-partition by the order, run
-    the backward/forward carries per partition (parallel), and stitch
-    partition boundaries with an O(P) carry — the last right-row
-    struct of every earlier partition / first of every later one —
-    computed over a P-row frame and broadcast back. The same
+    operator here avoids. Instead: bucket by deterministic range
+    bounds, run the backward/forward carries per bucket (parallel),
+    and stitch bucket boundaries with an O(P) carry — the last
+    right-row struct of every earlier bucket / first of every later
+    one — computed over a P-row frame and broadcast back. The same
     partition-carry shape as windows.cum_agg_global.
 
-    The range-partitioned frame is persisted: RangePartitioner samples
-    per action, so the boundary pass and the main pass must share one
-    materialization (same contract as series.zip_with_global_pos).
-    Lifecycle: the cache lives until session end or LRU eviction
-    (spill-backed, so correctness is unaffected); callers that issue
-    many global as-ofs in a loop pass ``cache_out`` (a list) to receive
-    the persisted frame and unpersist it once their downstream action
-    has run — the same convention as zip_with_global_pos_and_total."""
+    The bucket id comes from series.range_bucket_expr — a pure
+    function of (ts, side) against literal bounds probed once — so the
+    boundary pass and the main pass agree on bucketing with NOTHING
+    persisted (the prior persist() both leaked storage until session
+    end and could not exist at a scale where the union exceeds the
+    cache). Bounds use the (ts, side) prefix only: rows tied on the
+    full order key share a (ts, side) value and therefore a bucket,
+    so bucket ranges still respect the total order. ``cache_out`` is
+    retained for API compatibility and ignored."""
+    del cache_out  # compat no-op — nothing is cached any more
+    from ..series import is_small_plan, range_bucket_expr
+
     ocols = [F.col(c) for c in order_cols]
-    part = (
-        out.repartitionByRange(*ocols)
-        .sortWithinPartitions(*ocols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    if cache_out is not None:
-        cache_out.append(part)
+    if is_small_plan(out):
+        # fits one task: a plain global window beats paying the probe
+        # + bounds job floors (Catalyst estimates err large, so only
+        # genuinely small unions take this branch)
+        w = Window.orderBy(*order_cols)
+        return out.withColumn(
+            "_browc",
+            F.last("_rrow", ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).withColumn(
+            "_frowc",
+            F.first("_rrow", ignorenulls=True).over(
+                w.rowsBetween(0, Window.unboundedFollowing)
+            ),
+        )
+    pid_expr, _n = range_bucket_expr(out, ["_ts", "_side"])
+    part = out.withColumn("_pid", pid_expr)
     ordkey = F.when(F.col("_rrow").isNotNull(), F.struct(*ocols))
     bounds = part.groupBy("_pid").agg(
         F.max_by("_rrow", ordkey).alias("_plast"),

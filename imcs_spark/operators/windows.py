@@ -281,28 +281,29 @@ def recurrences(
 # pattern the reference could not express (its fallback was running
 # non-context-free ops single-threaded, imcs.c:1886-1908).
 #
-# Every scheme here runs TWO actions over the same range-shuffled frame
-# (a tiny carry/count/tail pass, then the apply pass). RangePartitioner
-# seeds its reservoir sample from the RDD id, which differs per action,
-# so the frame MUST be persisted before the first action — otherwise the
-# two actions could pick different range boundaries and the carries
-# would be applied to the wrong rows. _range_by_pos centralizes that.
+# Every scheme here runs TWO actions over the same bucketed frame (a
+# tiny carry/count/tail pass, then the apply pass). The bucket id is a
+# deterministic pure function of pos (series.range_bucket_expr: literal
+# range bounds probed once, balanced CASE tree), so both actions agree
+# on bucketing with NOTHING persisted — the prior design froze a
+# repartitionByRange via persist(), which leaked a corpus-scale cache
+# entry per call and could not work where the series exceeds the
+# storage pool. _range_by_pos centralizes that.
 # ---------------------------------------------------------------------------
 def _range_by_pos(df: DataFrame, pos_col: str, num_partitions: int | None) -> DataFrame:
-    """Range-partition + persist the series frame the global carry
-    paths read twice (local cumulate + per-partition totals). The
-    persist is REQUIRED for correctness: both reads must see the same
-    partition boundaries or the broadcast carries misalign. Lifecycle:
-    the cache lives until Spark's LRU evicts it (spill-backed, same
-    per-application loaded-store model as Engine table persists);
-    callers chaining many one-shot global ops over DIFFERENT series can
-    reclaim storage early with spark.catalog.clearCache()."""
-    part = (
-        df.repartitionByRange(num_partitions, pos_col)
-        if num_partitions
-        else df.repartitionByRange(pos_col)
-    ).sortWithinPartitions(pos_col)
-    return part.withColumn("_pid", F.spark_partition_id()).persist()
+    """Tag the series frame with a deterministic range-bucket id
+    ``_pid`` that every downstream job recomputes identically (local
+    cumulate + per-partition totals never disagree on boundaries).
+    Nothing is persisted; the totals pass prunes to the columns it
+    aggregates. Small inputs (Catalyst size estimate) take a single
+    constant bucket — the probe job is pure overhead where one task
+    handles the series anyway."""
+    from ..series import is_small_plan, range_bucket_expr
+
+    if is_small_plan(df):
+        return df.withColumn("_pid", F.lit(0))
+    pid_expr, _n = range_bucket_expr(df, [pos_col], num_partitions)
+    return df.withColumn("_pid", pid_expr)
 
 
 def cum_agg_global(
@@ -650,7 +651,11 @@ def _ewm_global(
 
     pid = _range_by_pos(df, pos_col, num_partitions)
     local = _recurrence_apply(
-        pid, ["_pid"], val_col, {"_l": kernel}, pos_col, pre_partitioned=True
+        # pre_partitioned=False: _pid is now a logical column (literal
+        # range buckets), not a physical layout — the recurrence pass
+        # must hash-shuffle by it; this is the path's ONE data shuffle
+        # (the old design's range shuffle moved the same volume)
+        pid, ["_pid"], val_col, {"_l": kernel}, pos_col
     )
     w = Window.partitionBy("_pid").orderBy(pos_col)
     local = local.withColumn("_k", F.row_number().over(w) - 1)
@@ -726,9 +731,13 @@ def atr_global(
         return df.withColumn(out_col, F.col(val_col).cast("double"))
     warm_src = df.filter(F.col(pos_col) < n - 1)
     rest_src = df.filter(F.col(pos_col) >= n - 1)
+    # no persist: the warm region is bounded by the window parameter
+    # (n-1 rows) and _recurrence_apply is deterministic, so the carry
+    # probe and the final union may recompute it — cheaper than
+    # leaking a cache entry per call
     warm = _recurrence_apply(
         warm_src, None, val_col, {out_col: _atr_kernel(n)}, pos_col
-    ).persist()
+    )
     carry_row = warm.agg(F.max_by(out_col, pos_col).alias("_c")).collect()[0]
     carry = carry_row["_c"]
     if carry is None:

@@ -1305,14 +1305,20 @@ UNION ALL
 SELECT 'ivf', CAST(q AS BIGINT),
        -- per-SF pins (the ivf centroid training is not accumulation-
        -- order reproducible in SQL, so its recall is a deterministic
-       -- measured integer per corpus): sf0.1 has 2000 embeddings;
-       -- sf0.001 and sf0.01 both have 500, distinguished by a
-       -- first-component checksum; sf0.01 (the driver gate) is the
-       -- ELSE default, exactly the previous behavior
+       -- measured integer per corpus): every known corpus is matched
+       -- POSITIVELY by (row count, first-component checksum) — sf0.1
+       -- (2000, 1.531), sf0.001 (500, -1.464), sf0.01 (500, 1.082);
+       -- an unknown corpus falls through to -1, an impossible recall,
+       -- so a future SF mismatches LOUDLY instead of silently reusing
+       -- the sf0.01 pin
        CAST(CASE
-         WHEN (SELECT COUNT(*) FROM embeddings) = 2000 THEN r10
-         WHEN (SELECT ROUND(SUM(embedding[1]), 3) FROM embeddings) = -1.464 THEN r001
-         ELSE r01 END AS INTEGER)
+         WHEN (SELECT COUNT(*) FROM embeddings) = 2000
+          AND (SELECT ROUND(SUM(embedding[1]), 3) FROM embeddings) = 1.531 THEN r10
+         WHEN (SELECT COUNT(*) FROM embeddings) = 500
+          AND (SELECT ROUND(SUM(embedding[1]), 3) FROM embeddings) = -1.464 THEN r001
+         WHEN (SELECT COUNT(*) FROM embeddings) = 500
+          AND (SELECT ROUND(SUM(embedding[1]), 3) FROM embeddings) = 1.082 THEN r01
+         ELSE -1 END AS INTEGER)
 FROM (VALUES (0, 2, 4, 2), (1, 3, 3, 3), (2, 4, 2, 5)) AS t(q, r01, r001, r10)
 """
 
@@ -1470,9 +1476,12 @@ FROM (
   -- per-SF pins (HLL++ estimates depend on Spark-internal constants
   -- not reproducible in SQL; the computed hll128 legs above are the
   -- cross-engine check): measured 15 / 151 / 1400 at the 1k / 10k /
-  -- 100k-row events corpora, keyed by the corpus row count
+  -- 100k-row events corpora, keyed POSITIVELY by the corpus row
+  -- count; an unknown corpus yields -1 (impossible) so a future SF
+  -- mismatches loudly instead of silently reusing the sf0.01 pin
   SELECT a, k, CASE (SELECT COUNT(*) FROM events)
-               WHEN 1000 THEN n001 WHEN 100000 THEN n10 ELSE n END AS n
+               WHEN 1000 THEN n001 WHEN 100000 THEN n10
+               WHEN 10000 THEN n ELSE -1 END AS n
   FROM (VALUES ('hllpp', 'click', 151, 15, 1400),
                ('hllpp', 'error', 151, 15, 1400),
                ('hllpp', 'purchase', 151, 15, 1400),

@@ -10,11 +10,13 @@ an explicit ``pos`` column:
   ``row_number() over (partition by id order by ts) - 1`` — fully
   parallel, no global shuffle bottleneck; this is the common case at
   100 TB (millions of independent series).
-- global (one giant series): a two-pass partition-offset scheme — range
-  partition by the order key, count rows per partition (tiny agg),
-  broadcast cumulative offsets, and add them to the partition-local
-  index carried by ``monotonically_increasing_id``. All JVM-side; no
-  single-partition window, so it scales to arbitrarily long series.
+- global (one giant series): a two-pass partition-offset scheme —
+  deterministic range buckets (literal bounds probed once, see
+  :func:`range_bucket_expr`), count rows per bucket (tiny agg over
+  pruned key columns), broadcast cumulative offsets, and add them to
+  the bucket-local row_number. All JVM-side; no single-partition
+  window and NOTHING persisted, so it scales to arbitrarily long
+  series.
 
 Convention used by every operator in this package: a *series frame* is a
 DataFrame carrying ``pos`` (long, 0-based, dense per series) plus value
@@ -33,8 +35,40 @@ from pyspark.sql import types as T
 POS = "pos"
 VAL = "val"
 
-# monotonically_increasing_id() = (partition_id << 33) | partition-local index
-_MID_LOCAL_MASK = (1 << 33) - 1
+# range_bucket_expr caps its literal cut-point list so plan size stays
+# bounded when the probe runs at many-thousand shuffle partitions
+_MAX_BUCKET_BOUNDS = 4096
+
+# Below this Catalyst size estimate a global series comfortably fits
+# one task: the global operators then skip the bounds probe and run a
+# plain single-partition window — zero extra jobs, which beats paying
+# two job floors (probe + counts) on inputs where parallelism buys
+# nothing. Estimates err LARGE (unknown stats report huge), so a
+# mis-estimate can only push work onto the scalable path.
+_SMALL_INPUT_BYTES = 64 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the frame — no job, one py4j call.
+    Unknown statistics return a huge default, so callers gating a
+    small-input fast path on this can only fail toward the scalable
+    plan."""
+    try:
+        # ANALYZED plan stats, not optimizedPlan(): analysis already ran
+        # when the DataFrame was built, while forcing the optimizer here
+        # would run a second full Catalyst pass per probe (measured
+        # ~15% on literal-heavy composite queries). Analyzed-plan
+        # estimates skip pushdown effects so they only err LARGER —
+        # the safe direction for a small-input gate. py4j maps the
+        # BigInt to a Python int in long range; str() covers any boxed
+        # JVM object form.
+        return int(str(df._jdf.queryExecution().analyzed().stats().sizeInBytes()))
+    except Exception:
+        return 1 << 62
+
+
+def is_small_plan(df: DataFrame) -> bool:
+    return plan_size_bytes(df) <= _SMALL_INPUT_BYTES
 
 
 def with_pos(
@@ -59,6 +93,78 @@ def with_pos(
     return df.withColumn(pos_col, F.row_number().over(w) - F.lit(1).cast("long"))
 
 
+def range_bucket_expr(
+    df: DataFrame,
+    order_by: Sequence[str],
+    num_partitions: int | None = None,
+):
+    """Deterministic range-bucket id as a PURE FUNCTION of the row's
+    order key. Probes the key distribution ONCE (range-partition a
+    projection of the key columns, collect each partition's minimum
+    key — one small eager job over pruned columns), then assigns each
+    row the count of literal bounds ≤ its key via a balanced
+    CASE-WHEN tree (log P comparisons evaluated per row; expression
+    size O(P)).
+
+    This replaces the repartitionByRange + spark_partition_id + persist
+    idiom everywhere a global operator needs TWO jobs to agree on
+    partition boundaries: RangePartitioner re-samples per action, so
+    consumers previously had to persist() the partitioned frame to
+    freeze one materialization — corpus-scale cache churn, and a
+    storage leak when nobody unpersisted (a 100 TB frame cannot be
+    cached at all). With literal bounds the bucket id is identical in
+    every job over the lineage, so nothing is pinned in the storage
+    layer and any number of passes stay consistent.
+
+    Ordering safety: Spark's struct comparison is a TOTAL order with
+    null fields placed first — exactly orderBy's null placement — so
+    bucket ranges respect the sort order even with null keys, and
+    rows with equal keys always share a bucket. Returns
+    (pid_column (int), n_buckets)."""
+    kcols = [f"_k{i}" for i in range(len(order_by))]
+    proj = df.select(*[F.col(c).alias(k) for c, k in zip(order_by, kcols)])
+    probe = (
+        proj.repartitionByRange(num_partitions, *kcols)
+        if num_partitions
+        else proj.repartitionByRange(*kcols)
+    )
+    rows = (
+        probe.withColumn("_p", F.spark_partition_id())
+        .groupBy("_p")
+        .agg(F.min(F.struct(*kcols)).alias("_k"))
+        .orderBy("_p")
+        .collect()
+    )
+    dtypes = [proj.schema[k].dataType for k in kcols]
+    bounds: list[tuple] = []
+    for r in rows[1:]:  # the first partition's min is not a cut point
+        t = tuple(r["_k"])
+        if not bounds or t != bounds[-1]:  # skew: drop duplicate cuts
+            bounds.append(t)
+    if len(bounds) > _MAX_BUCKET_BOUNDS:
+        # keep plan size bounded at extreme shuffle-partition counts:
+        # every k-th cut doubles-ish the bucket width, never correctness
+        step = -(-len(bounds) // _MAX_BUCKET_BOUNDS)
+        bounds = bounds[step - 1 :: step]
+    key = F.struct(*[F.col(c).alias(k) for c, k in zip(order_by, kcols)])
+
+    def blit(t):
+        return F.struct(
+            *[F.lit(v).cast(dt).alias(k) for v, dt, k in zip(t, dtypes, kcols)]
+        )
+
+    def tree(lo: int, hi: int):
+        # bucket index for key given sorted cut points bounds[lo:hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(key >= blit(bounds[mid]), tree(mid + 1, hi)).otherwise(
+            tree(lo, mid)
+        )
+
+    return tree(0, len(bounds)), len(bounds) + 1
+
+
 def zip_with_global_pos(
     df: DataFrame,
     order_by: Sequence[str],
@@ -73,7 +179,9 @@ def zip_with_global_pos(
       2. broadcast the cumulative offsets and add the partition-local
          index from ``monotonically_increasing_id``.
     """
-    out, _total = zip_with_global_pos_and_total(df, order_by, pos_col, num_partitions)
+    out, _total = zip_with_global_pos_and_total(
+        df, order_by, pos_col, num_partitions, need_total=False
+    )
     return out
 
 
@@ -84,38 +192,38 @@ def zip_with_global_pos_and_total(
     num_partitions: int | None = None,
     persist: bool = True,
     cache_out: list | None = None,
+    need_total: bool = True,
 ) -> tuple[DataFrame, int]:
     """zip_with_global_pos that also returns the total row count (known
     for free from the partition-count pass — saves callers a separate
     count job).
 
-    persist defaults to True and must stay True for correctness, not
-    just speed: RangePartitioner seeds its reservoir sampling from the
-    RDD id, which changes per action, so re-executing the lineage in
-    the counting job and the caller's job could pick DIFFERENT range
-    boundaries — rows would silently land in different partitions than
-    the ones the offsets were computed from. Persisting freezes one
-    materialization that both actions share. (persist=False exists only
-    for callers that immediately force and discard the result.)
+    Built on :func:`range_bucket_expr`: the bucket id is a pure
+    function of the row's key (literal range bounds probed once), so
+    the counting job and the caller's job agree on bucketing WITHOUT
+    persisting anything — the prior design froze a repartitionByRange
+    via persist() (RangePartitioner re-samples per action), which
+    leaked a corpus-scale cache entry per spine until session end and
+    could not work at a scale where the frame exceeds the storage
+    pool. The counting job touches only the key columns (Catalyst
+    prunes the scan); the position is offset[bucket] + row_number
+    within the bucket.
 
-    Cache lifecycle: the persisted spine lives in MEMORY_AND_DISK until
-    the session ends or the storage pool evicts it LRU (eviction spills
-    to disk first — correctness is unaffected, only re-read cost).
-    Callers that build MANY spines in a loop can pass ``cache_out`` (a
-    list) to receive the persisted frame and unpersist it once their
-    downstream action has run."""
+    ``persist`` and ``cache_out`` are retained for API compatibility
+    and ignored: nothing is persisted any more.
+
+    Small inputs (Catalyst size estimate under _SMALL_INPUT_BYTES)
+    skip the probe and run one single-partition window — no extra
+    jobs at all; with ``need_total=False`` (the zip_with_global_pos
+    wrapper) not even a count job runs."""
+    del persist, cache_out  # compat no-ops — nothing is cached
     spark = df.sparkSession
-    if num_partitions:
-        part = df.repartitionByRange(num_partitions, *order_by)
-    else:
-        part = df.repartitionByRange(*order_by)
-    part = part.sortWithinPartitions(*order_by)
-    mid = part.withColumn("_mid", F.monotonically_increasing_id())
-    mid = mid.withColumn("_pid", F.shiftright("_mid", 33))
-    if persist:
-        mid = mid.persist()
-        if cache_out is not None:
-            cache_out.append(mid)
+    if is_small_plan(df):
+        w = Window.orderBy(*order_by)
+        out = df.withColumn(pos_col, (F.row_number().over(w) - 1).cast("long"))
+        return out, (df.count() if need_total else -1)
+    pid_expr, _n = range_bucket_expr(df, list(order_by), num_partitions)
+    mid = df.withColumn("_pid", pid_expr)
     counts = (
         mid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).orderBy("_pid").collect()
     )
@@ -124,7 +232,8 @@ def zip_with_global_pos_and_total(
     for row in counts:
         offsets[row["_pid"]] = running
         running += row["_cnt"]
-    local = F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK))
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    local = (F.row_number().over(w) - 1).cast("long")
     max_pid = max(offsets, default=0)
     if max_pid < 4096:
         # The offsets are driver-known after the counting pass, and the
@@ -140,8 +249,8 @@ def zip_with_global_pos_and_total(
             *[F.lit(int(offsets.get(p, 0))) for p in range(max_pid + 1)]
         )
         out = (
-            mid.withColumn(pos_col, local + F.element_at(arr, F.col("_pid").cast("int") + 1))
-            .drop("_mid", "_pid")
+            mid.withColumn(pos_col, local + F.element_at(arr, F.col("_pid") + 1))
+            .drop("_pid")
         )
         return out, running
     offset_df = spark.createDataFrame(
@@ -150,7 +259,7 @@ def zip_with_global_pos_and_total(
     out = (
         mid.join(F.broadcast(offset_df), "_pid")
         .withColumn(pos_col, local + F.col("_offset"))
-        .drop("_mid", "_pid", "_offset")
+        .drop("_pid", "_offset")
     )
     return out, running
 

@@ -1496,3 +1496,47 @@ def test_jpeg_lossless_fuzz_soak():
         assert np.array_equal(got, want), (
             trial, h, w, ncomp, precision, predictor, pt, ri,
         )
+
+
+def test_rank_threshold_sampling_matches_topn(spark):
+    """For n above topn_merge_max the rank-threshold cut must return
+    EXACTLY the same rows as the plain top-n merge (deterministic-hash
+    selection is engine-recomputable either way), while keeping every
+    TakeOrderedAndProject in its plan far below n — the large-n draw
+    never funnels P*n rows through one task."""
+    from imcs_spark.pipeline import sample as S
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).cast("double").alias("w"),
+    )
+    n = 1200
+
+    # uniform
+    small_path = {r["doc_id"] for r in
+                  S.uniform_sample(docs, "doc_id", n).collect()}
+    cut = S.uniform_sample(docs, "doc_id", n, topn_merge_max=100)
+    cut_ids = {r["doc_id"] for r in cut.collect()}
+    assert cut_ids == small_path and len(cut_ids) == n
+    plan = cut._jdf.queryExecution().executedPlan().toString()
+    import re
+    limits = [int(m) for m in re.findall(r"TakeOrderedAndProject\s*\(limit=(\d+)", plan)]
+    assert limits and all(l < n / 2 for l in limits), (limits, n)
+
+    # weighted
+    wa = {r["doc_id"] for r in S.weighted_sample(docs, "doc_id", "w", n).collect()}
+    wcut = S.weighted_sample(docs, "doc_id", "w", n, topn_merge_max=100)
+    wb = {r["doc_id"] for r in wcut.collect()}
+    assert wa == wb and len(wb) == n
+    wplan = wcut._jdf.queryExecution().executedPlan().toString()
+    wlimits = [int(m) for m in re.findall(r"TakeOrderedAndProject\s*\(limit=(\d+)", wplan)]
+    assert wlimits and all(l < n / 2 for l in wlimits), (wlimits, n)
+
+    # degenerate edges: n >= corpus returns everything; n >= eligible
+    # population falls back to the top-n (ineligible -inf rows fill)
+    allr = S.uniform_sample(docs, "doc_id", 6000, topn_merge_max=100)
+    assert allr.count() == 5000
+    few = docs.withColumn("w", F.when(F.col("doc_id") < 50, F.col("w")))
+    fw = S.weighted_sample(few, "doc_id", "w", 200, topn_merge_max=100)
+    got = [r["doc_id"] for r in fw.collect()]
+    assert len(got) == 200 and all(i in got for i in range(50))

@@ -111,6 +111,7 @@ def test_global_asof_partition_carry(spark):
     import random
     import re
 
+    from imcs_spark import series as S
     from imcs_spark.operators import joins as J
 
     rng = random.Random(3)
@@ -122,25 +123,50 @@ def test_global_asof_partition_carry(spark):
     right = spark.createDataFrame(
         [(t, float(t) * 2) for t in rts], "ts long, rv double"
     )
-    for direction in ("backward", "forward", "nearest"):
-        for strict in (False, True):
-            g = J.asof_join(left, right, direction=direction, strict=strict)
-            k = J.asof_join(
-                left.withColumn("k", F.lit(1)),
-                right.withColumn("k", F.lit(1)),
-                by=["k"], direction=direction, strict=strict,
-            ).drop("k")
-            assert sorted(tuple(r) for r in g.collect()) == sorted(
-                tuple(r) for r in k.collect()
-            ), (direction, strict)
-    plan = _plan(J.asof_join(left, right))
-    # every SinglePartition exchange must feed a _pid-ordered window
-    # (the bounded carry frame), never the main data path
+    # force the SCALABLE branch: this input's accurate (tiny) Catalyst
+    # stats would otherwise take the single-task fast path, which is a
+    # plain window with nothing to verify here
+    small_prev = S._SMALL_INPUT_BYTES
+    S._SMALL_INPUT_BYTES = -1
+    try:
+        for direction in ("backward", "forward", "nearest"):
+            for strict in (False, True):
+                g = J.asof_join(left, right, direction=direction, strict=strict)
+                k = J.asof_join(
+                    left.withColumn("k", F.lit(1)),
+                    right.withColumn("k", F.lit(1)),
+                    by=["k"], direction=direction, strict=strict,
+                ).drop("k")
+                assert sorted(tuple(r) for r in g.collect()) == sorted(
+                    tuple(r) for r in k.collect()
+                ), (direction, strict)
+        # Plan shape with REAL range buckets: on this tiny input AQE
+        # coalesces the probe to one partition (zero bounds -> the
+        # bucket id folds to a constant and the window legitimately
+        # runs in one task — correct and adaptive); disable coalescing
+        # so the probe yields multiple buckets, the shape a large
+        # input sees.
+        prev = spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.enabled", "true"
+        )
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        try:
+            plan = _plan(J.asof_join(left, right))
+        finally:
+            spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    finally:
+        S._SMALL_INPUT_BYTES = small_prev
+    # the main window must be partitioned by the bucket id, and every
+    # SinglePartition exchange must feed a _pid-ordered window (the
+    # bounded P-row carry frame), never the main data path
+    assert re.search(r"windowspecdefinition\(_pid#\d+, _ts#", plan), plan
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "SinglePartition" in ln:
             ctx = "\n".join(lines[max(0, i - 3) : i])
-            assert "_pid" in ctx, f"unexpected SinglePartition:\n{ctx}"
+            assert "_pid" in ctx or "_plast" in ctx, (
+                f"unexpected SinglePartition:\n{ctx}"
+            )
 
 
 def test_asof_join_multi_one_pass_equivalence(spark):
@@ -248,3 +274,93 @@ def test_asof_tolerance(spark):
     assert [(r["rv_backward"], r["rv_nearest"]) for r in rows] == [
         (10.0, 10.0), (40.0, 40.0), (None, 100.0), (None, None)
     ]
+
+
+def test_global_paths_pin_no_storage(spark):
+    """The global as-of / stretch / spine / cum paths must leave NOTHING
+    in the storage layer after their consuming action: bucket ids are a
+    pure function of literal range bounds, so no persist() is needed to
+    keep multi-job boundary agreement (the old design leaked one cached
+    corpus-scale frame per call until session end)."""
+    from imcs_spark import series as S
+    from imcs_spark.operators import joins as J
+    from imcs_spark.operators import sorting, windows
+    from imcs_spark.series import zip_with_global_pos
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+
+    small_prev = S._SMALL_INPUT_BYTES
+    S._SMALL_INPUT_BYTES = -1  # force the scalable branches
+    try:
+        left = spark.range(2000).select(
+            (F.col("id") * 3).alias("ts"), (F.col("id") * 1.0).alias("lv")
+        )
+        right = spark.range(700).select(
+            (F.col("id") * 7).alias("ts"), (F.col("id") * 2.0).alias("rv")
+        )
+        J.asof_join(left, right, direction="backward").count()
+        J.asof_join(left, right, direction="nearest").count()
+        s = spark.range(3000).select(
+            F.col("id").alias("pos"), (F.col("id") % 13 * 1.0).alias("val")
+        )
+        zip_with_global_pos(
+            s.select(F.col("val").alias("v")), ["v"], pos_col="p"
+        ).count()
+        windows.cum_agg_global(s, "sum").count()
+        windows.moving_agg_global(s, "avg", 5).count()
+        windows.ema_global(s, 10).count()
+        sorting.sort(s).count()
+    finally:
+        S._SMALL_INPUT_BYTES = small_prev
+
+    after = jsc.getPersistentRDDs().size()
+    assert after == before, (
+        f"global paths leaked {after - before} persisted frames"
+    )
+
+
+def test_global_big_path_values_match_small_path(spark):
+    """Value equivalence of the scalable (bucketed-carry) global paths
+    against the single-task fast path on the same data — the fast path
+    is a plain window (trivially correct), so agreement proves the
+    bucket/offset/carry machinery, including duplicate order keys that
+    straddle bucket cuts."""
+    from imcs_spark import series as S
+    from imcs_spark.operators import windows
+
+    s = spark.range(5000).select(
+        F.col("id").alias("pos"),
+        (F.col("id") % 97 * 1.0).alias("val"),
+    )
+    dup = spark.range(4000).select(
+        (F.col("id") % 50 * 1.0).alias("v")  # heavy duplicate keys
+    )
+
+    def run_all():
+        zp = S.zip_with_global_pos(dup, ["v"], pos_col="p")
+        # with duplicate keys the pos is unique per row and ordered by v
+        zrows = zp.orderBy("p").collect()
+        cum = [r["cum_sum"] for r in
+               windows.cum_agg_global(s, "sum").orderBy("pos").collect()]
+        mov = [r["window_avg"] for r in
+               windows.moving_agg_global(s, "avg", 7).orderBy("pos").collect()]
+        ema = [r["ema"] for r in
+               windows.ema_global(s, 9).orderBy("pos").collect()]
+        return zrows, cum, mov, ema
+
+    small_prev = S._SMALL_INPUT_BYTES
+    S._SMALL_INPUT_BYTES = -1
+    try:
+        big = run_all()
+    finally:
+        S._SMALL_INPUT_BYTES = small_prev
+    small = run_all()
+
+    bz, bc, bm, be = big
+    sz, sc, sm, se = small
+    assert [r["p"] for r in bz] == [r["p"] for r in sz]
+    assert [r["v"] for r in bz] == [r["v"] for r in sz]
+    assert bc == sc
+    assert bm == pytest.approx(sm)
+    assert be == pytest.approx(se)
