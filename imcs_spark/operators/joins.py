@@ -217,6 +217,11 @@ def asof_join_multi(
         cache_out=cache_out,
     )
     used_nearest = False
+    taken: set[str] = set(left.columns)  # output names must not clash with
+    # the left frame OR with each other — a left frame already carrying
+    # '{c}_{d}_right', or two (col, direction) pairs canonicalizing to
+    # the same name, would otherwise be silently overwritten by
+    # withColumn; loop a numeric suffix until the name is free
     for d in directions:
         out, chosen, mts = _directional_values(out, d, payload)
         ok = _within_tolerance(mts, tolerance)
@@ -227,7 +232,14 @@ def asof_join_multi(
                 val = F.when(ok, val)
             if filler is not None:
                 val = F.coalesce(val, F.lit(filler))
-            name = f"{c}_{d}" if f"{c}_{d}" not in left.columns else f"{c}_{d}_right"
+            name = f"{c}_{d}"
+            if name in taken:
+                name = f"{c}_{d}_right"
+            i = 2
+            while name in taken:
+                name = f"{c}_{d}_right{i}"
+                i += 1
+            taken.add(name)
             out = out.withColumn(name, val)
     out = out.filter(F.col("_side") == lmark)
     drop = ["_side", "_rrow", "_browc", "_frowc"] + [f"_r_{c}" for c in payload] + (
@@ -376,7 +388,18 @@ def _global_asof_carry(
     cache). Bounds use the (ts, side) prefix only: rows tied on the
     full order key share a (ts, side) value and therefore a bucket,
     so bucket ranges still respect the total order. ``cache_out`` is
-    retained for API compatibility and ignored."""
+    a DEPRECATED no-op retained for API compatibility; passing it
+    warns."""
+    if cache_out is not None:
+        import warnings
+
+        warnings.warn(
+            "_global_asof_carry: `cache_out` is a deprecated no-op "
+            "(nothing is cached since the literal range-bucket "
+            "redesign); stop passing it",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     del cache_out  # compat no-op — nothing is cached any more
     from ..series import is_small_plan, range_bucket_expr
 

@@ -179,7 +179,7 @@ def quantile(
         from ..series import zip_with_global_pos_and_total
 
         s, total = zip_with_global_pos_and_total(
-            df, [val_col, POS], pos_col="_sidx", persist=True
+            df, [val_col, POS], pos_col="_sidx"
         )
         s = s.withColumn("_cnt", F.lit(total))
     slots = F.filter(

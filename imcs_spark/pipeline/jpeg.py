@@ -12,9 +12,10 @@ interleaved DC and non-interleaved AC data-unit ordering.
 ``progressive=True``) SOF2 multi-scan streams used to build test
 fixtures (the same role `encode_png` plays for the PNG path); the
 progressive/baseline pair must decode pixel-identically, which pins
-the two entropy coders against each other. Arithmetic-coded,
-hierarchical, lossless, and 12-bit streams raise NotImplementedError
-with the marker that triggered it.
+the two entropy coders against each other. Lossless (SOF3, any
+precision 2-16) and 12-bit extended-sequential (SOF1) streams decode
+too; arithmetic-coded and hierarchical streams raise
+NotImplementedError with the marker that triggered it.
 
 The decoder is table-driven — quantization and Huffman tables are read
 from the stream's DQT/DHT segments, never assumed — so round-trip
@@ -771,9 +772,11 @@ def decode_jpeg(content: bytes, max_blocks: int | None = None) -> np.ndarray:
     otherwise. Supports component sampling factors in {1, 2}, restart
     intervals, and the full progressive scan repertoire (spectral
     selection, successive approximation, DC/AC refinement scans, EOB
-    runs, interleaved DC / non-interleaved AC ordering). Arithmetic /
-    hierarchical / lossless / 12-bit streams raise
-    NotImplementedError naming the unsupported marker.
+    runs, interleaved DC / non-interleaved AC ordering), plus
+    lossless (SOF3, precision 2-16, reduced to uint8 on output) and
+    12-bit extended-sequential (SOF1) frames. Arithmetic-coded and
+    hierarchical streams raise NotImplementedError naming the
+    unsupported marker.
 
     ``max_blocks`` caps the declared coefficient-block count (see the
     SOF guard below); None reads IMCS_SPARK_JPEG_MAX_BLOCKS from this

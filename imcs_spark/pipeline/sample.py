@@ -62,11 +62,20 @@ def _threshold_select(
       boundary  c_lo <= order <= c_hi rank(c_hi) >= n -> small top-k
       rest      order > c_hi          can never be in the sample
 
-    The boundary holds O(eps*N) rows and supplies k = n - |body| <=
-    3*eps*N rows, both independent of n — the only TakeOrderedAndProject
-    left runs at that bounded size. Ties across the cutoff are a
-    non-issue for 48-bit hash ranks (and the deterministic key breaks
-    any that occur inside the boundary sort)."""
+    The boundary holds O(eps*N) = O(min(1e-3*N, 0.05*n)) rows — a
+    fixed 0.1%-of-corpus cap once n is large enough for it to bind,
+    otherwise ~5-15% of n: a ~7x reduction of the single-point merge,
+    not an absolute O(1) bound, but never proportional to N for large
+    draws. The only TakeOrderedAndProject left runs at that size.
+    Ties across the cutoff are a non-issue for 48-bit hash ranks (and
+    the deterministic key breaks any that occur inside the boundary
+    sort).
+
+    NULL order values sort FIRST in Spark's ascending orderBy, so the
+    small-n path selects them first; to agree exactly, the body filter
+    treats NULL as below every cutoff (comparison predicates alone
+    would evaluate null -> false and silently drop such rows, and
+    approxQuantile ignores nulls)."""
     if n >= n_total:
         return df
     q = n / n_total
@@ -74,7 +83,7 @@ def _threshold_select(
     c_lo, c_hi = df.stat.approxQuantile(
         order_col, [max(0.0, q - 2 * eps), min(1.0, q + 2 * eps)], eps
     )
-    below = df.filter(F.col(order_col) < c_lo)
+    below = df.filter(F.col(order_col).isNull() | (F.col(order_col) < c_lo))
     n_below = below.count()
     if n_below > n:
         # cannot happen under the rank guarantee; belt-and-braces

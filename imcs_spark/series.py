@@ -39,6 +39,26 @@ VAL = "val"
 # bounded when the probe runs at many-thousand shuffle partitions
 _MAX_BUCKET_BOUNDS = 4096
 
+# Session-scoped memo for range_bucket_expr probe results, keyed by
+# (semantic hash of the pruned key projection, num_partitions). A
+# composite query that calls several global operators over the SAME
+# frame (series_ops, table_ops, load_quotes) previously paid one probe
+# job per operator; with the memo it probes once. Staleness is
+# correctness-safe: the bucket id stays a pure function of the key and
+# consumers always recompute per-bucket counts/offsets fresh, so a
+# cached-but-outdated cut list can only unbalance buckets, never
+# misplace a row. Bounded FIFO so a long session can't grow it
+# unboundedly.
+_BOUNDS_CACHE: dict = {}
+_BOUNDS_CACHE_MAX = 256
+
+
+def clear_bounds_cache() -> None:
+    """Drop all memoized range-bucket probe results (tests; or after a
+    bulk rewrite of source files when re-balancing is desired)."""
+    _BOUNDS_CACHE.clear()
+
+
 # Below this Catalyst size estimate a global series comfortably fits
 # one task: the global operators then skip the bounds probe and run a
 # plain single-partition window — zero extra jobs, which beats paying
@@ -46,6 +66,18 @@ _MAX_BUCKET_BOUNDS = 4096
 # nothing. Estimates err LARGE (unknown stats report huge), so a
 # mis-estimate can only push work onto the scalable path.
 _SMALL_INPUT_BYTES = 64 << 20
+
+# For FILE sources Catalyst's sizeInBytes is the ON-DISK (compressed)
+# size, and parquet routinely compresses 3-10x — a "60 MB" frame can
+# decompress to GBs, which would wedge the single-task fast path. We
+# therefore derate the gate by a conservative decompression multiplier
+# (so the effective on-disk threshold is _SMALL_INPUT_BYTES / 8 = 8 MB)
+# on top of whatever spark.sql.sources.fileCompressionFactor the user
+# configured. Literal/Range plans (the common small case: seq(),
+# const_series, bounded slices) report uncompressed in-memory sizes and
+# sit in the KB range, so the derating never kicks them off the fast
+# path.
+_DECOMPRESSION_SAFETY = 8.0
 
 
 def plan_size_bytes(df: DataFrame) -> int:
@@ -68,7 +100,18 @@ def plan_size_bytes(df: DataFrame) -> int:
 
 
 def is_small_plan(df: DataFrame) -> bool:
-    return plan_size_bytes(df) <= _SMALL_INPUT_BYTES
+    """True when the frame is safely single-task-window sized. The
+    Catalyst estimate is derated by _DECOMPRESSION_SAFETY (times any
+    configured fileCompressionFactor) because file-source sizeInBytes
+    is compressed on-disk bytes — see the constant's comment."""
+    try:
+        conf_factor = float(
+            df.sparkSession.conf.get("spark.sql.sources.fileCompressionFactor", "1.0")
+        )
+    except Exception:
+        conf_factor = 1.0
+    factor = max(_DECOMPRESSION_SAFETY, conf_factor)
+    return plan_size_bytes(df) * factor <= _SMALL_INPUT_BYTES
 
 
 def with_pos(
@@ -120,32 +163,67 @@ def range_bucket_expr(
     null fields placed first — exactly orderBy's null placement — so
     bucket ranges respect the sort order even with null keys, and
     rows with equal keys always share a bucket. Returns
-    (pid_column (int), n_buckets)."""
+    (pid_column (int), n_buckets).
+
+    PRECONDITION (shared with every consumer of the bucket id): the
+    frame's lineage must be DETERMINISTIC across re-execution — the
+    probe job and the caller's job(s) each re-run the lineage, so a
+    nondeterministic source (F.rand / un-seeded sample / non-idempotent
+    read) can yield keys the probed cut list never saw. All in-repo
+    callers feed deterministic reads or pure hash columns. The memo
+    below is additionally stale-tolerant: cached cut points only steer
+    which bucket a key lands in, and counts/offsets are recomputed per
+    call, so even outdated bounds keep positions exact.
+
+    Tie skew: duplicate cut points are COLLAPSED (equal keys must share
+    a bucket for exactness), so a heavily-tied key — e.g. 99% of rows
+    carrying one value — degenerates toward a single giant bucket
+    handled by one task. That is unavoidable for exact global-order
+    semantics; callers whose key is supposed to be near-unique (hash
+    spines) are unaffected, and callers with naturally tied keys should
+    extend ``order_by`` with a deterministic tiebreaker column when
+    per-row order within ties is free (zip_with_global_pos does not,
+    because its window ordering must match the caller's key exactly).
+    """
     kcols = [f"_k{i}" for i in range(len(order_by))]
     proj = df.select(*[F.col(c).alias(k) for c, k in zip(order_by, kcols)])
-    probe = (
-        proj.repartitionByRange(num_partitions, *kcols)
-        if num_partitions
-        else proj.repartitionByRange(*kcols)
-    )
-    rows = (
-        probe.withColumn("_p", F.spark_partition_id())
-        .groupBy("_p")
-        .agg(F.min(F.struct(*kcols)).alias("_k"))
-        .orderBy("_p")
-        .collect()
-    )
     dtypes = [proj.schema[k].dataType for k in kcols]
-    bounds: list[tuple] = []
-    for r in rows[1:]:  # the first partition's min is not a cut point
-        t = tuple(r["_k"])
-        if not bounds or t != bounds[-1]:  # skew: drop duplicate cuts
-            bounds.append(t)
-    if len(bounds) > _MAX_BUCKET_BOUNDS:
-        # keep plan size bounded at extreme shuffle-partition counts:
-        # every k-th cut doubles-ish the bucket width, never correctness
-        step = -(-len(bounds) // _MAX_BUCKET_BOUNDS)
-        bounds = bounds[step - 1 :: step]
+    try:
+        memo_key = (
+            int(str(proj._jdf.queryExecution().analyzed().semanticHash())),
+            num_partitions,
+        )
+    except Exception:
+        memo_key = None
+    if memo_key is not None and memo_key in _BOUNDS_CACHE:
+        bounds = _BOUNDS_CACHE[memo_key]
+    else:
+        probe = (
+            proj.repartitionByRange(num_partitions, *kcols)
+            if num_partitions
+            else proj.repartitionByRange(*kcols)
+        )
+        rows = (
+            probe.withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .agg(F.min(F.struct(*kcols)).alias("_k"))
+            .orderBy("_p")
+            .collect()
+        )
+        bounds = []
+        for r in rows[1:]:  # the first partition's min is not a cut point
+            t = tuple(r["_k"])
+            if not bounds or t != bounds[-1]:  # skew: drop duplicate cuts
+                bounds.append(t)
+        if len(bounds) > _MAX_BUCKET_BOUNDS:
+            # keep plan size bounded at extreme shuffle-partition counts:
+            # every k-th cut doubles-ish bucket width, never correctness
+            step = -(-len(bounds) // _MAX_BUCKET_BOUNDS)
+            bounds = bounds[step - 1 :: step]
+        if memo_key is not None:
+            if len(_BOUNDS_CACHE) >= _BOUNDS_CACHE_MAX:
+                _BOUNDS_CACHE.pop(next(iter(_BOUNDS_CACHE)))
+            _BOUNDS_CACHE[memo_key] = bounds
     key = F.struct(*[F.col(c).alias(k) for c, k in zip(order_by, kcols)])
 
     def blit(t):
@@ -209,13 +287,34 @@ def zip_with_global_pos_and_total(
     prunes the scan); the position is offset[bucket] + row_number
     within the bucket.
 
-    ``persist`` and ``cache_out`` are retained for API compatibility
-    and ignored: nothing is persisted any more.
+    ``persist`` and ``cache_out`` are DEPRECATED no-ops kept for API
+    compatibility: nothing is persisted any more. Passing a
+    non-default value warns so callers stop relying on them.
 
-    Small inputs (Catalyst size estimate under _SMALL_INPUT_BYTES)
-    skip the probe and run one single-partition window — no extra
-    jobs at all; with ``need_total=False`` (the zip_with_global_pos
-    wrapper) not even a count job runs."""
+    PRECONDITION: the input lineage must be deterministic and the
+    order key a total order per the caller's semantics — the counting
+    job and the caller's job re-execute the lineage independently (the
+    old persist() froze one materialization; the literal-bounds design
+    instead relies on re-execution reproducing the same rows). A
+    nondeterministic upstream (F.rand, un-seeded sample, reads of
+    files being concurrently rewritten) can make offsets and
+    row_number disagree across actions. See range_bucket_expr.
+
+    Small inputs (Catalyst size estimate under _SMALL_INPUT_BYTES,
+    derated for file-source compression — see is_small_plan) skip the
+    probe and run one single-partition window — no extra jobs at all;
+    with ``need_total=False`` (the zip_with_global_pos wrapper) not
+    even a count job runs."""
+    if persist is not True or cache_out is not None:
+        import warnings
+
+        warnings.warn(
+            "zip_with_global_pos_and_total: `persist` and `cache_out` are "
+            "deprecated no-ops (nothing is cached since the literal "
+            "range-bucket redesign); stop passing them",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     del persist, cache_out  # compat no-ops — nothing is cached
     spark = df.sparkSession
     if is_small_plan(df):

@@ -82,3 +82,64 @@ def test_concat_integer_series_ids(spark, sf_dir):
     assert set(seen) == set(ids)
     first_block = seen[: seen.index(ids[1])] if ids[1] in seen else seen
     assert all(u == ids[0] for u in first_block)
+
+
+def test_sql_surface_matches_column_factories(spark):
+    """register_sql's SQL UDF bodies must stay semantically identical
+    to the Column factories (functions/elementwise.py) — compare both
+    surfaces over one probe frame, including the 0=Sunday wday shift,
+    epoch-week C-truncating division, ln semantics of cs_log, and the
+    money round-trip. Also pins that scalar cs_* INLINE (no
+    python-udf nodes in the plan)."""
+    import pyspark.sql.functions as F
+
+    from imcs_spark.functions import elementwise as E
+    from imcs_spark.sqlsurface import register_sql, register_views
+
+    register_sql(spark)
+    probe = spark.range(200).select(
+        (F.col("id") - 100).cast("double").alias("x"),
+        F.timestamp_seconds(F.col("id") * 86400 * 3 + 800_000_000).alias("t"),
+        F.format_string("s%d", F.col("id")).alias("s"),
+    )
+    register_views(spark, probe_sql=probe)
+    got = spark.sql("""
+        SELECT cs_iif(x > 0.0D, x, cs_neg(x)) AS absx,
+               cs_maxof(x, 1.0D) AS mx, cs_minof(x, 1.0D) AS mn,
+               cs_log(cs_sqrt(cs_abs(x) + 1.0D)) AS lg,
+               cs_wday(t) AS wd, cs_week(t) AS wk, cs_year(t) AS y,
+               cs_cat(s, '!') AS cat, cs_ilike(s, 'S1%') AS il,
+               cs_money2cents(cs_to_money(x)) AS cents
+        FROM probe_sql
+    """).orderBy("cat").collect()
+    want = probe.select(
+        E.iif(F.col("x") > 0, F.col("x"), E.neg("x")).alias("absx"),
+        E.maxof("x", F.lit(1.0)).alias("mx"),
+        E.minof("x", F.lit(1.0)).alias("mn"),
+        E.log(E.sqrt(E.abs("x") + F.lit(1.0))).alias("lg"),
+        E.wday("t").alias("wd"), E.week("t").alias("wk"),
+        E.year("t").alias("y"),
+        E.cat("s", F.lit("!")).alias("cat"),
+        E.ilike("s", "S1%").alias("il"),
+        E.money_to_cents(E.to_money("x")).alias("cents"),
+    ).orderBy("cat").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    plan = spark.sql(
+        "SELECT cs_iif(x > 0.0D, cs_sin(x), cs_floor(x)) AS v FROM probe_sql"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "python" not in plan.lower(), plan  # inlined, not a PythonUDF
+
+    # UDAF legs: cs_wavg == sum(w*v)/sum(w), cs_prd sign/zero rules
+    wavg = spark.sql(
+        "SELECT cs_wavg(CAST(id + 1 AS DOUBLE), CAST(id AS DOUBLE)) AS w "
+        "FROM range(10)"
+    ).first()["w"]
+    assert abs(wavg - sum((i + 1) * i for i in range(10)) / sum(i + 1 for i in range(10))) < 1e-12
+    prd = spark.sql(
+        "SELECT cs_prd(CAST(id - 2 AS DOUBLE)) AS p FROM range(2)"
+    ).first()["p"]
+    assert prd == 2.0  # (-2) * (-1): even negatives -> positive product
+    zero = spark.sql(
+        "SELECT cs_prd(CAST(id AS DOUBLE)) AS p FROM range(3)"
+    ).first()["p"]
+    assert zero == 0.0

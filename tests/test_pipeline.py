@@ -1540,3 +1540,24 @@ def test_rank_threshold_sampling_matches_topn(spark):
     fw = S.weighted_sample(few, "doc_id", "w", 200, topn_merge_max=100)
     got = [r["doc_id"] for r in fw.collect()]
     assert len(got) == 200 and all(i in got for i in range(50))
+
+
+def test_uniform_sample_null_keys_paths_agree(spark):
+    """NULL keys hash to a NULL rank; ascending orderBy puts nulls
+    FIRST, so the small-n path selects them first. The rank-threshold
+    path must agree — its body filter treats NULL as below every
+    cutoff (plain comparison predicates would silently drop them)."""
+    from imcs_spark.pipeline import sample as S
+
+    docs = spark.range(800).select(
+        F.when(F.col("id") % 40 != 0, F.col("id")).alias("doc_id")
+    )
+    n = 200
+    small_rows = S.uniform_sample(docs, "doc_id", n).collect()
+    cut_rows = S.uniform_sample(docs, "doc_id", n, topn_merge_max=50).collect()
+    assert len(small_rows) == n and len(cut_rows) == n
+    small = {r["doc_id"] for r in small_rows}
+    cut = {r["doc_id"] for r in cut_rows}
+    assert small == cut
+    # every NULL-keyed row (20 of them) sorts first and must be inside
+    assert None in small

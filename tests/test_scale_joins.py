@@ -151,6 +151,10 @@ def test_global_asof_partition_carry(spark):
         )
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         try:
+            # the equivalence loop above probed THIS union under
+            # coalescing and memoized its (empty) cut list; drop it so
+            # the re-probe sees the multi-bucket shape a large input has
+            S.clear_bounds_cache()
             plan = _plan(J.asof_join(left, right))
         finally:
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
@@ -364,3 +368,107 @@ def test_global_big_path_values_match_small_path(spark):
     assert bc == sc
     assert bm == pytest.approx(sm)
     assert be == pytest.approx(se)
+
+
+def test_range_bucket_bounds_memoized(spark):
+    """A second range_bucket_expr over a semantically identical key
+    projection must come from the session memo — no second probe job.
+    Proven by mutating the cached cut list and observing the returned
+    bucket count reflect the mutation (the memo, not a fresh probe,
+    fed the expression)."""
+    from imcs_spark import series as S
+
+    S.clear_bounds_cache()
+    df = spark.range(3000).select((F.col("id") % 777 * 1.0).alias("v"))
+    _, n1 = S.range_bucket_expr(df, ["v"], num_partitions=8)
+    assert len(S._BOUNDS_CACHE) == 1
+    key = next(iter(S._BOUNDS_CACHE))
+    # rebuild the same frame: same semantic hash -> cache hit
+    df2 = spark.range(3000).select((F.col("id") % 777 * 1.0).alias("v"))
+    S._BOUNDS_CACHE[key] = S._BOUNDS_CACHE[key][:1]  # truncate cuts
+    _, n2 = S.range_bucket_expr(df2, ["v"], num_partitions=8)
+    assert n2 == 2, (n1, n2)  # 1 remaining cut -> 2 buckets: memo was used
+    assert len(S._BOUNDS_CACHE) == 1
+    # stale (truncated) bounds must still place every row correctly:
+    # positions stay exactly 0..n-1 in key order
+    S._BOUNDS_CACHE[key] = S._BOUNDS_CACHE[key][:1]
+    small_prev = S._SMALL_INPUT_BYTES
+    S._SMALL_INPUT_BYTES = -1
+    try:
+        out = S.zip_with_global_pos(df2, ["v"], pos_col="p", num_partitions=8)
+        rows = out.orderBy("p").collect()
+    finally:
+        S._SMALL_INPUT_BYTES = small_prev
+        S.clear_bounds_cache()
+    assert [r["p"] for r in rows] == list(range(3000))
+    vs = [r["v"] for r in rows]
+    assert vs == sorted(vs)
+
+
+def test_global_pos_hot_key_tie_skew(spark):
+    """99%-one-value key: duplicate cut points collapse, so the hot key
+    degenerates to ONE bucket/task — documented tie-skew caveat. The
+    result must still be a dense 0..n-1 position honoring key order
+    (the hot block is contiguous), it just serializes that block."""
+    from imcs_spark import series as S
+
+    S.clear_bounds_cache()
+    n = 4000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 100 == 0, F.col("id") * 1.0)
+        .otherwise(F.lit(5e9))
+        .alias("v")
+    )
+    small_prev = S._SMALL_INPUT_BYTES
+    S._SMALL_INPUT_BYTES = -1
+    try:
+        out, total = S.zip_with_global_pos_and_total(
+            df, ["v"], pos_col="p", num_partitions=16
+        )
+        rows = out.orderBy("p").collect()
+    finally:
+        S._SMALL_INPUT_BYTES = small_prev
+        S.clear_bounds_cache()
+    assert total == n
+    assert [r["p"] for r in rows] == list(range(n))
+    vs = [r["v"] for r in rows]
+    assert vs == sorted(vs)
+    assert vs[40] == 5e9 and vs[-1] == 5e9  # hot block fills the tail
+
+
+def test_asof_multi_output_name_collisions(spark):
+    """asof_join_multi's output renaming must never silently overwrite:
+    a left frame already carrying both '{c}_{d}' and '{c}_{d}_right'
+    forces the numeric-suffix loop."""
+    from imcs_spark.operators import joins as J
+
+    left = spark.range(5).select(
+        (F.col("id") * 10).alias("ts"),
+        F.lit(1.0).alias("px_backward"),
+        F.lit(2.0).alias("px_backward_right"),
+    )
+    right = spark.range(5).select(
+        (F.col("id") * 10 + 1).alias("ts"), (F.col("id") * 1.0).alias("px")
+    )
+    out = J.asof_join_multi(left, right, on="ts", directions=["backward"])
+    cols = out.columns
+    assert cols.count("px_backward") == 1
+    assert cols.count("px_backward_right") == 1
+    assert "px_backward_right2" in cols
+    rows = out.orderBy("ts").collect()
+    # originals untouched, the joined value landed in the suffixed col
+    assert all(r["px_backward"] == 1.0 and r["px_backward_right"] == 2.0 for r in rows)
+    assert rows[1]["px_backward_right2"] == 0.0  # ts=10 <- right ts=1
+
+
+def test_zip_deprecated_params_warn(spark):
+    """persist/cache_out are loud no-ops now."""
+    import warnings
+
+    from imcs_spark.series import zip_with_global_pos_and_total
+
+    df = spark.range(10).select((F.col("id") * 1.0).alias("v"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        zip_with_global_pos_and_total(df, ["v"], persist=False)
+        assert any(issubclass(x.category, DeprecationWarning) for x in w)

@@ -1025,3 +1025,23 @@ def test_near_dedup_stream_compaction_gc(spark):
         assert kept == {i for i, _ in rows}  # all texts distinct-ish
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_near_dedup_stream_query_leg(spark, sf_dir):
+    """The driver leg: documents replayed as three id-ordered
+    micro-batches through near_dedup_stream. The build asserts >= 2
+    micro-batches internally (cross-batch state must actually be
+    exercised); here we pin that the kept-set is a strict, non-empty
+    subset reproducible from the artifact cache. Full cross-engine
+    value verification runs in the driver against the DuckDB minhash
+    twin (oracle_minhash.minhash_kept_ctes)."""
+    from imcs_spark.queries import QUERIES
+
+    df = QUERIES["near_dedup_stream"](spark, sf_dir)
+    kept = {r["doc_id"] for r in df.collect()}
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept and kept < all_ids  # something kept, something dropped
+    # artifact-cached second call returns the same set with no new run
+    again = {r["doc_id"] for r in QUERIES["near_dedup_stream"](spark, sf_dir).collect()}
+    assert again == kept
