@@ -18,6 +18,17 @@ from .session import get_spark
 from .table import Engine, TsTable, OutOfOrderAppendError
 from .series import seq, const_series, with_pos, zip_with_global_pos, run_id
 from . import functions, operators, pipeline, sources, streaming
+from . import profile as profile_mod
+
+# cs_profile analog: count operator invocations from process start,
+# like the reference's imcs_command_profile[] (imcs.c:5716-5768).
+# Build-time only — wrappers bump a driver-side Counter when a plan
+# is CONSTRUCTED; the executed plan is untouched.
+profile_mod.instrument_default_modules()
+
+# re-bind the package-level convenience names to the instrumented
+# wrappers (the import above bound the pre-instrumentation objects)
+from .series import seq, const_series, with_pos, zip_with_global_pos, run_id  # noqa: E402,F811
 
 __all__ = [
     "get_spark",

@@ -185,3 +185,74 @@ def code2str(coded: DataFrame, dictionary: DataFrame, code_col: str = "code") ->
     NULL code, and an inner decode join would silently drop exactly
     those rows on the way back (their string column stays NULL)."""
     return coded.join(F.broadcast(dictionary), code_col, "left")
+
+
+# Spark type -> reference mnemonic for text output. _TYPE_MAP is
+# many-to-one (int8/time -> bigint; bpchar/varchar/text -> string), so
+# the ambiguous Spark types are pinned to the canonical mnemonic.
+_MNEM_MAP = {v: k for k, v in _TYPE_MAP.items()}
+_MNEM_MAP.update({"bigint": "int8", "string": "text", "decimal(19,2)": "money"})
+
+
+def format_series(
+    df: DataFrame,
+    val_col: str = VAL,
+    pos_col: str = POS,
+    type_name: str | None = None,
+    limit: int = 1024,
+) -> str:
+    """Timeseries text OUTPUT: the series as ``'type:{v1,v2,...}'`` —
+    the inverse of :func:`parse` and the reference's cs_output_function
+    (imcs.c:2654-2952): values joined by commas inside ``{}``, a value
+    whose text contains a comma is double-quoted (imcs.c:2925-2929),
+    and when the string budget (``imcs.output_string_limit``, default
+    1024; 0 = unlimited) runs out the tail is replaced by ``,...``
+    before the closing brace.
+
+    Driver-side by design, exactly like the reference (its output
+    function materializes the series into one palloc'd string): only
+    ceil(limit/2) elements can ever fit the budget, so the collect is
+    bounded by ``limit`` regardless of series length. Numeric text uses
+    Python's shortest round-trip repr rather than PostgreSQL's
+    locale-aware printers; parse(format_series(s)) round-trips."""
+    dtype = dict(df.dtypes)[val_col]
+    mnem = type_name or _MNEM_MAP.get(dtype)
+    if mnem is None:
+        raise ValueError(f"format_series: no mnemonic for Spark type {dtype!r}")
+    ordered = df.orderBy(pos_col).select(val_col)
+    if limit:
+        rows = ordered.limit(limit // 2 + 2).collect()
+        count_truncated = len(rows) > limit // 2 + 1
+    else:
+        rows = ordered.collect()
+        count_truncated = False
+
+    def fmt(v) -> str:
+        if v is None:
+            raise ValueError("format_series: series contains NULL")
+        if isinstance(v, bool):
+            return "t" if v else "f"
+        if mnem == "money":
+            s = f"${v:,.2f}"
+        else:
+            s = str(v)
+        if "," in s:
+            s = f'"{s}"'
+        return s
+
+    head = f"{mnem}:"
+    parts: list[str] = []
+    used = len(head) + 1  # opening brace
+    truncated = count_truncated
+    for i, r in enumerate(rows):
+        s = fmt(r[0])
+        # reserve room for ',...' + '}' like the reference's
+        # OUTPUT_BUF_RESERVE guard
+        if limit and i > 0 and used + len(s) + 6 > limit:
+            truncated = True
+            break
+        parts.append(s)
+        used += len(s) + 1
+    body = ",".join(parts)
+    tail = ",...}" if truncated else "}"
+    return f"{head}{{{body}{tail}"

@@ -436,12 +436,22 @@ class Engine:
     def is_loaded(self, name: str) -> bool:
         return name in self.tables
 
+    def profile(self, reset: bool = False) -> list[tuple[str, int]]:
+        """cs_profile(reset): non-zero per-operator invocation counts
+        plus a TOTAL row (reference imcs.c:5716-5768 dumps the
+        imcs_command_profile[] array). Counters bump when an operator
+        function CONSTRUCTS its plan — the Spark-side moment analogous
+        to the reference executing a command node; see profile.py."""
+        from . import profile as _profile
+
+        return _profile.profile(do_reset=reset)
+
     def stats(self) -> dict:
-        """cs_used_memory / cs_profile analog (reference imcs.c:5275-5279
-        walks the shared-memory allocator; imcs.c:5716-5768 dumps per-
-        table page counts). Spark's equivalent truth lives in the
-        BlockManager: report cached-RDD memory/disk footprints plus the
-        registered-table catalog. Purely introspective — no jobs run."""
+        """cs_used_memory analog (reference imcs.c:5275-5279
+        walks the shared-memory allocator). Spark's equivalent truth
+        lives in the BlockManager: report cached-RDD memory/disk
+        footprints plus the registered-table catalog. Purely
+        introspective — no jobs run."""
         sc = self.spark.sparkContext
         cached = []
         mem_total = 0

@@ -18,6 +18,7 @@ def tiny(monkeypatch, tmp_path):
     monkeypatch.setattr(bs, "N_DAYS", 30)
     monkeypatch.setattr(bs, "QUOTE_ROWS", 7 * 30)
     monkeypatch.setattr(bs, "DBITEM_ROWS", 500)
+    monkeypatch.setattr(bs, "DOCS_2M", 3000)
     return str(tmp_path)
 
 
@@ -60,9 +61,26 @@ def test_run_scale_contract(spark, tiny):
         # every query row also records its prepared-plan execution time
         "vwap_all_exec", "vwap_one_exec", "filter_project_exec",
         "filtered_count_exec", "sum_close_exec", "dbitem_hash_agg_exec",
+        # machine-floor probes recorded with every payload
+        "floor_select1_exec", "floor_1task_agg_exec",
+        "floor_32task_agg_exec",
     }
     assert expected <= set(out)
     assert out["rows_quote"] == 210 and out["rows_dbitem"] == 500
     for k in expected - {"rows_quote", "rows_dbitem"}:
         assert isinstance(out[k], float) and out[k] >= 0
     json.dumps(out)  # must be JSON-serializable for the bench line
+    # curation soak section: stage keys present, invariants hold even
+    # at toy size (they are exact properties, not tolerances that need
+    # scale to hold)
+    for k in (
+        "cur2m_dedup_sec", "cur2m_decon_sec", "cur2m_quality_sec",
+        "cur2m_redact_sec", "cur2m_split_pack_sec", "cur2m_e2e_sec",
+    ):
+        assert k in out and out[k] >= 0
+    assert out["cur2m_rows"] == 3000
+    # every 13th doc copies its predecessor's text -> survivors = n - n//13
+    assert out["cur2m_dedup_survivors"] == 3000 - 3000 // 13
+    assert out["cur2m_dedup_idempotent"] == 1
+    assert out["cur2m_pack_budget_ok"] == 1
+    assert 0 < out["cur2m_e2e_docs"] <= out["cur2m_dedup_survivors"]

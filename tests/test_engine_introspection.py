@@ -143,3 +143,62 @@ def test_sql_surface_matches_column_factories(spark):
         "SELECT cs_prd(CAST(id AS DOUBLE)) AS p FROM range(3)"
     ).first()["p"]
     assert zero == 0.0
+
+
+def test_profile_counts_operator_invocations(spark):
+    """cs_profile(reset): plan-construction bumps per-operator
+    counters; output is (command, count) rows + TOTAL, and reset=True
+    zeroes them (reference imcs.c:5716-5768)."""
+    from imcs_spark import profile as P
+    from imcs_spark.operators import positional
+    from imcs_spark.series import seq
+
+    eng = Engine(spark)
+    P.reset()
+    s = seq(spark, [3.0, 1.0, 2.0])
+    positional.reverse(s)
+    positional.reverse(s)
+    positional.head(s, 2)
+    rows = dict(eng.profile())
+    assert rows["reverse"] == 2
+    assert rows["head"] == 1
+    assert rows["seq"] >= 1
+    assert rows["TOTAL"] == sum(v for k, v in rows.items() if k != "TOTAL")
+    # reset drains
+    eng.profile(reset=True)
+    rows = dict(eng.profile())
+    assert rows["TOTAL"] == 0
+
+
+def test_format_series_round_trips_and_truncates(spark):
+    """Text output 'type:{v1,v2,...}' (imcs.c:2654-2952): inverse of
+    parse() for every element family; comma-carrying values quoted;
+    ,... marker under the string budget."""
+    from imcs_spark.sources import format_series
+
+    cases = [
+        "int4:{1,2,3}",
+        "int8:{-9,0,12345678901}",
+        "float8:{1.5,-2.25,0.0}",
+        "bool:{t,f,t}",
+        "text:{abc,def}",
+        'money:{"$1,234.50",$3.99}',
+    ]
+    for lit in cases:
+        s = parse(spark, lit)
+        out = format_series(s)
+        assert out == lit, (lit, out)
+        # round-trip once more through parse
+        assert sorted(map(str, parse(spark, out).collect())) == sorted(
+            map(str, s.collect())
+        )
+
+    # truncation: budget too small for all elements -> ',...}' tail,
+    # and the output still parses as a valid (shorter) literal
+    s = parse(spark, "int4:{" + ",".join(str(i) for i in range(100)) + "}")
+    out = format_series(s, limit=30)
+    assert out.endswith(",...}")
+    assert len(out) <= 30 + 5
+    head = parse(spark, out.replace(",...", ""))
+    vals = [r["val"] for r in head.orderBy("pos").collect()]
+    assert vals == list(range(len(vals)))
