@@ -809,12 +809,22 @@ def _run_curation_soak(spark: SparkSession, data_dir: str) -> dict:
     out["cur2m_quality_sec"] = round(time.time() - t0, 4)
 
     # redaction: sum(length(...)) forces the full regex chain on every
-    # row (count alone would let Catalyst skip the projection)
+    # row (count alone would let Catalyst skip the projection). The
+    # stage-BATCHED form is the pipeline path; the single-Column chain
+    # is timed on a 200k slice alongside it so the payload records the
+    # row-interleaving penalty each round (measured 18-25x — see
+    # curate.redact_pii_batch's note).
     t0 = time.time()
     docs.select(
-        F.sum(F.length(curate.redact_pii("text"))).alias("b")
+        F.sum(F.length(curate.redact_pii_batch("text"))).alias("b")
     ).collect()
     out["cur2m_redact_sec"] = round(time.time() - t0, 4)
+    slice200k = docs.filter(F.col("doc_id") < 200_000)
+    t0 = time.time()
+    slice200k.select(
+        F.sum(F.length(curate.redact_pii("text"))).alias("b")
+    ).collect()
+    out["cur2m_redact_column_200k_sec"] = round(time.time() - t0, 4)
 
     # --- split + pack with invariants ---
     t0 = time.time()
@@ -857,7 +867,7 @@ def _run_curation_soak(spark: SparkSession, data_dir: str) -> dict:
         .filter(F.col("quality") >= 0.5)
         .select("doc_id", "source", "text")
     )
-    d4 = d3.withColumn("text", curate.redact_pii("text"))
+    d4 = d3.withColumn("text", curate.redact_pii_batch("text"))
     d5 = curate.dataset_split(d4, key_col="doc_id")
     packed = curate.pack_sequences(
         d5.withColumn("stream", F.concat_ws("/", "source", "split")),

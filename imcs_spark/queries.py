@@ -2752,8 +2752,12 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the redaction chain is the pipeline's heaviest per-row stage —
     # same convention as dedup.spread (no-op at real scale where the
     # scan already has partitions).
+    # stage-BATCHED redaction (curate.redact_pii_batch): the Column
+    # chain interleaves six regex programs per row, which defeats JVM
+    # Pattern.match specialization — 203 s vs 11 s at 2M docs (round-8
+    # soak). Output is bit-identical, so the oracle is unaffected.
     d4 = dedup.spread(d3, "doc_id").withColumn(
-        "text", curate.redact_pii("text")
+        "text", curate.redact_pii_batch("text")
     )
     d5 = curate.dataset_split(d4, key_col="doc_id", weights=(80, 10, 10))
     packed = curate.pack_sequences(

@@ -1561,3 +1561,51 @@ def test_uniform_sample_null_keys_paths_agree(spark):
     assert small == cut
     # every NULL-keyed row (20 of them) sorts first and must be inside
     assert None in small
+
+
+def test_redact_pii_batch_equals_column_form(spark, sf_dir):
+    """redact_pii_batch (stage-batched Arrow path — the scale path; see
+    curate.py round-8 note) is bit-identical to the Column chain on
+    every PII vector family, nulls, non-ASCII text, and the corpus."""
+    from imcs_spark.pipeline import curate
+
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org today"),
+        (2, "ssn is 123-45-6789 ok"),
+        (3, "call +1-555-0199 or 44-555-0000"),
+        (4, "host 192.168.0.1 responded"),
+        (5, "clean text with numbers 1234567 and 12-34"),
+        (6, "nanp 555-123-4567 and +1-555-123-4567 done"),
+        (7, "pay 4111-1111-1111-1111 now"),
+        (8, "num 1234-5678-9012-3456 fake"),
+        (9, "amex 3782 822463 10005 ok"),
+        (10, "v6 2001:db8::1 and full 1:2:3:4:5:6:7:8 end"),
+        (11, "glued 8555-123-4567 stays"),
+        (12, None),
+        (13, ""),
+        (14, "unicode café ۱۲۳-۴۵-۶۷۸۹ naïve x@y.zz"),  # non-ASCII digits NOT \d
+        (15, "two hits a@b.co then 123-45-6789 then 10.0.0.1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        curate.redact_pii("text").alias("col_form"),
+        curate.redact_pii_batch("text").alias("batch_form"),
+    ).collect()
+    for r in got:
+        assert r.col_form == r.batch_form, (r.doc_id, r.col_form, r.batch_form)
+
+    # corpus sample: the documents table end-to-end
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_diff = (
+        docs.select(
+            (
+                ~curate.redact_pii("text").eqNullSafe(
+                    curate.redact_pii_batch("text")
+                )
+            ).cast("int").alias("d")
+        )
+        .agg(F.sum("d").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert n_diff == 0
