@@ -514,3 +514,62 @@ def redact_pii_batch(text_col: str | Column) -> Column:
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return _redact(c)
+
+
+def pii_profile_batch(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """:func:`pii_profile`, stage-batched (see the round-8 note above
+    redact_pii_batch): one compiled pattern per pass over each Arrow
+    batch instead of twelve interleaved regex programs per row — the
+    stepwise Column form measured 36 s/200k docs, this form ~2 s.
+    Identical output contract: per-document counts per category, each
+    counted on the text with all PRIOR categories already redacted,
+    plus len_delta; equality-tested against the Column form."""
+    import pandas as pd
+
+    out_fields = ", ".join(f"n_{n} int" for n in PII_CATEGORIES)
+    schema = f"{id_col} long, {out_fields}, len_delta int"
+
+    def gen(batches):
+        for pdf in batches:
+            s = pdf[text_col]
+            len0 = s.str.len()
+            out = {id_col: pdf[id_col]}
+            for name in PII_CATEGORIES:
+                if name == "ccard":
+                    mask = s.str.contains(_CCARD_COMPILED, regex=True, na=False)
+                    n = pd.Series(0, index=s.index, dtype="int64")
+                    if mask.any():
+                        sub = s[mask]
+                        cands = sub.map(
+                            lambda t: [
+                                c for c in _CCARD_COMPILED.findall(t) if _luhn_ok_py(c)
+                            ]
+                        )
+                        n[mask] = cands.map(len)
+                        s = s.copy()
+                        s[mask] = [
+                            _apply_ccard_subs(t, cs)
+                            for t, cs in zip(sub.tolist(), cands.tolist())
+                        ]
+                else:
+                    _, pat, repl = next(x for x in _PII_COMPILED if x[0] == name)
+                    n = s.str.count(pat)
+                    s = s.str.replace(pat, repl, regex=True)
+                # NULL text -> NULL counts, exactly like the Column
+                # form's regexp_count(NULL) (the ccard count is 0 there
+                # because its guard's otherwise-branch yields an empty
+                # array — the int64 init above matches); nullable Int32
+                # keeps the NA through Arrow
+                out[f"n_{name}"] = n.astype("Int32")
+            out["len_delta"] = (len0 - s.str.len()).astype("Int32")
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def _apply_ccard_subs(t: str, cands: list) -> str:
+    for cand in cands:
+        t = _re.sub(r"\b" + cand + r"\b", "[CCARD]", t)
+    return t

@@ -3765,7 +3765,11 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             maybe(did % 29 == 0, F.lit(" ll fe80:: up")),
         ).alias("text"),
     )
-    prof = C.pii_profile(aug)
+    # stage-batched profile (curate.pii_profile_batch): same sequential
+    # per-category semantics, one compiled pattern per Arrow-batch pass
+    # — and a THIRD engine in the cross-check (Python re vs the DuckDB
+    # RE2 oracle; the Column form is equality-pinned to it in pytest)
+    prof = C.pii_profile_batch(aug)
     any_pii = (
         F.col("n_email") + F.col("n_ssn") + F.col("n_ccard")
         + F.col("n_phone") + F.col("n_ipv4") + F.col("n_ipv6") > 0

@@ -1609,3 +1609,31 @@ def test_redact_pii_batch_equals_column_form(spark, sf_dir):
         .collect()[0]["n"]
     )
     assert n_diff == 0
+
+
+def test_pii_profile_batch_equals_column_form(spark, sf_dir):
+    """pii_profile_batch ≡ pii_profile (counts per category computed on
+    the prior-redacted text, len_delta) on PII vectors and the corpus."""
+    from imcs_spark.pipeline import curate
+
+    rows = [
+        (1, "mail a@b.co and c@d.ee then 123-45-6789 and 10.0.0.1"),
+        (2, "pay 4111-1111-1111-1111 and fake 1234-5678-9012-3456"),
+        (3, "call 555-123-4567 or +1-555-123-4567"),
+        (4, "v6 2001:db8::1 time 12:30:45"),
+        (5, None),
+        (6, ""),
+        (7, "no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: r for r in curate.pii_profile(df).collect()}
+    b = {r["doc_id"]: r for r in curate.pii_profile_batch(df).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k].asDict() == b[k].asDict(), (k, a[k], b[k])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = [f"n_{c}" for c in curate.PII_CATEGORIES] + ["len_delta"]
+    agg_a = curate.pii_profile(docs).agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
+    agg_b = curate.pii_profile_batch(docs).agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
+    assert agg_a.asDict() == agg_b.asDict()
