@@ -412,6 +412,7 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
         "curation",
         lambda: _run_curation_soak(spark, data_dir),
     )
+    _section("SPARK_GRAFT_SCALE_ANN", "ann", lambda: _run_ann_soak(spark, data_dir))
     return out
 
 
@@ -883,4 +884,109 @@ def _run_curation_soak(spark: SparkSession, data_dir: str) -> dict:
     out["cur2m_e2e_sec"] = round(time.time() - t0, 4)
 
     docs.unpersist()
+    return out
+
+# ---------------------------------------------------------------------------
+# ANN soak: the similarity pillar at 1M vectors — the embedding analog
+# of the 2M-doc curation soak. sf0.1's embeddings table is 2k rows, so
+# the per-round CORRECTNESS legs prove ANN SEMANTICS only; this section
+# proves the index SHAPE at 500x that: brute-force ground truth, IVF
+# build/probe wall times, and recall@10 as the recorded invariant.
+# ---------------------------------------------------------------------------
+
+ANN_ROWS = 1_000_000
+ANN_DIM = 64
+ANN_CLUSTERS = 256  # corpus lives near 256 hash-derived directions
+ANN_QUERIES = 50
+
+
+def gen_embeddings_1m(spark: SparkSession, path: str, parallelism: int = 32) -> None:
+    """1M unit vectors with CLUSTER structure (uniform-random corpora
+    are a straw man for IVF — real embeddings live on manifolds): each
+    vector is its cluster's direction plus 0.35-amplitude hash noise,
+    normalized. Pure-Column deterministic, same convention as
+    gen_quotes; float32 like the testdata embeddings table."""
+    cl = f"pmod(xxhash64(id, 99), {ANN_CLUSTERS})"
+    comp = (
+        f"transform(sequence(0, {ANN_DIM - 1}), d -> "
+        f"  (shiftrightunsigned(xxhash64({cl}, d), 11) / 9007199254740992.0 - 0.5)"
+        f"  + 0.35 * (shiftrightunsigned(xxhash64(id, d + 7), 11) / 9007199254740992.0 - 0.5))"
+    )
+    raw = f"aggregate({comp}, cast(0.0 as double), (a, x) -> a + x * x)"
+    df = (
+        spark.range(0, ANN_ROWS, 1, parallelism)
+        .selectExpr(
+            "id AS vec_id",
+            f"transform({comp}, x -> cast(x / sqrt({raw}) AS float)) AS embedding",
+        )
+    )
+    df.write.mode("overwrite").parquet(path)
+
+
+def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
+    """Wall times + recall for brute-force vs IVF at 1M x 64. Queries
+    are perturbed corpus rows (hash noise, amplitude 0.1), so ground
+    truth is non-trivial: each query's true neighbor set concentrates
+    in its source cluster but is not a single planted point.
+
+    Recorded invariant: ann1m_ivf_recall10 — fraction of the exact
+    top-10 the IVF probe recovers (n_probe=8 of 64 cells; expected
+    well above 0.9 on clustered data — a collapse flags an assignment
+    or probe-ranking defect, the thing unit tests at 2k rows miss)."""
+    from .pipeline import similarity as S
+
+    path = os.path.join(data_dir, "embeddings_1m.parquet")
+    _ensure(spark, path, gen_embeddings_1m)
+
+    out: dict[str, float] = {}
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    corpus = spark.read.parquet(path).persist()
+    out["ann1m_rows"] = corpus.count()
+    out["ann1m_load_sec"] = round(time.time() - t0, 4)
+
+    # queries: perturbed copies of every (ANN_ROWS // ANN_QUERIES)-th row
+    stride = ANN_ROWS // ANN_QUERIES
+    queries = (
+        corpus.filter(F.col("vec_id") % stride == 17)
+        .limit(ANN_QUERIES)
+        .selectExpr(
+            "vec_id AS query_id",
+            f"transform(embedding, (x, d) -> x + cast(0.1 * "
+            f"(shiftrightunsigned(xxhash64(vec_id, d + 31), 11) / 9007199254740992.0 - 0.5) AS float)) AS embedding",
+        )
+        .persist()
+    )
+    queries.count()
+
+    # ground truth via the batched matrix kernel; the Column-fold
+    # kernel is timed alongside so the payload records the batching
+    # win each round (round-8 finding, BENCH_SCALE.md — measured 47 s
+    # vs ~3 s at 1M x 50)
+    t0 = time.time()
+    truth = S.brute_force_topk_matrix(corpus, queries, k=10).persist()
+    n_truth = truth.count()
+    out["ann1m_brute_sec"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    S.brute_force_topk(corpus, queries, k=10).count()
+    out["ann1m_brute_column_sec"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    index = S.ivf_index(corpus, n_centroids=64, iters=3)
+    index[1].count()  # materialize the persisted assignment
+    out["ann1m_ivf_build_sec"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    approx = S.ivf_topk(corpus, queries, k=10, n_probe=8, index=index).persist()
+    approx.count()
+    out["ann1m_ivf_query_sec"] = round(time.time() - t0, 4)
+
+    hits = truth.select("query_id", "vec_id").intersect(
+        approx.select("query_id", "vec_id")
+    ).count()
+    out["ann1m_ivf_recall10"] = round(hits / max(n_truth, 1), 4)
+
+    for f in (truth, approx, index[1], queries, corpus):
+        f.unpersist()
     return out

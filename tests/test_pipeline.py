@@ -1637,3 +1637,25 @@ def test_pii_profile_batch_equals_column_form(spark, sf_dir):
     agg_a = curate.pii_profile(docs).agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
     agg_b = curate.pii_profile_batch(docs).agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
     assert agg_a.asDict() == agg_b.asDict()
+
+
+def test_brute_force_topk_matrix_matches_column_kernel(spark, sf_dir):
+    """brute_force_topk_matrix (per-batch BLAS matmul + partial top-k)
+    returns the same ranked neighbor sets as the Column-kernel form on
+    the embeddings table (cosines equal to ~1 ULP; ranks identical away
+    from degenerate ties, which the asc-id tiebreak resolves equally)."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") % 97 == 3).limit(7).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    a = S.brute_force_topk(corpus, queries, k=10).collect()
+    b = S.brute_force_topk_matrix(corpus, queries, k=10).collect()
+    ka = {(r.query_id, r.vec_id): (r.rank, r.cosine) for r in a}
+    kb = {(r.query_id, r.vec_id): (r.rank, r.cosine) for r in b}
+    assert set(ka) == set(kb)
+    for key in ka:
+        assert ka[key][0] == kb[key][0], (key, ka[key], kb[key])
+        # float32 inputs + pairwise-vs-fold summation: ~2e-9 observed
+        assert abs(ka[key][1] - kb[key][1]) < 1e-7
