@@ -973,12 +973,14 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     out["ann1m_brute_column_sec"] = round(time.time() - t0, 4)
 
     t0 = time.time()
-    index = S.ivf_index(corpus, n_centroids=64, iters=3)
+    index = S.ivf_index(corpus, n_centroids=64, iters=3, kernel="matrix")
     index[1].count()  # materialize the persisted assignment
     out["ann1m_ivf_build_sec"] = round(time.time() - t0, 4)
 
     t0 = time.time()
-    approx = S.ivf_topk(corpus, queries, k=10, n_probe=8, index=index).persist()
+    approx = S.ivf_topk(
+        corpus, queries, k=10, n_probe=8, index=index, kernel="matrix"
+    ).persist()
     approx.count()
     out["ann1m_ivf_query_sec"] = round(time.time() - t0, 4)
 

@@ -453,13 +453,51 @@ def ivf_index(
     id_col: str = "vec_id",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    kernel: str = "column",
 ) -> tuple[list[list[float]], DataFrame]:
     """Build the IVF index: (centroids, cell-assigned normalized
     corpus, persisted). Training and assignment are the expensive
     built-once phase; hold onto the returned index and serve many
-    query batches against it (ivf_topk(index=...))."""
+    query batches against it (ivf_topk(index=...)).
+
+    kernel='column' (default) assigns cells with the pure Column argmax
+    — SQL-auditable and the form the driver oracles pin. kernel=
+    'matrix' assigns via one numpy matmul per Arrow batch (the round-8
+    batching finding, BENCH_SCALE.md): same argmax/lowest-cell-on-tie
+    semantics, ~1-ULP cosine differences possible at exact cell
+    boundaries, ~6x faster at 1M x 64 cells — use it for real corpora."""
     if centroids is None:
         centroids = train_ivf_centroids(corpus, n_centroids, iters, vec_col, id_col, seed)
+    if kernel == "matrix":
+        import pandas as pd
+
+        C = np.asarray(centroids)
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                nrm = np.linalg.norm(X, axis=1)
+                nrm[nrm == 0] = 1.0
+                U = X / nrm[:, None]
+                cells = np.argmax(U @ C.T, axis=1)  # ties -> lowest cell
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "_cu": list(U),
+                        "cell": cells.astype("int32"),
+                    }
+                )
+
+        c = (
+            corpus.select(id_col, vec_col)
+            .mapInPandas(assign, f"{id_col} long, _cu array<double>, cell int")
+            .persist()
+        )
+        return centroids, c
     c = (
         corpus.select(id_col, F.col(vec_col).alias("_cv"))
         .withColumn("_cu", _unit("_cv"))
@@ -483,6 +521,7 @@ def ivf_topk(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     index: tuple[list[list[float]], DataFrame] | None = None,
+    kernel: str = "column",
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into coarse cells
     (spherical k-means), each query probes its n_probe nearest cells,
@@ -494,9 +533,20 @@ def ivf_topk(
     side; swap the build side for huge query batches. Pass a prebuilt
     `index` (ivf_index) to serve against an existing materialized index
     — the persisted assignment also keeps the K×dim argmax expression
-    out of the join/rank stages' codegen."""
+    out of the join/rank stages' codegen.
+
+    kernel='matrix' batches the index ASSIGNMENT when this call builds
+    the index (see ivf_index). Candidate SCORING stays the Column fold
+    under both kernels — deliberately: a per-pair Arrow scorer ships
+    both 64-double arrays per candidate through the Python worker
+    (6.4 GB for 6M candidates at 1M x probe 8/64 x 50 queries) and
+    measured SLOWER than the fold (8.0 s vs 5.8 s), while the fold is
+    also the oracle-pinned form."""
     if index is None:
-        index = ivf_index(corpus, n_centroids, iters, vec_col, id_col, seed, centroids)
+        index = ivf_index(
+            corpus, n_centroids, iters, vec_col, id_col, seed, centroids,
+            kernel=kernel,
+        )
     centroids, c = index
     probes = (
         queries.select(query_id_col, F.col(vec_col).alias("_qv"))

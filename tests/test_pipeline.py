@@ -1659,3 +1659,30 @@ def test_brute_force_topk_matrix_matches_column_kernel(spark, sf_dir):
         assert ka[key][0] == kb[key][0], (key, ka[key], kb[key])
         # float32 inputs + pairwise-vs-fold summation: ~2e-9 observed
         assert abs(ka[key][1] - kb[key][1]) < 1e-7
+
+
+def test_ivf_matrix_kernel_matches_column_kernel(spark, sf_dir):
+    """ivf_index/ivf_topk kernel='matrix' (numpy argmax assignment +
+    Arrow dot scoring) returns the same cells and neighbor sets as the
+    Column kernel for the same trained centroids."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.train_ivf_centroids(corpus, n_centroids=8, iters=2)
+    queries = corpus.filter(F.col("vec_id") % 101 == 5).limit(5).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = {}
+    for kern in ("column", "matrix"):
+        idx = S.ivf_index(corpus, centroids=cents, kernel=kern)
+        cells = {r.vec_id: r.cell for r in idx[1].collect()}
+        top = {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.ivf_topk(
+                corpus, queries, k=5, n_probe=3, index=idx, kernel=kern
+            ).collect()
+        }
+        out[kern] = (cells, top)
+        idx[1].unpersist()
+    assert out["column"][0] == out["matrix"][0]  # identical cell map
+    assert out["column"][1] == out["matrix"][1]  # identical ranked ids
