@@ -609,6 +609,8 @@ def brute_force_topk_matrix(
 
     def gen(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf[id_col].to_numpy()
             M = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
