@@ -458,18 +458,37 @@ def pii_profile(
 # execution: an Arrow-batched pandas UDF applies ONE compiled pattern
 # per pass over the whole batch (2M docs: 11 s vs 203 s measured).
 #
-# Dialect parity: patterns compile with re.ASCII so \d/\b/\w match
-# Java's ASCII-only defaults and RE2's (the DuckDB oracle); Java's $1
-# replacement becomes Python \1. Output is bit-identical to
-# redact_pii (equality-tested over the PII vectors and corpus sample).
+# Dialect parity — the subtle part (found by the adversarial fuzz in
+# test_property_round5): the three engines SPLIT on \b and \d.
+#   \d : Java ASCII-only; RE2 ASCII-only; Python DEFAULT is Unicode
+#        (U+06F1 ۱ matches!) and re.ASCII fixes it.
+#   \b : Java is UNICODE-aware BY DEFAULT ('café4111…' has NO boundary
+#        before the 4 — é is a word char); RE2 and re.ASCII are
+#        ASCII-\b (boundary exists → match).
+# So no single Python flag reproduces Java. The engine's semantics are
+# the JAVA ones (the Column forms define them, and batch≡column must
+# hold on ALL inputs), so the Python twins compile with DEFAULT
+# (Unicode) flags — matching Java's \b — and \d textually rewritten to
+# [0-9] — matching Java's \d. The DuckDB oracles remain valid because
+# their synthesized PII is ASCII-adjacent, where all three agree; the
+# residual Java-vs-RE2 \b divergence on non-ASCII-glued digit runs is
+# a documented oracle-domain bound, not an engine bug. Java's $1
+# replacement becomes Python \1.
 
 import re as _re
 
+
+def _py_pat(p: str):
+    # no PII pattern uses \d inside a character class (asserted by the
+    # fuzz suite), so a textual rewrite is exact
+    return _re.compile(p.replace("\\d", "[0-9]"))
+
+
 _PII_COMPILED: list[tuple[str, object, str]] = [
-    (name, _re.compile(p, _re.ASCII), _re.sub(r"\$(\d)", r"\\\1", r))
+    (name, _py_pat(p), _re.sub(r"\$(\d)", r"\\\1", r))
     for name, p, r in PII_PATTERNS
 ]
-_CCARD_COMPILED = _re.compile(CCARD_PATTERN, _re.ASCII)
+_CCARD_COMPILED = _py_pat(CCARD_PATTERN)
 _NON_DIGIT = _re.compile(r"[^0-9]")
 
 

@@ -185,3 +185,49 @@ def test_pii_ccard_random_contexts(spark):
             assert "[CCARD]" in red[doc_id], text
         else:
             assert red[doc_id] == text, (text, red[doc_id])
+
+
+def test_pii_batch_forms_match_column_forms_on_adversarial_text(spark):
+    """Seeded fuzz for the Java-regex vs Python-re dialect parity
+    of curate.redact_pii_batch / pii_profile_batch (round 8): texts are
+    built from PII-flavored fragments — digit runs with mixed
+    separators, @-words, dotted quads, card-ish sequences, replacement
+    metacharacters ($, \\), unicode digits/letters, brackets — the
+    exact places a dialect divergence would hide. Both batch forms must
+    match their Column twins row-for-row."""
+    from imcs_spark.pipeline import curate
+
+    rng = random.Random(20260815)
+    frags = [
+        "555-123-4567", "+1-555-0199", "123-45-6789", "4111-1111-1111-1111",
+        "1234-5678-9012-3456", "10.0.0.1", "256.1.1.1", "2001:db8::1",
+        "a@b.co", "x.y+z@sub.dom.org", "user@@double", "@nohost",
+        "$1", "$0", "\\1", "\\b", "[PHONE]", "[EMAIL]", "$1[PHONE]",
+        "۱۲۳-۴۵-۶۷۸۹", "café", "naïve", "一二三",
+        "12345678901234567890", "1 2 3 4 5 6 7 8 9 0 1 2 3",
+        "3782 822463 10005", "12:30:45", "fe80::", "std::vector<int>",
+        "word", "w123", "...", "-", "--", ".", "}{",
+    ]
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 12)
+        texts.append(" ".join(rng.choice(frags) for _ in range(n)))
+    # glued variants: no spaces between fragments
+    for _ in range(100):
+        texts.append("".join(rng.choice(frags) for _ in range(rng.randint(1, 6))))
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    red = df.select(
+        "doc_id",
+        curate.redact_pii("text").alias("a"),
+        curate.redact_pii_batch("text").alias("b"),
+    ).collect()
+    bad = [(r.doc_id, r.a, r.b) for r in red if r.a != r.b]
+    assert not bad, bad[:3]
+
+    pa = {r["doc_id"]: r.asDict() for r in curate.pii_profile(df).collect()}
+    pb = {r["doc_id"]: r.asDict() for r in curate.pii_profile_batch(df).collect()}
+    mism = [k for k in pa if pa[k] != pb[k]]
+    assert not mism, [(k, pa[k], pb[k]) for k in mism[:3]]
