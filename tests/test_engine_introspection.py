@@ -193,6 +193,16 @@ def test_format_series_round_trips_and_truncates(spark):
             map(str, s.collect())
         )
 
+    # negative money round-trips (format prints '$-1.00'; PG's own
+    # '-$1.00' spelling parses identically — sign placement is the one
+    # cosmetic divergence from the reference's locale printer)
+    s = parse(spark, 'money:{-1.00,"-$1,234.50"}')
+    out = format_series(s)
+    assert out == 'money:{$-1.00,"$-1,234.50"}'
+    assert sorted(map(str, parse(spark, out).collect())) == sorted(
+        map(str, s.collect())
+    )
+
     # truncation: budget too small for all elements -> ',...}' tail,
     # and the output still parses as a valid (shorter) literal
     s = parse(spark, "int4:{" + ",".join(str(i) for i in range(100)) + "}")
