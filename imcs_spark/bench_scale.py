@@ -809,6 +809,30 @@ def _run_curation_soak(spark: SparkSession, data_dir: str) -> dict:
     )
     out["cur2m_quality_sec"] = round(time.time() - t0, 4)
 
+    # text-analysis ops at 2M (first-class pipeline components with no
+    # other scale evidence): language-ID argmax, whitespace + BPE-ish
+    # token counting, winnowing fingerprint (the xxhash64 scale path)
+    t0 = time.time()
+    out["cur2m_langid_langs"] = (
+        docs.select(T.lang_id("text").alias("l")).groupBy("l").count().count()
+    )
+    out["cur2m_langid_sec"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    row = docs.select(
+        F.sum(T.token_count("text")).alias("ws"),
+        F.sum(T.token_count("text", mode="bpe")).alias("bpe"),
+    ).collect()[0]
+    out["cur2m_tokens_ws"] = row["ws"]
+    out["cur2m_tokens_bpe"] = row["bpe"]
+    out["cur2m_tokens_sec"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    out["cur2m_fingerprints"] = (
+        docs.select(T.fingerprint("text").alias("fp"))
+        .agg(F.count_distinct("fp").alias("n"))
+        .collect()[0]["n"]
+    )
+    out["cur2m_fingerprint_sec"] = round(time.time() - t0, 4)
+
     # redaction: sum(length(...)) forces the full regex chain on every
     # row (count alone would let Catalyst skip the projection). The
     # stage-BATCHED form is the pipeline path; the single-Column chain

@@ -79,8 +79,11 @@ def test_run_scale_contract(spark, tiny):
     for k in (
         "cur2m_dedup_sec", "cur2m_decon_sec", "cur2m_quality_sec",
         "cur2m_redact_sec", "cur2m_split_pack_sec", "cur2m_e2e_sec",
+        "cur2m_langid_sec", "cur2m_tokens_sec", "cur2m_fingerprint_sec",
     ):
         assert k in out and out[k] >= 0
+    assert out["cur2m_tokens_ws"] > 0 and out["cur2m_tokens_bpe"] > 0
+    assert 0 < out["cur2m_fingerprints"] <= out["cur2m_rows"]
     assert out["cur2m_rows"] == 3000
     # every 13th doc copies its predecessor's text -> survivors = n - n//13
     assert out["cur2m_dedup_survivors"] == 3000 - 3000 // 13
