@@ -2414,16 +2414,115 @@ def fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # compares the gram strings themselves — equal because 64-bit hash
 # collisions are negligible at this cardinality.
 # ---------------------------------------------------------------------------
-@query(
-    "curate_profile",
+# ---------------------------------------------------------------------------
+# PII redaction (pipeline.curate.redact_pii / pii_profile) — the
+# curation stage a training-data pipeline runs before tokenization.
+# Deterministic PII is synthesized into the corpus IDENTICALLY on both
+# sides (pure ||/lpad/CAST string algebra over doc_id) — including a
+# Luhn-VALID credit card (4111...) and a Luhn-INVALID look-alike
+# (1234-5678-...) so the checksum gate is exercised, plus compressed
+# and trailing-:: IPv6 forms — then redaction counts and length deltas
+# are computed with the same regex patterns, restricted to the
+# Java∩RE2 dialect so Spark executors and the DuckDB oracle agree
+# bit-for-bit (backreference replacement is spelled $1 / \1 per
+# engine; the Luhn checksum is re-derived in DuckDB list algebra).
+# ---------------------------------------------------------------------------
+def _pii_ctes() -> str:
+    """The PII-oracle CTE chain (aug → staged redaction → per-doc
+    profile), WITHOUT the leading ``WITH`` or a final SELECT — so it
+    can stand alone (:func:`_pii_oracle`) or be appended to another
+    oracle's CTE list (`curate_profile`, which since round 9 carries
+    the driver-facing 'pii' legs; the standalone `pii_redact` slot was
+    registration #52 and fell outside the driver's 50-slot window)."""
+    from .pipeline.curate import CCARD_PATTERN, IPV6_PATTERN, PII_PATTERNS
+
+    pat = {name: p for name, p, _ in PII_PATTERNS}
+    # Luhn over the reversed digit string of candidate c (1-based i:
+    # odd = keep, even = double-and-fold)
+    dg = "reverse(regexp_replace(c, '[^0-9]', '', 'g'))"
+    luhn = (
+        f"list_sum(list_transform(range(1, length({dg}) + 1), i -> "
+        f"CASE WHEN i % 2 = 1 THEN CAST({dg}[i] AS INT) "
+        f"WHEN CAST({dg}[i] AS INT) < 5 THEN 2 * CAST({dg}[i] AS INT) "
+        f"ELSE 2 * CAST({dg}[i] AS INT) - 9 END)) % 10 = 0"
+    )
+    return f"""aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 ok' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END
+         || CASE WHEN doc_id % 19 = 0 THEN ' num 1234-5678-9012-3456 no' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' x' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' ELSE '' END
+         || CASE WHEN doc_id % 23 = 0 THEN ' v6 2001:db8::' || CAST(doc_id % 9 + 1 AS VARCHAR) || ' end' ELSE '' END
+         || CASE WHEN doc_id % 29 = 0 THEN ' ll fe80:: up' ELSE '' END
+         AS text
+  FROM documents
+), r1 AS (
+  -- staged: each category counts on the text with prior categories
+  -- already redacted, mirroring the engine's sequential pass
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '{pat["email"]}', '[EMAIL]', 'g') AS t1
+  FROM aug
+), r2 AS (
+  SELECT *, regexp_replace(t1, '{pat["ssn"]}', '[SSN]', 'g') AS t2 FROM r1
+), c0 AS (
+  SELECT *, list_filter(regexp_extract_all(t2, '{CCARD_PATTERN}'), c -> {luhn}) AS cc_valid
+  FROM r2
+), r3 AS (
+  -- \b-anchored, mirroring the engine: a literal replace would corrupt
+  -- longer digit runs containing a valid card as a substring
+  SELECT *, list_reduce(list_prepend(t2, cc_valid), (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '[CCARD]', 'g')) AS t3 FROM c0
+), r4 AS (
+  SELECT *, regexp_replace(t3, '{pat["phone"]}', '\\1[PHONE]', 'g') AS t4 FROM r3
+), r5 AS (
+  SELECT *, regexp_replace(t4, '{pat["ipv4"]}', '[IP]', 'g') AS t5 FROM r4
+), r6 AS (
+  SELECT *, regexp_replace(t5, '{IPV6_PATTERN}', '[IPV6]', 'g') AS t6 FROM r5
+), prof AS (
+  SELECT doc_id,
+    len(regexp_extract_all(t0, '{pat["email"]}')) AS n_email,
+    len(regexp_extract_all(t1, '{pat["ssn"]}')) AS n_ssn,
+    len(cc_valid) AS n_ccard,
+    len(regexp_extract_all(t3, '{pat["phone"]}')) AS n_phone,
+    len(regexp_extract_all(t4, '{pat["ipv4"]}')) AS n_ipv4,
+    len(regexp_extract_all(t5, '{IPV6_PATTERN}')) AS n_ipv6,
+    length(t0) - length(t6) AS len_delta
+  FROM r6
+)"""
+
+
+_PII_FINAL_SELECT = """
+SELECT CAST(SUM(n_email) AS BIGINT) AS emails,
+       CAST(SUM(n_ssn) AS BIGINT) AS ssns,
+       CAST(SUM(n_ccard) AS BIGINT) AS ccards,
+       CAST(SUM(n_phone) AS BIGINT) AS phones,
+       CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+       CAST(SUM(n_ipv6) AS BIGINT) AS ipv6s,
+       CAST(SUM(CASE WHEN n_email + n_ssn + n_ccard + n_phone + n_ipv4 + n_ipv6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(len_delta) AS BIGINT) AS len_delta
+FROM prof
+"""
+
+
+def _pii_oracle() -> str:
+    return "WITH " + _pii_ctes() + _PII_FINAL_SELECT
+
+
+def _curate_profile_oracle() -> str:
     # Benchmark decontamination + within-document repetition metrics in
     # one composite: 'decon' legs aggregate 8-gram contamination flags
     # per source (Spark compares 64-bit gram hashes, benchmark grams
     # broadcast; the oracle compares gram strings — equal because hash
     # collisions are negligible at this cardinality); 'rep' legs carry
-    # the Gopher-style duplicate-bigram fractions per doc.
-    oracle="""
-WITH words AS (
+    # the Gopher-style duplicate-bigram fractions per doc; 'pii' legs
+    # (round 9) carry the corpus-wide redaction counts + length delta
+    # from the staged PII oracle (_pii_ctes), folded in from the former
+    # standalone `pii_redact` slot so they stay inside the driver's
+    # 50-slot CORRECTNESS window.
+    return f"""
+WITH {_pii_ctes()}, pii_tot AS ({_PII_FINAL_SELECT}), words AS (
   SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS ws
   FROM documents
 ), grams8 AS (
@@ -2474,8 +2573,26 @@ FROM (
            / length(text) DESC, doc_id
   LIMIT 32
 )
-""",
-)
+UNION ALL
+SELECT 'pii', 'emails', 0.0, 0.0, emails FROM pii_tot
+UNION ALL
+SELECT 'pii', 'ssns', 0.0, 0.0, ssns FROM pii_tot
+UNION ALL
+SELECT 'pii', 'ccards', 0.0, 0.0, ccards FROM pii_tot
+UNION ALL
+SELECT 'pii', 'phones', 0.0, 0.0, phones FROM pii_tot
+UNION ALL
+SELECT 'pii', 'ips', 0.0, 0.0, ips FROM pii_tot
+UNION ALL
+SELECT 'pii', 'ipv6s', 0.0, 0.0, ipv6s FROM pii_tot
+UNION ALL
+SELECT 'pii', 'docs_with_pii', 0.0, 0.0, docs_with_pii FROM pii_tot
+UNION ALL
+SELECT 'pii', 'len_delta', 0.0, 0.0, len_delta FROM pii_tot
+"""
+
+
+@query("curate_profile", oracle=_curate_profile_oracle())
 def curate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import curate
 
@@ -2522,7 +2639,25 @@ def curate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("a"), F.lit(0.0).alias("b"),
         F.lit(0).cast("long").alias("n"),
     )
-    return decon.unionByName(rep).unionByName(su).unionByName(ss).unionByName(sw)
+    # PII redaction totals (pii_redact_q, unregistered since round 9):
+    # unpivot the 1-row/8-col aggregate into (op='pii', k, n) legs
+    pii = (
+        pii_redact_q(spark, sf_dir)
+        .selectExpr(
+            "stack(8, 'emails', emails, 'ssns', ssns, 'ccards', ccards, "
+            "'phones', phones, 'ips', ips, 'ipv6s', ipv6s, "
+            "'docs_with_pii', docs_with_pii, 'len_delta', len_delta) AS (k, n)"
+        )
+        .select(
+            F.lit("pii").alias("op"), "k",
+            F.lit(0.0).alias("a"), F.lit(0.0).alias("b"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+    return (
+        decon.unionByName(rep).unionByName(su).unionByName(ss)
+        .unionByName(sw).unionByName(pii)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3178,24 +3313,60 @@ def near_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_surface",
     oracle="""
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS cnt,
-       ROUND(SUM(CAST(user_id AS DOUBLE) * value)
-             / SUM(CAST(user_id AS DOUBLE)), 6) AS vwap,
-       ROUND(SUM(CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) = 0
-                      THEN value ELSE 0.0 END), 6) AS sunday_value,
-       CAST(MIN(TRUNC((DATEDIFF('day', DATE '2000-01-01', CAST(ts AS DATE))
-             - DAYOFWEEK(CAST(ts AS DATE))) / 7.0)) AS INT) AS min_week,
-       ROUND(MAX(GREATEST(ABS(value), 1.0)), 6) AS max_absval,
-       ROUND(EXP(SUM(LN(CASE WHEN value > 0 THEN 1.000001 ELSE 0.999999 END))), 6)
-           AS prd_drift,
-       CAST(SUM(CASE WHEN event_type ILIKE 'C%' THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_ilike,
-       MIN(event_type || '!') AS cat_min,
-       CAST(MAX(YEAR(ts)) AS INT) AS max_year,
-       ROUND(SUM(LN(SQRT(ABS(value) + 1.0))), 6) AS log_leg
-FROM events
-GROUP BY event_type
+WITH base AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         ROUND(SUM(CAST(user_id AS DOUBLE) * value)
+               / SUM(CAST(user_id AS DOUBLE)), 6) AS vwap,
+         ROUND(SUM(CASE WHEN DAYOFWEEK(CAST(ts AS DATE)) = 0
+                        THEN value ELSE 0.0 END), 6) AS sunday_value,
+         CAST(MIN(TRUNC((DATEDIFF('day', DATE '2000-01-01', CAST(ts AS DATE))
+               - DAYOFWEEK(CAST(ts AS DATE))) / 7.0)) AS INT) AS min_week,
+         ROUND(MAX(GREATEST(ABS(value), 1.0)), 6) AS max_absval,
+         ROUND(EXP(SUM(LN(CASE WHEN value > 0 THEN 1.000001 ELSE 0.999999 END))), 6)
+             AS prd_drift,
+         CAST(SUM(CASE WHEN event_type ILIKE 'C%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ilike,
+         MIN(event_type || '!') AS cat_min,
+         CAST(MAX(YEAR(ts)) AS INT) AS max_year,
+         ROUND(SUM(LN(SQRT(ABS(value) + 1.0))), 6) AS log_leg,
+         ROUND(EXP(SUM((user_id % 7 + 1) * LN(ABS(value) + 1))
+                   / SUM(user_id % 7 + 1)), 6) AS wgeo
+  FROM events
+  GROUP BY event_type
+), diffs AS (
+  -- cs_diff rewrite on the event_id spine (unique -> engine-portable order)
+  SELECT event_type,
+         COALESCE(value - LAG(value) OVER (PARTITION BY event_type ORDER BY event_id), 0.0) AS d
+  FROM events
+), diff_leg AS (
+  SELECT event_type, ROUND(SUM(ABS(d)), 6) AS diff_abs_sum FROM diffs GROUP BY event_type
+), chg AS (
+  -- cs_group_* rewrite: run id increments where the key changes
+  SELECT event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM LAG(event_type) OVER (ORDER BY event_id)
+              THEN 1 ELSE 0 END AS c
+  FROM events
+), rids AS (
+  SELECT event_type, SUM(c) OVER (ORDER BY event_id) AS rid FROM chg
+), run_leg AS (
+  SELECT event_type, CAST(COUNT(DISTINCT rid) AS BIGINT) AS n_runs FROM rids GROUP BY event_type
+), grids AS (
+  -- cs_grid_avg rewrite: tumbling 500-element positional buckets
+  SELECT event_type,
+         FLOOR((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) / 500) AS gid,
+         value
+  FROM events
+), grid_leg AS (
+  SELECT event_type, ROUND(SUM(gavg), 6) AS grid_avg_sum FROM (
+    SELECT event_type, gid, AVG(value) AS gavg FROM grids GROUP BY event_type, gid
+  ) GROUP BY event_type
+)
+SELECT b.*, d.diff_abs_sum, r.n_runs, g.grid_avg_sum
+FROM base b
+JOIN diff_leg d USING (event_type)
+JOIN run_leg r USING (event_type)
+JOIN grid_leg g USING (event_type)
 """,
 )
 def sql_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3204,14 +3375,24 @@ def sql_surface_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_sql(spark)
     register_views(spark, events_sql=_t(spark, sf_dir, "events"))
     # grouped-agg pandas UDFs cannot share an Aggregate with builtin
-    # aggregates (INVALID_PANDAS_UDF_PLACEMENT), so the two UDAF legs
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT), so the three UDAF legs
     # aggregate in their own CTE and join back — still one pure-SQL
-    # statement, and the builtin side stays whole-stage-codegen'd
+    # statement, and the builtin side stays whole-stage-codegen'd.
+    # wgeo is the §2.9 UDAF check (weighted geometric mean — folded in
+    # from the former standalone `udaf_wgeomean` slot, round 9, so the
+    # registry stays within the driver's 50-slot CORRECTNESS window).
+    # The diff/run/grid legs (round 9) drive the sqlsurface.py
+    # SERIES_SQL_RECIPES rewrites for cs_diff, cs_group_count and
+    # cs_grid_avg through pure spark.sql — the documented porting
+    # recipe for the reference's sql/windowagg.sql / sql/groupbyagg.sql
+    # batteries, cross-checked against DuckDB verbatim.
     return spark.sql("""
 WITH pandas_aggs AS (
   SELECT event_type,
          cs_wavg(CAST(user_id AS DOUBLE), value) AS vwap_raw,
-         cs_prd(cs_iif(value > 0.0D, 1.000001D, 0.999999D)) AS prd_raw
+         cs_prd(cs_iif(value > 0.0D, 1.000001D, 0.999999D)) AS prd_raw,
+         cs_wgeomean(cs_abs(value) + 1.0D,
+                     CAST(user_id % 7 + 1 AS DOUBLE)) AS wgeo_raw
   FROM events_sql
   GROUP BY event_type
 ),
@@ -3228,13 +3409,50 @@ builtin_aggs AS (
          ROUND(SUM(cs_log(cs_sqrt(cs_abs(value) + 1.0D))), 6) AS log_leg
   FROM events_sql
   GROUP BY event_type
+),
+diffs AS (
+  SELECT event_type,
+         COALESCE(value - LAG(value) OVER (PARTITION BY event_type ORDER BY event_id), 0.0D) AS d
+  FROM events_sql
+),
+diff_leg AS (
+  SELECT event_type, ROUND(SUM(ABS(d)), 6) AS diff_abs_sum FROM diffs GROUP BY event_type
+),
+chg AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM LAG(event_type) OVER (ORDER BY event_id)
+              THEN 1 ELSE 0 END AS c
+  FROM events_sql
+),
+rids AS (
+  SELECT event_type, SUM(c) OVER (ORDER BY event_id) AS rid FROM chg
+),
+run_leg AS (
+  SELECT event_type, COUNT(DISTINCT rid) AS n_runs FROM rids GROUP BY event_type
+),
+grids AS (
+  SELECT event_type,
+         FLOOR((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) - 1) / 500) AS gid,
+         value
+  FROM events_sql
+),
+grid_leg AS (
+  SELECT event_type, ROUND(SUM(gavg), 6) AS grid_avg_sum FROM (
+    SELECT event_type, gid, AVG(value) AS gavg FROM grids GROUP BY event_type, gid
+  ) GROUP BY event_type
 )
 SELECT b.event_type, b.cnt,
        ROUND(p.vwap_raw, 6) AS vwap,
        b.sunday_value, b.min_week, b.max_absval,
        ROUND(p.prd_raw, 6) AS prd_drift,
-       b.n_ilike, b.cat_min, b.max_year, b.log_leg
-FROM builtin_aggs b JOIN pandas_aggs p USING (event_type)
+       b.n_ilike, b.cat_min, b.max_year, b.log_leg,
+       ROUND(p.wgeo_raw, 6) AS wgeo,
+       d.diff_abs_sum, r.n_runs, g.grid_avg_sum
+FROM builtin_aggs b
+JOIN pandas_aggs p USING (event_type)
+JOIN diff_leg d USING (event_type)
+JOIN run_leg r USING (event_type)
+JOIN grid_leg g USING (event_type)
 """)
 
 
@@ -3611,16 +3829,21 @@ def join_concat_store_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark's pandas_udf GROUPED_AGG is the strict superset claimed there.
 # Driver-verified with a weighted geometric mean — a real aggregate SQL
 # can only express through the exp/ln identity the oracle uses.
+# Since round 9 the driver-facing check is the `wgeo` leg of
+# `sql_surface` (cs_wgeomean, sqlsurface.py) — the standalone slot was
+# registration #51 and fell outside the driver's 50-slot CORRECTNESS
+# window in round 8. This DataFrame-API twin stays UNREGISTERED,
+# pinned against the same DuckDB oracle in pytest
+# (tests/test_engine_introspection.py::test_udaf_wgeomean_dataframe_path).
 # ---------------------------------------------------------------------------
-@query(
-    "udaf_wgeomean",
-    oracle="""
+UDAF_WGEOMEAN_ORACLE = """
 SELECT event_type,
        ROUND(EXP(SUM((user_id % 7 + 1) * LN(ABS(value) + 1))
                  / SUM(user_id % 7 + 1)), 6) AS wgeo
 FROM events GROUP BY event_type
-""",
-)
+"""
+
+
 def udaf_wgeomean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
@@ -3643,92 +3866,13 @@ def udaf_wgeomean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# PII redaction (pipeline.curate.redact_pii / pii_profile) — the
-# curation stage a training-data pipeline runs before tokenization.
-# Deterministic PII is synthesized into the corpus IDENTICALLY on both
-# sides (pure ||/lpad/CAST string algebra over doc_id) — including a
-# Luhn-VALID credit card (4111...) and a Luhn-INVALID look-alike
-# (1234-5678-...) so the checksum gate is exercised, plus compressed
-# and trailing-:: IPv6 forms — then redaction counts and length deltas
-# are computed with the same regex patterns, restricted to the
-# Java∩RE2 dialect so Spark executors and the DuckDB oracle agree
-# bit-for-bit (backreference replacement is spelled $1 / \1 per
-# engine; the Luhn checksum is re-derived in DuckDB list algebra).
-# ---------------------------------------------------------------------------
-def _pii_oracle() -> str:
-    from .pipeline.curate import CCARD_PATTERN, IPV6_PATTERN, PII_PATTERNS
-
-    pat = {name: p for name, p, _ in PII_PATTERNS}
-    # Luhn over the reversed digit string of candidate c (1-based i:
-    # odd = keep, even = double-and-fold)
-    dg = "reverse(regexp_replace(c, '[^0-9]', '', 'g'))"
-    luhn = (
-        f"list_sum(list_transform(range(1, length({dg}) + 1), i -> "
-        f"CASE WHEN i % 2 = 1 THEN CAST({dg}[i] AS INT) "
-        f"WHEN CAST({dg}[i] AS INT) < 5 THEN 2 * CAST({dg}[i] AS INT) "
-        f"ELSE 2 * CAST({dg}[i] AS INT) - 9 END)) % 10 = 0"
-    )
-    return f"""
-WITH aug AS (
-  SELECT doc_id,
-         text
-         || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
-         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789 ok' ELSE '' END
-         || CASE WHEN doc_id % 17 = 0 THEN ' card 4111-1111-1111-1111 ok' ELSE '' END
-         || CASE WHEN doc_id % 19 = 0 THEN ' num 1234-5678-9012-3456 no' ELSE '' END
-         || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' x' ELSE '' END
-         || CASE WHEN doc_id % 11 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 end' ELSE '' END
-         || CASE WHEN doc_id % 23 = 0 THEN ' v6 2001:db8::' || CAST(doc_id % 9 + 1 AS VARCHAR) || ' end' ELSE '' END
-         || CASE WHEN doc_id % 29 = 0 THEN ' ll fe80:: up' ELSE '' END
-         AS text
-  FROM documents
-), r1 AS (
-  -- staged: each category counts on the text with prior categories
-  -- already redacted, mirroring the engine's sequential pass
-  SELECT doc_id, text AS t0,
-         regexp_replace(text, '{pat["email"]}', '[EMAIL]', 'g') AS t1
-  FROM aug
-), r2 AS (
-  SELECT *, regexp_replace(t1, '{pat["ssn"]}', '[SSN]', 'g') AS t2 FROM r1
-), c0 AS (
-  SELECT *, list_filter(regexp_extract_all(t2, '{CCARD_PATTERN}'), c -> {luhn}) AS cc_valid
-  FROM r2
-), r3 AS (
-  -- \b-anchored, mirroring the engine: a literal replace would corrupt
-  -- longer digit runs containing a valid card as a substring
-  SELECT *, list_reduce(list_prepend(t2, cc_valid), (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b', '[CCARD]', 'g')) AS t3 FROM c0
-), r4 AS (
-  SELECT *, regexp_replace(t3, '{pat["phone"]}', '\\1[PHONE]', 'g') AS t4 FROM r3
-), r5 AS (
-  SELECT *, regexp_replace(t4, '{pat["ipv4"]}', '[IP]', 'g') AS t5 FROM r4
-), r6 AS (
-  SELECT *, regexp_replace(t5, '{IPV6_PATTERN}', '[IPV6]', 'g') AS t6 FROM r5
-), prof AS (
-  SELECT doc_id,
-    len(regexp_extract_all(t0, '{pat["email"]}')) AS n_email,
-    len(regexp_extract_all(t1, '{pat["ssn"]}')) AS n_ssn,
-    len(cc_valid) AS n_ccard,
-    len(regexp_extract_all(t3, '{pat["phone"]}')) AS n_phone,
-    len(regexp_extract_all(t4, '{pat["ipv4"]}')) AS n_ipv4,
-    len(regexp_extract_all(t5, '{IPV6_PATTERN}')) AS n_ipv6,
-    length(t0) - length(t6) AS len_delta
-  FROM r6
-)
-SELECT CAST(SUM(n_email) AS BIGINT) AS emails,
-       CAST(SUM(n_ssn) AS BIGINT) AS ssns,
-       CAST(SUM(n_ccard) AS BIGINT) AS ccards,
-       CAST(SUM(n_phone) AS BIGINT) AS phones,
-       CAST(SUM(n_ipv4) AS BIGINT) AS ips,
-       CAST(SUM(n_ipv6) AS BIGINT) AS ipv6s,
-       CAST(SUM(CASE WHEN n_email + n_ssn + n_ccard + n_phone + n_ipv4 + n_ipv6 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
-       CAST(SUM(len_delta) AS BIGINT) AS len_delta
-FROM prof
-"""
-
-
-@query("pii_redact", oracle=_pii_oracle())
 def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction counts + length delta over the synthesized-PII
+    corpus (oracle chain: :func:`_pii_ctes`). UNREGISTERED since round
+    9 — the driver-facing check is the 'pii' legs of `curate_profile`,
+    which call this function; the standalone slot was registration #52
+    and fell outside the driver's 50-slot CORRECTNESS window in round
+    8. Also pytest-pinned directly against :func:`_pii_oracle`."""
     from .pipeline import curate as C
 
     docs = _t(spark, sf_dir, "documents")

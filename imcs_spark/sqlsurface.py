@@ -123,11 +123,122 @@ AGGREGATE_BUILTINS: dict[str, str] = {
     "cs_cov": "covar_pop",
 }
 
+# ---------------------------------------------------------------------------
+# Series-level cs_* families (§2.5 window/group/grid, §2.6 sort/rank/
+# quantile, §2.7 TS specials) → plain Spark SQL rewrites.
+#
+# The reference exposes ALL of these as SQL functions over its
+# `timeseries` datatype (imcs--1.1.sql:564-906; batteries
+# sql/windowagg.sql, sql/groupbyagg.sql, sql/gridagg.sql). In Spark a
+# series is rows (pos, val[, sid]), so each family IS a standard
+# window / GROUP BY expression — registering wrappers is impossible
+# (SQL scalar UDFs cannot contain window functions or aggregates) and
+# pointless: the rewrite below, pasted into any spark.sql() statement,
+# is the operator. This table is the documented, TESTED mapping — a
+# reference SQL user porting sql/windowagg.sql applies these
+# one-liners verbatim:
+#
+# - tests/test_engine_introspection.py::test_series_sql_recipes pins a
+#   sample of every family against the DataFrame operators
+#   (operators/windows.py, grouping.py, sorting.py, timeseries.py);
+# - the driver query `sql_surface` runs the cs_diff, cs_group_count
+#   and cs_grid_avg rewrites through pure spark.sql() against the
+#   DuckDB oracle (its diff_abs_sum / n_runs / grid_avg_sum legs).
+#
+# Placeholders: {v}=value column, {p}=pos (any total-order) column,
+# {g}=run/group key column, {n}=window or grid size (an INT literal),
+# {P}='PARTITION BY <series-id cols>' for per-series operation, or ''
+# for one global series. <agg> ranges over sum/avg/max/min/count/
+# var_pop/stddev_pop exactly as in the Column factories.
+#
+# At scale the same caveat as the DataFrame operators applies: an
+# empty {P} on a window with ORDER BY is a single-partition sort —
+# fine for one symbol's series, wrong for a 100 TB global series
+# (route those through the operators' range-bucketed global paths,
+# operators/windows.py:309,516).
+SERIES_SQL_RECIPES: dict[str, str] = {
+    # --- §2.5 moving-window aggregates (cs_window_*, func.c IMCS_WINDOW_AGG:
+    #     partial windows at the head, like the reference)
+    "cs_window_<agg>":
+        "<agg>({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW)",
+    # EMA/ATR are full-prefix recurrences (e_0=x_0; e_i depends on
+    # e_{i-1}, func.c:1764-1800): expressible as a fold over the
+    # prefix via the AGGREGATE HOF — O(n²) in SQL, so use this form
+    # only for short series; operators/windows.ema/atr (applyInPandas,
+    # linear) are the scale path, and the ema_atr driver oracle uses
+    # the equivalent closed-form weighted sum.
+    "cs_window_ema":
+        "AGGREGATE(COLLECT_LIST({v}) OVER ({P} ORDER BY {p} ROWS UNBOUNDED PRECEDING), "
+        "CAST(NULL AS DOUBLE), (acc, x) -> IF(acc IS NULL, x, acc + (x - acc) * 2.0 / ({n} + 1)))",
+    "cs_window_atr":
+        "AGGREGATE(COLLECT_LIST({v}) OVER ({P} ORDER BY {p} ROWS UNBOUNDED PRECEDING), "
+        "CAST(NULL AS DOUBLE), (acc, x) -> IF(acc IS NULL, x, (acc * ({n} - 1) + x) / {n}))",
+    # --- §2.5 cumulative aggregates (cs_cum_*)
+    "cs_cum_<agg>":
+        "<agg>({v}) OVER ({P} ORDER BY {p} ROWS UNBOUNDED PRECEDING)",
+    # --- §2.5 run-group aggregates (cs_group_*): a run id that
+    #     increments whenever the group key changes, then GROUP BY it
+    # two steps — Spark rejects a window function nested inside another
+    # window's argument, so the change flag comes from a subquery:
+    "cs_group_rid":
+        "SUM(chg) OVER ({P} ORDER BY {p})  -- chg = CASE WHEN {g} IS DISTINCT FROM "
+        "LAG({g}) OVER ({P} ORDER BY {p}) THEN 1 ELSE 0 END, in a subquery",
+    "cs_group_<agg>":
+        "SELECT rid, FIRST({g}) AS {g}, <agg>({v}) FROM (... cs_group_rid AS rid ...) GROUP BY rid",
+    # --- §2.5 windowed-run aggregates (cs_win_group_*): same rid,
+    #     aggregate repeated onto each element of its run
+    "cs_win_group_<agg>":
+        "<agg>({v}) OVER (PARTITION BY rid)  -- rid from cs_group_rid",
+    # --- §2.5 grid aggregates (cs_grid_*): tumbling positional buckets
+    "cs_grid_<agg>":
+        "SELECT FLOOR({p} / {n}) AS pos, <agg>({v}) FROM t GROUP BY FLOOR({p} / {n})",
+    # --- §2.5 hash aggregates (cs_hash_*): true GROUP BY; compound keys
+    #     are just more columns (no cs_cat packing needed)
+    "cs_hash_<agg>": "SELECT {g}, <agg>({v}) FROM t GROUP BY {g}",
+    "cs_hash_dup_count":
+        "SELECT {g}, COUNT(*) FROM (SELECT {g}, {v} FROM t GROUP BY {g}, {v} "
+        "HAVING COUNT(*) >= {n}) GROUP BY {g}",
+    "cs_histogram":
+        "SELECT FLOOR(({v} - {low}) / {width}) AS bucket, COUNT(*) FROM t "
+        "WHERE {v} >= {low} AND {v} < {high} GROUP BY 1",
+    # --- §2.6 sort / rank / quantile / top-N
+    "cs_sort": "SELECT {v} FROM t ORDER BY {v}",
+    "cs_sort_pos": "SELECT {p} FROM t ORDER BY {v}, {p}",
+    # ties share the MIN rank, ascending (sorting.py:113 — but note the
+    # window form serializes one series per task; sorting.rank's
+    # two-phase min-rank join is the skew-safe scale path)
+    "cs_rank": "RANK() OVER ({P} ORDER BY {v} ASC)",
+    "cs_dense_rank": "DENSE_RANK() OVER ({P} ORDER BY {v} ASC)",
+    # the reference selects ORDER STATISTICS arr[TRUNC(cnt*i/q)]
+    # (func.c:3579-3581), not interpolated percentiles — use
+    # operators/sorting.quantile for bit-parity; the ANSI
+    # near-equivalents below differ at the boundaries:
+    "cs_quantile": "PERCENTILE_CONT({q}) WITHIN GROUP (ORDER BY {v})  -- or APPROX_PERCENTILE({v}, {q}) at scale; exact ref semantics: operators/sorting.quantile",
+    "cs_top_max": "SELECT {v} FROM t ORDER BY {v} DESC LIMIT {n}",
+    "cs_top_min": "SELECT {v} FROM t ORDER BY {v} ASC LIMIT {n}",
+    "cs_top_max_pos": "SELECT {p} FROM t ORDER BY {v} DESC LIMIT {n}",
+    # --- §2.7 TS specials
+    "cs_diff": "COALESCE({v} - LAG({v}) OVER ({P} ORDER BY {p}), 0.0)",
+    # two steps (no nested windows): s = SIGN({v} - LAG({v}) OVER
+    # ({P} ORDER BY {p})) computed in a subquery, then the plateau
+    # carry is a last-non-zero over the prefix:
+    "cs_trend":
+        "CAST(COALESCE(LAST(NULLIF(s, 0), TRUE) OVER ({P} ORDER BY {p} "
+        "ROWS UNBOUNDED PRECEDING), 0) AS TINYINT)  -- s from a subquery",
+    "cs_norm": "{v} / SQRT(SUM({v} * {v}) OVER ({P}))",
+    # cross/extrema return POSITION LISTS (data-dependent length) —
+    # multi-step window chains, not one-liners; use
+    # operators/timeseries.cross/extrema (their full SQL equivalents
+    # are the diff_trend / cross_extrema driver oracles).
+    "cs_cross": "-- see operators/timeseries.cross; oracle: queries.py cross_extrema",
+    "cs_extrema": "-- see operators/timeseries.extrema; oracle: queries.py cross_extrema",
+}
+
 
 def register_sql(spark: SparkSession) -> None:
     """Register the whole cs_* SQL surface on this session. Idempotent
     (CREATE OR REPLACE / re-register). Scalar functions inline into
-    the caller's plan; the three pandas UDAFs are the only Python in
+    the caller's plan; the four pandas UDAFs are the only Python in
     the surface."""
     for name, (args, ret, body) in SCALAR_FUNCTIONS.items():
         spark.sql(
@@ -172,9 +283,26 @@ def register_sql(spark: SparkSession) -> None:
             return None
         return float(np.sum(wa[mask] * va[mask]) / np.sum(wa[mask]))
 
+    @pandas_udf("double")
+    def _cs_wgeomean(v: pd.Series, w: pd.Series) -> float:
+        # weighted geometric mean exp(Σ w·ln v / Σ w) — the §2.9 UDAF
+        # the reference cannot express at all (its extensibility story
+        # is "write a C operator", SURVEY §2.9); SQL engines express it
+        # only through the exp/ln identity the oracle uses
+        import numpy as np
+
+        va = v.to_numpy(dtype="float64")
+        wa = w.to_numpy(dtype="float64")
+        mask = ~(pd.isna(v) | pd.isna(w)).to_numpy()
+        if not mask.any():
+            return None
+        va, wa = va[mask], wa[mask]
+        return float(np.exp((np.log(va) * wa).sum() / wa.sum()))
+
     spark.udf.register("cs_prd", _cs_prd)
     spark.udf.register("cs_wsum", _cs_wsum)
     spark.udf.register("cs_wavg", _cs_wavg)
+    spark.udf.register("cs_wgeomean", _cs_wgeomean)
 
 
 def register_views(spark: SparkSession, engine=None, **frames) -> None:

@@ -212,3 +212,192 @@ def test_format_series_round_trips_and_truncates(spark):
     head = parse(spark, out.replace(",...", ""))
     vals = [r["val"] for r in head.orderBy("pos").collect()]
     assert vals == list(range(len(vals)))
+
+
+def test_query_registry_within_driver_window():
+    """The driver records only the FIRST 50 registry slots
+    (COVERAGE.md): registration #51+ silently falls out of the
+    CORRECTNESS hard signal — exactly what happened to udaf_wgeomean
+    and pii_redact in round 8. Guard the cap, and that every
+    registered query still carries an oracle."""
+    from imcs_spark.queries import ORACLES, QUERIES
+
+    assert len(QUERIES) <= 50, (
+        f"{len(QUERIES)} registered queries — slots past 50 are "
+        f"invisible to the driver's CORRECTNESS window; fold the new "
+        f"check into an existing composite query instead"
+    )
+    assert set(ORACLES) == set(QUERIES)
+
+
+def _duckdb_views(sf_dir, *tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def test_udaf_wgeomean_dataframe_path(spark, sf_dir):
+    """The DataFrame-API GROUPED_AGG twin of sql_surface's wgeo leg
+    (unregistered since round 9; formerly driver slot #51) still
+    matches the DuckDB exp/ln-identity oracle."""
+    from imcs_spark.queries import UDAF_WGEOMEAN_ORACLE, udaf_wgeomean_q
+
+    got = {
+        r["event_type"]: r["wgeo"]
+        for r in udaf_wgeomean_q(spark, sf_dir).collect()
+    }
+    con = _duckdb_views(sf_dir, "events")
+    want = dict(con.execute(UDAF_WGEOMEAN_ORACLE).fetchall())
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_pii_redact_cross_engine(spark, sf_dir):
+    """pii_redact_q (unregistered since round 9; formerly driver slot
+    #52 — the driver-facing check is curate_profile's 'pii' legs,
+    which unpivot this same aggregate) stays bit-identical to the
+    staged DuckDB redaction oracle."""
+    from imcs_spark.queries import _pii_oracle, pii_redact_q
+
+    got = pii_redact_q(spark, sf_dir).first().asDict()
+    con = _duckdb_views(sf_dir, "documents")
+    cur = con.execute(_pii_oracle())
+    cols = [d[0] for d in cur.description]
+    want = dict(zip(cols, cur.fetchone()))
+    assert got == want
+
+
+def test_series_sql_recipes(spark):
+    """SERIES_SQL_RECIPES (sqlsurface.py): every executable rewrite
+    template must reproduce the DataFrame operator it documents —
+    a reference SQL user porting sql/windowagg.sql / sql/groupbyagg.sql
+    applies these one-liners verbatim, so they are pinned here against
+    operators/windows.py, grouping.py, sorting.py, timeseries.py over
+    a probe with plateaus, sign changes and two series partitions."""
+    import pyspark.sql.functions as F
+
+    from imcs_spark.operators import grouping, sorting, timeseries, windows
+    from imcs_spark.sqlsurface import SERIES_SQL_RECIPES as R
+
+    rows = []
+    vals = [3.0, 3.0, -1.0, 4.0, 4.0, 4.0, -2.0, 0.0, 5.0, 1.0,
+            1.0, -3.0, 2.0, 2.0, 6.0, -6.0, 7.0, 7.0, 0.0, 8.0]
+    for sid in ("a", "b"):
+        for i, v in enumerate(vals):
+            vv = v if sid == "a" else -v + 0.5
+            rows.append((sid, i, vv, int(abs(vv)) // 2))
+    df = spark.createDataFrame(rows, "sid string, pos long, val double, g int")
+    df.createOrReplaceTempView("recipe_probe")
+    P = "PARTITION BY sid"
+
+    def sql_col(expr):
+        out = spark.sql(
+            f"SELECT sid, pos, {expr} AS r FROM recipe_probe"
+        ).orderBy("sid", "pos").collect()
+        return [row["r"] for row in out]
+
+    def op_col(odf, col):
+        return [row[col] for row in odf.orderBy("sid", "pos").collect()]
+
+    approx = lambda a, b: all(  # noqa: E731
+        (x is None and y is None) or abs(x - y) < 1e-9 for x, y in zip(a, b)
+    )
+
+    # cs_window_avg / cs_cum_sum
+    expr = R["cs_window_<agg>"].replace("<agg>", "AVG").format(v="val", p="pos", n=5, P=P)
+    assert approx(sql_col(expr), op_col(windows.moving_agg(df, "avg", 5, partition_by=["sid"]), "window_avg"))
+    expr = R["cs_cum_<agg>"].replace("<agg>", "SUM").format(v="val", p="pos", P=P)
+    assert approx(sql_col(expr), op_col(windows.cum_agg(df, "sum", partition_by=["sid"]), "cum_sum"))
+
+    # cs_window_ema: the O(n²) AGGREGATE-fold form vs the linear
+    # applyInPandas recurrence
+    expr = R["cs_window_ema"].format(v="val", p="pos", n=4, P=P)
+    assert approx(sql_col(expr), op_col(windows.ema(df, 4, partition_by=["sid"]), "ema"))
+
+    # cs_group_sum via the documented two-step rid rewrite
+    rid_sql = spark.sql(f"""
+        WITH chg AS (
+          SELECT sid, pos, val, g,
+                 CASE WHEN g IS DISTINCT FROM LAG(g) OVER ({P} ORDER BY pos)
+                      THEN 1 ELSE 0 END AS chg
+          FROM recipe_probe
+        ), rids AS (
+          SELECT sid, pos, val, g,
+                 {R["cs_group_rid"].split("  --")[0].format(p="pos", P=P)} AS rid
+          FROM chg
+        )
+        SELECT sid, rid, FIRST(g) AS g, SUM(val) AS s
+        FROM rids GROUP BY sid, rid
+    """).orderBy("sid", "rid").collect()
+    got = [(r["sid"], r["rid"] - 1, r["g"], r["s"]) for r in rid_sql]
+    want_df = grouping.group_agg(df, "sum", "g", "val", partition_by=["sid"])
+    want = [(r["sid"], r["pos"], r["g"], r["group_sum"])
+            for r in want_df.orderBy("sid", "pos").collect()]
+    assert got == want
+
+    # cs_win_group_max: run aggregate repeated onto each element
+    wg_sql = spark.sql(f"""
+        WITH chg AS (
+          SELECT sid, pos, val, g,
+                 CASE WHEN g IS DISTINCT FROM LAG(g) OVER ({P} ORDER BY pos)
+                      THEN 1 ELSE 0 END AS chg
+          FROM recipe_probe
+        ), rids AS (
+          SELECT sid, pos, val, g, SUM(chg) OVER ({P} ORDER BY pos) AS rid FROM chg
+        )
+        SELECT sid, pos, {R["cs_win_group_<agg>"].split('--')[0].strip().replace('<agg>', 'MAX').format(v='val')
+                          .replace('PARTITION BY rid', 'PARTITION BY sid, rid')} AS r
+        FROM rids
+    """).orderBy("sid", "pos").collect()
+    assert approx(
+        [r["r"] for r in wg_sql],
+        op_col(grouping.win_group_agg(df, "max", "g", "val", partition_by=["sid"]), "win_group_max"),
+    )
+
+    # cs_grid_avg: tumbling 8-element buckets
+    grid_sql = spark.sql(
+        "SELECT sid, " + R["cs_grid_<agg>"].replace("<agg>", "AVG")
+        .format(v="val", p="pos", n=8)
+        .replace("SELECT ", "").replace("FROM t GROUP BY", "FROM recipe_probe GROUP BY sid,")
+    ).orderBy("sid", "pos").collect()
+    want_grid = grouping.grid_agg(df, "avg", 8, "val", partition_by=["sid"])
+    want_rows = [(r["sid"], r["pos"], r["grid_avg"])
+                 for r in want_grid.orderBy("sid", "pos").collect()]
+    assert [(r["sid"], r["pos"], r[2]) for r in grid_sql] == want_rows
+
+    # cs_rank (ties -> min rank, ascending, original order kept)
+    expr = R["cs_rank"].format(v="val", P=P)
+    assert sql_col(expr) == op_col(sorting.rank(df, "val", partition_by=["sid"]), "rank")
+
+    # cs_diff / cs_trend / cs_norm
+    expr = R["cs_diff"].format(v="val", p="pos", P=P)
+    assert approx(sql_col(expr), op_col(timeseries.diff(df, "val", partition_by=["sid"]), "diff"))
+    trend_sql = spark.sql(f"""
+        WITH signs AS (
+          SELECT sid, pos, SIGN(val - LAG(val) OVER ({P} ORDER BY pos)) AS s
+          FROM recipe_probe
+        )
+        SELECT sid, pos, {R["cs_trend"].split('--')[0].strip().rstrip()
+                          .format(p="pos", P=P)} AS r
+        FROM signs
+    """).orderBy("sid", "pos").collect()
+    assert [r["r"] for r in trend_sql] == op_col(
+        timeseries.trend(df, "val", partition_by=["sid"]), "trend"
+    )
+    expr = R["cs_norm"].format(v="val", P=P)
+    assert approx(sql_col(expr), op_col(timeseries.norm(df, "val", partition_by=["sid"]), "norm"))
+
+    # cs_top_max (single-series recipe)
+    one = df.filter(F.col("sid") == "a").select("pos", "val")
+    one.createOrReplaceTempView("t")
+    top_sql = [r[0] for r in spark.sql(
+        R["cs_top_max"].format(v="val", n=3)
+    ).collect()]
+    assert top_sql == [r["val"] for r in sorting.top_max(one, 3, "val").orderBy("pos").collect()]
