@@ -413,6 +413,11 @@ def run_scale(spark: SparkSession, data_dir: str, runs: int = 3) -> dict:
         lambda: _run_curation_soak(spark, data_dir),
     )
     _section("SPARK_GRAFT_SCALE_ANN", "ann", lambda: _run_ann_soak(spark, data_dir))
+    _section(
+        "SPARK_GRAFT_SCALE_NDSTREAM",
+        "ndstream",
+        lambda: _run_near_dedup_soak(spark, data_dir),
+    )
     return out
 
 
@@ -1015,4 +1020,167 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
 
     for f in (truth, approx, index[1], queries, corpus):
         f.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dedup soak: the 2M-doc corpus replayed through
+# near_dedup_stream in ~20 id-ordered micro-batches — the streaming
+# twin of the cur2m_* section. The sf0.1 driver query proves the
+# SEMANTICS (3 batches, DuckDB oracle); this proves the SHAPE at real
+# size: per-batch wall stays flat, per-batch state I/O is O(batch)
+# (delta bytes ~ batch cells, not corpus cells — the versioned
+# side-table protocol's core claim), and the final kept set equals a
+# batch-mode Spark twin of the same greedy hub rule (arrival order =
+# id order by construction, which makes the stream's
+# earlier-batch-hub + fresh-cell-min gating collapse to "gate every
+# doc against the global min-id occupant of each of its cells").
+# ---------------------------------------------------------------------------
+def _run_near_dedup_soak(spark: SparkSession, data_dir: str) -> dict:
+    import shutil
+    import tempfile
+    import threading
+
+    from .pipeline import dedup as D
+    from .streaming import near_dedup_stream
+
+    NB, NH, BANDS, TAU = 20, 16, 8, 0.5
+    sig_cols = [f"mh_{k}" for k in range(NH)]
+
+    path = os.path.join(data_dir, "docs_2m.parquet")
+    _ensure(spark, path, gen_docs_2m)
+    out: dict[str, float] = {}
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(path).select("doc_id", "text").persist()
+    out["nd2m_rows"] = docs.count()
+
+    tmp = tempfile.mkdtemp(prefix="imcs_nd2m_")
+    src = os.path.join(tmp, "incoming")
+    target = os.path.join(tmp, "kept")
+    side = target + "_buckets"
+    chk = os.path.join(tmp, "chk")
+    try:
+        # 20 ascending id-range chunk files; the file stream orders
+        # micro-batches by (mtime, path), so stamp increasing mtimes —
+        # arrival order then equals id order (the equality twin's
+        # precondition). One write job: range-bucket + partitionBy,
+        # then rename the partition dirs to plain names so the file
+        # stream does no partition-column inference.
+        t0 = time.time()
+        step = DOCS_2M // NB + 1
+        (
+            docs.withColumn("_bb", F.floor(F.col("doc_id") / step).cast("int"))
+            .repartition(NB, "_bb")
+            .write.partitionBy("_bb")
+            .parquet(src)
+        )
+        for i in range(NB):
+            d = os.path.join(src, f"_bb={i}")
+            if os.path.isdir(d):
+                os.rename(d, os.path.join(src, f"b{i:02d}"))
+                for root, _dirs, files in os.walk(os.path.join(src, f"b{i:02d}")):
+                    for fn in files:
+                        os.utime(os.path.join(root, fn), (10**9 + i, 10**9 + i))
+        out["nd2m_stage_sec"] = round(time.time() - t0, 4)
+
+        # poll the side table while the stream runs: deltas are GC'd at
+        # compaction, so sizes must be sampled live to record every
+        # batch's state write (max observed size per version dir)
+        sizes: dict[str, int] = {}
+        stop = threading.Event()
+
+        def _poll():
+            while not stop.is_set():
+                if os.path.isdir(side):
+                    for v in os.listdir(side):
+                        p = os.path.join(side, v)
+                        try:
+                            b = sum(
+                                os.path.getsize(os.path.join(r, f))
+                                for r, _d, fs in os.walk(p)
+                                for f in fs
+                            )
+                        except OSError:
+                            continue  # dir being GC'd mid-walk
+                        sizes[v] = max(sizes.get(v, 0), b)
+                stop.wait(0.5)
+
+        poller = threading.Thread(target=_poll, daemon=True)
+        poller.start()
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        t0 = time.time()
+        q = near_dedup_stream(
+            stream, target, num_hashes=NH, bands=BANDS,
+            sim_threshold=TAU, checkpoint=chk,
+        )
+        q.awaitTermination(3600)
+        out["nd2m_total_sec"] = round(time.time() - t0, 4)
+        stop.set()
+        poller.join(5)
+
+        batch_secs = sorted(
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in (q.recentProgress or [])
+            if p.get("durationMs", {}).get("triggerExecution") is not None
+            and p.get("numInputRows", 0) > 0
+        )
+        if batch_secs:
+            out["nd2m_batches"] = len(batch_secs)
+            out["nd2m_batch_sec_min"] = round(batch_secs[0], 4)
+            out["nd2m_batch_sec_med"] = round(
+                batch_secs[len(batch_secs) // 2], 4
+            )
+            out["nd2m_batch_sec_max"] = round(batch_secs[-1], 4)
+        deltas = sorted(v for v in sizes if v.startswith("d"))
+        if deltas:
+            db = sorted(sizes[v] for v in deltas)
+            out["nd2m_delta_bytes_med"] = db[len(db) // 2]
+            out["nd2m_delta_bytes_max"] = db[-1]
+        snaps = [v for v in sizes if v.startswith("v") and not v.endswith("pre")]
+        if snaps:
+            out["nd2m_snapshot_bytes_last"] = sizes[
+                max(snaps, key=lambda v: int(v[1:]))
+            ]
+
+        kept = spark.read.parquet(target).select("doc_id").persist()
+        out["nd2m_kept"] = kept.count()
+
+        # batch-mode twin of the stream's greedy hub rule (see header)
+        sigs = D.minhash_signatures(
+            docs, text_col="text", id_col="doc_id", num_hashes=NH
+        ).persist()
+        bb = D.band_buckets(sigs, "doc_id", NH, BANDS)
+        hub = bb.groupBy("band", "bucket").agg(F.min("doc_id").alias("hub_id"))
+        hs = sigs.select(
+            F.col("doc_id").alias("hub_id"),
+            *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
+        )
+        cand = (
+            bb.join(hub, ["band", "bucket"])
+            .filter(F.col("doc_id") > F.col("hub_id"))
+            .join(hs, "hub_id")
+            .join(sigs, "doc_id")
+        )
+        matches = None
+        for c in sig_cols:
+            m = (F.col(c) == F.col(f"_h_{c}")).cast("int")
+            matches = m if matches is None else matches + m
+        drop = cand.filter(matches / F.lit(NH) >= TAU).select("doc_id").distinct()
+        twin = docs.select("doc_id").join(drop, "doc_id", "left_anti").persist()
+        n_twin = twin.count()
+        sym_diff = (
+            kept.exceptAll(twin).count() + twin.exceptAll(kept).count()
+        )
+        out["nd2m_twin_kept"] = n_twin
+        out["nd2m_kept_equal_batch"] = int(sym_diff == 0)
+        for f in (twin, sigs, kept):
+            f.unpersist()
+    finally:
+        docs.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
     return out

@@ -465,23 +465,75 @@ def pii_profile(
 #   \b : Java is UNICODE-aware BY DEFAULT ('café4111…' has NO boundary
 #        before the 4 — é is a word char); RE2 and re.ASCII are
 #        ASCII-\b (boundary exists → match).
-# So no single Python flag reproduces Java. The engine's semantics are
-# the JAVA ones (the Column forms define them, and batch≡column must
-# hold on ALL inputs), so the Python twins compile with DEFAULT
-# (Unicode) flags — matching Java's \b — and \d textually rewritten to
+# So no single Python flag reproduces Java — and (round 9, found by a
+# live JVM probe) neither does Python's Unicode \w: the JDK's default
+# \b (Pattern.java Bound, no UNICODE_CHARACTER_CLASS) defines
+#   word(ch) = ch=='_' OR Character.isLetterOrDigit(ch)   [L* ∪ Nd]
+#              OR (Mn AND hasBaseCharacter)
+# where the last clause makes a NON-SPACING MARK a word char only when
+# it sits (through a run of marks) on a letter-or-digit base — so
+# '…6789́' has NO trailing boundary (mark glued to the 9) while a
+# bare leading '́123-…' DOES have one, and Nl/No numerals,
+# spacing marks (Mc/Me), non-'_' connector punctuation and ZWJ/ZWNJ
+# are all NON-word (several of those are word chars to Python \w).
+# The engine's semantics are the JAVA ones (the Column forms define
+# them, and batch≡column must hold on ALL inputs), so the Python twins
+# compile with the `regex` module and rewrite every \b into the exact
+# JDK rule as lookarounds (below), with \d textually rewritten to
 # [0-9] — matching Java's \d. The DuckDB oracles remain valid because
-# their synthesized PII is ASCII-adjacent, where all three agree; the
-# residual Java-vs-RE2 \b divergence on non-ASCII-glued digit runs is
-# a documented oracle-domain bound, not an engine bug. Java's $1
+# their synthesized PII is ASCII-adjacent, where all engines agree;
+# the residual Java-vs-RE2 \b divergence on non-ASCII-glued digit runs
+# is a documented oracle-domain bound, not an engine bug. Java's $1
 # replacement becomes Python \1.
 
 import re as _re
+
+import regex as _rx
+
+# The JDK Bound rule as lookarounds. Every \b in the PII patterns is
+# adjacent to a guaranteed word char INSIDE the match (a digit or hex
+# digit), so \b reduces to "the OTHER side is not word":
+#   leading \b  -> _JAVA_NL: char before is not letter/digit/_ and not
+#                  a mark-run on a letter/digit base;
+#   trailing \b -> _JAVA_NR: next char is not letter/digit/_ and not a
+#                  mark whose backward mark-run scan finds a
+#                  letter/digit base (the scan sees the just-matched
+#                  digits, reproducing JDK hasBaseCharacter).
+# Pinned against live Spark/JVM behavior across Mn/Mc/Me/Pc/Nl/No/
+# ZWJ/ZWNJ/mark-run/underscore-base cases in
+# tests/test_property_round5.py::test_java_word_boundary_parity.
+_JAVA_NL = r"(?<![\p{L}\p{Nd}_])(?<![\p{L}\p{Nd}]\p{Mn}+)"
+_JAVA_NR = r"(?![\p{L}\p{Nd}_])(?!(?=\p{Mn})(?<=[\p{L}\p{Nd}]\p{Mn}*))"
+
+
+def _rewrite_java_b(p: str) -> str:
+    """Rewrite every \\b in a PII pattern to the exact JDK boundary
+    rule. Positional: a \\b followed by a digit-ish atom ('\\d', '(',
+    '[') is a leading boundary, one followed by '|' / ')' / end is
+    trailing; any other context is unsupported (asserted — all PII
+    patterns keep \\b digit-adjacent)."""
+    out: list[str] = []
+    i = 0
+    while i < len(p):
+        if p.startswith(r"\b", i):
+            nxt = p[i + 2: i + 3]
+            if nxt in ("(", "[") or p.startswith(r"\d", i + 2):
+                out.append(_JAVA_NL)
+            elif nxt in ("|", ")", ""):
+                out.append(_JAVA_NR)
+            else:
+                raise ValueError(f"\\b in unsupported context: {p[i:i+6]!r}")
+            i += 2
+        else:
+            out.append(p[i])
+            i += 1
+    return "".join(out)
 
 
 def _py_pat(p: str):
     # no PII pattern uses \d inside a character class (asserted by the
     # fuzz suite), so a textual rewrite is exact
-    return _re.compile(p.replace("\\d", "[0-9]"))
+    return _rx.compile(_rewrite_java_b(p.replace("\\d", "[0-9]")))
 
 
 _PII_COMPILED: list[tuple[str, object, str]] = [
@@ -498,13 +550,29 @@ def _luhn_ok_py(span: str) -> bool:
     return s % 10 == 0
 
 
+def _ccard_hit(t) -> bool:
+    return isinstance(t, str) and _CCARD_COMPILED.search(t) is not None
+
+
+def _subber(pat, repl):
+    """Per-batch sub closure preserving nulls (NaN/None pass through
+    untouched, like pandas .str.replace)."""
+    return lambda t: pat.sub(repl, t) if isinstance(t, str) else t
+
+
+def _counter(pat):
+    """Per-batch match counter preserving nulls (NaN count for NULL
+    text, like pandas .str.count)."""
+    return lambda t: len(pat.findall(t)) if isinstance(t, str) else None
+
+
 def _ccard_redact_py(t: str) -> str:
     # non-overlapping left-to-right candidates, fold in document order —
     # the exact semantics of the Column form's regexp_extract_all +
     # aggregate; candidates contain only [0-9 -] so no escaping needed
     for cand in _CCARD_COMPILED.findall(t):
         if _luhn_ok_py(cand):
-            t = _re.sub(r"\b" + cand + r"\b", "[CCARD]", t)
+            t = _rx.sub(_JAVA_NL + cand + _JAVA_NR, "[CCARD]", t)
     return t
 
 
@@ -520,15 +588,19 @@ def redact_pii_batch(text_col: str | Column) -> Column:
 
     @pandas_udf("string")
     def _redact(s):
+        # pandas .str ops reject regex-module patterns (they require
+        # re.Pattern), so patterns apply via map — still one compiled
+        # pattern per tight pass over the batch (the batching thesis;
+        # .str.replace is an equivalent per-row Python loop inside)
         for name in PII_CATEGORIES:
             if name == "ccard":
-                mask = s.str.contains(_CCARD_COMPILED, regex=True, na=False)
+                mask = s.map(_ccard_hit)
                 if mask.any():
                     s = s.copy()
                     s[mask] = s[mask].map(_ccard_redact_py)
             else:
                 _, pat, repl = next(x for x in _PII_COMPILED if x[0] == name)
-                s = s.str.replace(pat, repl, regex=True)
+                s = s.map(_subber(pat, repl))
         return s
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -557,7 +629,7 @@ def pii_profile_batch(
             out = {id_col: pdf[id_col]}
             for name in PII_CATEGORIES:
                 if name == "ccard":
-                    mask = s.str.contains(_CCARD_COMPILED, regex=True, na=False)
+                    mask = s.map(_ccard_hit)
                     n = pd.Series(0, index=s.index, dtype="int64")
                     if mask.any():
                         sub = s[mask]
@@ -574,8 +646,8 @@ def pii_profile_batch(
                         ]
                 else:
                     _, pat, repl = next(x for x in _PII_COMPILED if x[0] == name)
-                    n = s.str.count(pat)
-                    s = s.str.replace(pat, repl, regex=True)
+                    n = s.map(_counter(pat))
+                    s = s.map(_subber(pat, repl))
                 # NULL text -> NULL counts, exactly like the Column
                 # form's regexp_count(NULL) (the ccard count is 0 there
                 # because its guard's otherwise-branch yields an empty
@@ -590,5 +662,5 @@ def pii_profile_batch(
 
 def _apply_ccard_subs(t: str, cands: list) -> str:
     for cand in cands:
-        t = _re.sub(r"\b" + cand + r"\b", "[CCARD]", t)
+        t = _rx.sub(_JAVA_NL + cand + _JAVA_NR, "[CCARD]", t)
     return t

@@ -492,9 +492,13 @@ def ivf_index(
                     }
                 )
 
+        # id type follows the caller's schema (the Column kernel
+        # preserves it, so the matrix twin must too — string or int
+        # ids work identically in both)
+        id_t = corpus.schema[id_col].dataType.simpleString()
         c = (
             corpus.select(id_col, vec_col)
-            .mapInPandas(assign, f"{id_col} long, _cu array<double>, cell int")
+            .mapInPandas(assign, f"{id_col} {id_t}, _cu array<double>, cell int")
             .persist()
         )
         return centroids, c
@@ -605,7 +609,12 @@ def brute_force_topk_matrix(
     n_q = len(q_ids)
     kk = k
 
-    schema = f"{query_id_col} long, {id_col} long, cosine double"
+    # id types follow the callers' schemas (the Column kernel preserves
+    # them; hard-coded bigint here used to fail string/int ids at
+    # runtime despite the parameterized id_col API)
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    cid_t = corpus.schema[id_col].dataType.simpleString()
+    schema = f"{query_id_col} {qid_t}, {id_col} {cid_t}, cosine double"
 
     def gen(batches):
         for pdf in batches:

@@ -2890,7 +2890,9 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage-BATCHED redaction (curate.redact_pii_batch): the Column
     # chain interleaves six regex programs per row, which defeats JVM
     # Pattern.match specialization — 203 s vs 11 s at 2M docs (round-8
-    # soak). Output is bit-identical, so the oracle is unaffected.
+    # soak). Output is bit-identical — including combining-mark-glued
+    # PII since round 9's exact JDK \b lookaround rewrite in
+    # curate._py_pat — so the oracle is unaffected.
     d4 = dedup.spread(d3, "doc_id").withColumn(
         "text", curate.redact_pii_batch("text")
     )

@@ -244,11 +244,14 @@ def format_series(
     parts: list[str] = []
     used = len(head) + 1  # opening brace
     truncated = count_truncated
-    for i, r in enumerate(rows):
+    for r in rows:
         s = fmt(r[0])
         # reserve room for ',...' + '}' like the reference's
-        # OUTPUT_BUF_RESERVE guard
-        if limit and i > 0 and used + len(s) + 6 > limit:
+        # OUTPUT_BUF_RESERVE guard — including the FIRST element: when
+        # even it cannot fit, the reference emits 'mnem:{,...}'
+        # (imcs.c:2941-2948: sep still '{', truncated set before any
+        # element was appended), and so do we
+        if limit and used + len(s) + 6 > limit:
             truncated = True
             break
         parts.append(s)

@@ -401,3 +401,22 @@ def test_series_sql_recipes(spark):
         R["cs_top_max"].format(v="val", n=3)
     ).collect()]
     assert top_sql == [r["val"] for r in sorting.top_max(one, 3, "val").orderBy("pos").collect()]
+
+
+def test_format_series_truncates_before_first_element(spark):
+    """When even the first element cannot fit the string budget, the
+    reference emits 'mnem:{,...}' (imcs.c:2941-2948) instead of
+    overflowing the declared limit — so must format_series (round-9
+    fix: the guard used to skip the first element, so one long value
+    blew past the budget)."""
+    from imcs_spark.sources import format_series
+
+    s = parse(spark, "int8:{12345678901234567}")
+    out = format_series(s, limit=8)
+    assert out == "int8:{,...}"
+    # a tiny limit over a multi-element series truncates to the marker
+    s = parse(spark, "text:{abcdefghijklmnopqrstuvwxyz,b}")
+    out = format_series(s, limit=10)
+    assert out == "text:{,...}"
+    # and the budget is respected for every emitted form
+    assert len(out) <= 10 + 5

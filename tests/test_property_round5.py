@@ -207,6 +207,16 @@ def test_pii_batch_forms_match_column_forms_on_adversarial_text(spark):
         "12345678901234567890", "1 2 3 4 5 6 7 8 9 0 1 2 3",
         "3782 822463 10005", "12:30:45", "fe80::", "std::vector<int>",
         "word", "w123", "...", "-", "--", ".", "}{",
+        # combining-mark-glued PII (round 9): the JDK treats an Mn mark
+        # on a letter/digit base as a word char, so these have NO
+        # trailing \b in Java — the exact divergence the lookaround
+        # rewrite in curate._py_pat exists to reproduce; plus the
+        # other categories where Java and Python \w split
+        "123-45-6789́", "́123-45-6789", "10.0.0.1́",
+        "4111-1111-1111-1111́", "2001:db8::1̀",
+        "á123-45-6789", "_́123-45-6789", " ́ ",
+        "123-45-6789ः", "123-45-6789‍", "123-45-6789⁀",
+        "123-45-6789²", "123-45-6789Ⅻ", "555-123-4567́̀",
     ]
     texts = []
     for _ in range(300):
@@ -231,3 +241,48 @@ def test_pii_batch_forms_match_column_forms_on_adversarial_text(spark):
     pb = {r["doc_id"]: r.asDict() for r in curate.pii_profile_batch(df).collect()}
     mism = [k for k in pa if pa[k] != pb[k]]
     assert not mism, [(k, pa[k], pb[k]) for k in mism[:3]]
+
+
+def test_java_word_boundary_parity(spark):
+    """The \\b rewrite in curate._py_pat must reproduce the JDK's
+    default word-boundary rule EXACTLY (Pattern.java Bound, no
+    UNICODE_CHARACTER_CLASS): word = '_' | isLetterOrDigit | (Mn with a
+    letter/digit base through a mark run). Live cross-check: the SSN
+    pattern through Spark's JVM regexp_replace vs the rewritten
+    regex-module twin, over every Unicode category where engines
+    diverge — Mn (glued / bare / on-underscore / run-of-two), Mc, Me,
+    Pc, Nl, No, ZWJ/ZWNJ, Cf — in leading, trailing and mid-string
+    positions."""
+    from pyspark.sql import functions as F
+
+    from imcs_spark.pipeline.curate import PII_PATTERNS, _py_pat
+
+    ssn_java = next(p for name, p, _ in PII_PATTERNS if name == "ssn")
+    ssn_py = _py_pat(ssn_java)
+
+    S = "123-45-6789"
+    chars = ["́", "̀", "ः", "⃝", "⁀", "‍",
+             "‌", "²", "Ⅻ", "_", "q", "7", " ", ".", "-",
+             "­", "ͅ", "½", "ʰ", "é"]
+    texts = []
+    for c in chars:
+        texts += [S + c, c + S, f"a{c} {S} {c}b", f"x{c}{S}{c}x",
+                  " " + c + S, "a" + c + S, "_" + c + S]
+    texts += [S, S + "́̀", "́̀" + S, S + "́" + "1"]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    java = {
+        r["i"]: r["r"]
+        for r in df.select(
+            "i", F.regexp_replace("t", ssn_java, "[SSN]").alias("r")
+        ).collect()
+    }
+    bad = []
+    for i, t in enumerate(texts):
+        j = "[SSN]" in java[i]
+        p = ssn_py.search(t) is not None
+        if j != p:
+            bad.append((repr(t), j, p))
+    assert not bad, bad[:5]
