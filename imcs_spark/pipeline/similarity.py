@@ -367,14 +367,33 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    kernel: str = "column",
 ) -> list[list[float]]:
     """Spherical k-means on unit vectors, Spark-native Lloyd steps:
     assignment is a broadcast argmax expression over the corpus (no
     shuffle of vectors); the update is a posexplode → (cluster, dim)
     partial-sum aggregate — only K×dim partial states move. Determinis-
     tic: init picks the n_centroids corpus rows with smallest
-    xxhash64(id, seed)."""
+    xxhash64(id, seed).
+
+    kernel='sequential' (round 9) is the ORACLE-GRADE variant: init by
+    the engine's portable md5 hash order (curate.hash48 of
+    '{id}#{seed}') and Lloyd sums as id-ordered sequential left folds,
+    so the centroids are BIT-reproducible by the DuckDB twin
+    (oracle_ivf.py — every float op is a left fold both engines
+    implement identically; verified in tests/test_pipeline.py). It
+    collects each cell's members into one sorted array per (cell, dim),
+    so it is for audit/oracle use on bounded corpora — the default
+    kernel (numpy partial sums, arbitrary accumulation order) remains
+    the scale path."""
     import numpy as np
+
+    if kernel == "sequential":
+        return _train_ivf_sequential(
+            corpus, n_centroids, iters, vec_col, id_col, seed
+        )
+    if kernel != "column":
+        raise ValueError(f"train_ivf_centroids: unknown kernel {kernel!r}")
 
     unit = corpus.select(id_col, F.col(vec_col).alias("_v")).withColumn(
         "_u", _unit("_v")
@@ -438,6 +457,83 @@ def train_ivf_centroids(
                 v = acc[ci]
                 norm = float(np.linalg.norm(v)) or 1.0
                 new.append((v / norm).tolist())
+            else:  # empty cluster: keep previous centroid
+                new.append(centroids[ci])
+        centroids = new
+    unit.unpersist()
+    return centroids
+
+
+def _train_ivf_sequential(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+    seed: int,
+) -> list[list[float]]:
+    """train_ivf_centroids kernel='sequential' (see its docstring).
+    Every floating-point reduction is a deterministic left fold in a
+    defined order — (id asc) across members, (dim asc) within a
+    vector — the one accumulation order DuckDB's list_sum, Spark's
+    aggregate() HOF and a plain Python loop all implement bit-
+    identically (probed in round 9), which is what lets oracle_ivf.py
+    recompute the same centroids from scratch in SQL."""
+    import math
+
+    from .curate import hash48
+
+    unit = (
+        corpus.select(id_col, F.col(vec_col).alias("_v"))
+        .withColumn("_u", _unit("_v"))
+        .persist()
+    )
+    key = hash48(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+    init = (
+        unit.withColumn("_rk", key)
+        .orderBy("_rk", id_col)
+        .limit(n_centroids)
+        .select("_u")
+        .collect()
+    )
+    centroids = [list(r["_u"]) for r in init]
+    if not centroids:
+        raise ValueError(
+            "train_ivf_centroids: empty corpus — cannot initialize"
+            " centroids (same condition lsh_index reports)"
+        )
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = unit.withColumn("cell", _assign_expr("_u", centroids))
+        rows = (
+            assigned.select(
+                "cell",
+                F.col(id_col).alias("_id"),
+                F.posexplode("_u").alias("_d", "_x"),
+            )
+            .groupBy("cell", "_d")
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("_id", "_x"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["_x"],
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        acc: dict[int, list[float]] = {}
+        for r in rows:
+            acc.setdefault(r["cell"], [0.0] * dim)[r["_d"]] = r["_s"] / r["_n"]
+        new = []
+        for ci in range(len(centroids)):
+            if ci in acc:
+                m = acc[ci]
+                ss = 0.0
+                for x in m:  # dim-ordered left fold, like the SQL twin
+                    ss += x * x
+                norm = math.sqrt(ss) or 1.0
+                new.append([x / norm for x in m])
             else:  # empty cluster: keep previous centroid
                 new.append(centroids[ci])
         centroids = new

@@ -1241,11 +1241,19 @@ def _ann_recall_oracle() -> str:
     # is a bit_count(xor) predicate, and recall is a set intersection
     # (order-insensitive, so last-ulp cosine ordering noise cannot
     # move it unless it crosses the top-5 SET boundary — gaps are
-    # ~1e-3 on this corpus). The IVF legs stay pinned: the 1-Lloyd-
-    # step training aggregates partial sums whose accumulation order
-    # differs between engines, so centroids are not bit-reproducible
-    # in SQL — its recall is a deterministic measured integer,
-    # cross-checked by pytest.
+    # ~1e-3 on this corpus).
+    # Since round 9 the IVF legs are ALSO a true cross-engine oracle:
+    # the Spark side trains with the 'sequential' kernel (every
+    # reduction a fixed-order left fold — the one accumulation order
+    # DuckDB list_sum, Spark aggregate() and Python loops implement
+    # bit-identically), and oracle_ivf.py recomputes the whole
+    # train→assign→probe→re-rank chain from scratch in SQL; centroids
+    # are pinned bit-for-bit in tests/test_pipeline.py. This replaces
+    # the rounds-5..8 per-SF pinned recall integers (the old
+    # impossibility note applied to the numpy-partial-sum kernel,
+    # whose accumulation order is indeed not SQL-reproducible — the
+    # fix was defining an order, not discovering one).
+    from .oracle_ivf import ivf_ctes
     from .pipeline.similarity import hyperplanes
 
     planes = hyperplanes(64, 8, seed=42)
@@ -1296,30 +1304,15 @@ WITH pl AS (
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
     FROM cand
   ) WHERE rn <= 5
-)
+){ivf_ctes(n_centroids=8, iters=1, n_probe=3, k=5, n_queries=3, seed=42, dim=64, unit_cte="u")}
 SELECT 'lsh' AS method, CAST(a.query_id AS BIGINT) AS query_id,
        CAST(COUNT(*) AS INTEGER) AS recall
 FROM approx a JOIN ex USING (query_id, vec_id)
 GROUP BY a.query_id
 UNION ALL
-SELECT 'ivf', CAST(q AS BIGINT),
-       -- per-SF pins (the ivf centroid training is not accumulation-
-       -- order reproducible in SQL, so its recall is a deterministic
-       -- measured integer per corpus): every known corpus is matched
-       -- POSITIVELY by (row count, first-component checksum) — sf0.1
-       -- (2000, 1.531), sf0.001 (500, -1.464), sf0.01 (500, 1.082);
-       -- an unknown corpus falls through to -1, an impossible recall,
-       -- so a future SF mismatches LOUDLY instead of silently reusing
-       -- the sf0.01 pin
-       CAST(CASE
-         WHEN (SELECT COUNT(*) FROM embeddings) = 2000
-          AND (SELECT ROUND(SUM(embedding[1]), 3) FROM embeddings) = 1.531 THEN r10
-         WHEN (SELECT COUNT(*) FROM embeddings) = 500
-          AND (SELECT ROUND(SUM(embedding[1]), 3) FROM embeddings) = -1.464 THEN r001
-         WHEN (SELECT COUNT(*) FROM embeddings) = 500
-          AND (SELECT ROUND(SUM(embedding[1]), 3) FROM embeddings) = 1.082 THEN r01
-         ELSE -1 END AS INTEGER)
-FROM (VALUES (0, 2, 4, 2), (1, 3, 3, 3), (2, 4, 2, 5)) AS t(q, r01, r001, r10)
+SELECT 'ivf', CAST(a.query_id AS BIGINT), CAST(COUNT(*) AS INTEGER)
+FROM iv_approx a JOIN ex USING (query_id, vec_id)
+GROUP BY a.query_id
 """
 
 
@@ -1339,10 +1332,19 @@ def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = similarity.lsh_topk(
         emb, queries_df, k=5, n_planes=8, multi_probe=3, dim=64, index=lsh_index
     )
+    # sequential training kernel (round 9): fixed-order folds make the
+    # centroids bit-reproducible by oracle_ivf.py's SQL twin, turning
+    # the ivf legs into a TRUE cross-engine oracle (they were per-SF
+    # pinned integers in rounds 5-8)
     ivf_index = _ann_index(
         spark,
         ("ivf", sf_dir),
-        lambda: similarity.ivf_index(emb, n_centroids=8, iters=1),
+        lambda: similarity.ivf_index(
+            emb, n_centroids=8, iters=1,
+            centroids=similarity.train_ivf_centroids(
+                emb, n_centroids=8, iters=1, kernel="sequential"
+            ),
+        ),
     )
     ivf = similarity.ivf_topk(
         emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=1, index=ivf_index

@@ -1686,3 +1686,35 @@ def test_ivf_matrix_kernel_matches_column_kernel(spark, sf_dir):
         idx[1].unpersist()
     assert out["column"][0] == out["matrix"][0]  # identical cell map
     assert out["column"][1] == out["matrix"][1]  # identical ranked ids
+
+
+def test_ivf_sequential_centroids_bit_equal_duckdb(spark, sf_dir):
+    """train_ivf_centroids(kernel='sequential') must be BIT-identical
+    to the DuckDB recomputation (oracle_ivf.ivf_centroids_sql) — the
+    property that makes ann_recall's IVF legs a true cross-engine
+    oracle since round 9: every float reduction in both kernels is the
+    same fixed-order left fold (id-ordered across members, dim-ordered
+    within vectors), which round-9 probes showed DuckDB list_sum,
+    Spark aggregate() and Python loops all implement identically."""
+    import struct
+
+    import duckdb
+
+    from imcs_spark.oracle_ivf import ivf_centroids_sql
+    from imcs_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.train_ivf_centroids(
+        emb, n_centroids=8, iters=2, kernel="sequential"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rows = con.execute(ivf_centroids_sql(n_centroids=8, iters=2)).fetchall()
+    assert len(rows) == len(cents) == 8
+    for ci, c in rows:
+        assert len(c) == len(cents[ci]) == 64
+        for j, (a, b) in enumerate(zip(cents[ci], c)):
+            assert struct.pack("<d", a) == struct.pack("<d", b), (ci, j, a, b)
