@@ -74,7 +74,12 @@ class TsTable:
         O(touched data) behavior without an explicit index."""
         out = self._df
         if id_value is not None and self.id_col:
-            out = out.filter(F.col(self.id_col) == id_value)
+            if isinstance(id_value, (list, tuple, set)):
+                # reference TABLE_get(array[...]): one series per id
+                # (imcs--1.1.sql:262-283 array overloads)
+                out = out.filter(F.col(self.id_col).isin(*id_value))
+            else:
+                out = out.filter(F.col(self.id_col) == id_value)
         if low is not None:
             out = out.filter(F.col(self.ts_col) >= low)
         if high is not None:
