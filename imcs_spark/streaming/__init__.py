@@ -647,9 +647,15 @@ def near_dedup_stream(
     seen-bucket set lives in a parquet side table storing one row per
     occupied (band, bucket) with its hub id + full signature
     (num_hashes longs — the state a signature-verified near-dedup
-    minimally needs). Each batch is one distributed join against it
-    (auto-broadcast while small). State maintenance is **O(batch), not
-    O(corpus)**: a batch writes only its NEWLY-occupied cells as a
+    minimally needs). Each batch joins against it with the BATCH side
+    broadcast (round 9): the batch's cell set is micro-batch-bounded
+    by construction while the state grows with the corpus, so the
+    state is scanned once per batch and never shuffled — the collision
+    set the scan yields (bounded by the batch) then drives the
+    fresh-cell anti-joins without touching the state again. Per-batch
+    state READ therefore stays one sequential column-pruned scan
+    (O(corpus), parallel across executors); state WRITE maintenance is
+    **O(batch), not O(corpus)**: a batch writes only its NEWLY-occupied cells as a
     delta version (``{state}/d{batch_id}``) and readers take
     ``base snapshot ∪ deltas`` — cells are disjoint across versions
     because each delta was anti-joined against the state it was built
@@ -742,20 +748,39 @@ def near_dedup_stream(
             _write_snapshot(spark, _hubs(bb, sigs).limit(0), pre_path, n_files=1)
             seen = None
 
-        # (a) collisions against earlier batches
+        # (a) collisions against earlier batches. Join DIRECTION matters
+        # at scale (round 9): the batch side is micro-batch-bounded by
+        # construction while `seen` grows with the corpus, so the batch
+        # cells are BROADCAST and the state table is scanned exactly
+        # once per batch with NO shuffle — the previous shape
+        # (bb.join(seen, ...) + two left_antis against seen) shuffled
+        # the corpus-scale state (16 signature longs per cell, ~2 GB at
+        # 2M docs) up to three times per batch. `prev` (bounded by the
+        # batch's cell count) is persisted so the collision set and the
+        # drop set share the single state scan.
         if seen is not None:
-            prev = bb.join(
-                seen.select(
-                    "band", "bucket",
-                    *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
-                ),
-                ["band", "bucket"],
+            state_cols = ["band", "bucket"] + (
+                [F.col(c).alias(f"_h_{c}") for c in sig_cols]
+                if sim_threshold is not None
+                else []
             )
+            prev = seen.select(*state_cols).join(
+                F.broadcast(bb), ["band", "bucket"]
+            ).persist()
+            # cells of THIS batch that already have an earlier occupant
+            # (== bb \ fresh): tiny, reused by both anti-joins below so
+            # the state table is never scanned for them
+            collided = prev.select("band", "bucket").distinct()
             if sim_threshold is not None:
-                prev = prev.join(sigs, id_col)
-                prev = prev.filter(_est_sim("_h_") >= sim_threshold)
-            drop_prev = prev.select(id_col).distinct()
+                gated = prev.join(sigs, id_col).filter(
+                    _est_sim("_h_") >= sim_threshold
+                )
+            else:
+                gated = prev
+            drop_prev = gated.select(id_col).distinct()
         else:
+            prev = None
+            collided = None
             drop_prev = None
 
         # (b) within-batch: collision with a smaller-id document's cell
@@ -765,8 +790,8 @@ def near_dedup_stream(
         # batch-local min id instead would over-drop under
         # sim_threshold (similar to the batch min but dissimilar to
         # the true hub must survive under the star convention)
-        fresh_bb = bb if seen is None else bb.join(
-            seen.select("band", "bucket"), ["band", "bucket"], "left_anti"
+        fresh_bb = bb if collided is None else bb.join(
+            F.broadcast(collided), ["band", "bucket"], "left_anti"
         )
         mins = fresh_bb.groupBy("band", "bucket").agg(F.min(id_col).alias("_min_id"))
         inb = fresh_bb.join(mins, ["band", "bucket"]).filter(
@@ -798,8 +823,11 @@ def near_dedup_stream(
             keep = {batch_id}
             base = None
         else:
+            # fresh cells = batch hubs whose cell had no earlier
+            # occupant — the anti-join runs against the tiny collided
+            # set, not the corpus-scale state (see rule (a) note)
             fresh = batch_hubs.join(
-                seen.select("band", "bucket"), ["band", "bucket"], "left_anti"
+                F.broadcast(collided), ["band", "bucket"], "left_anti"
             )
             if usable and len(deltas) + 1 < compact_every:
                 _write_snapshot(spark, fresh, f"{side_path}/d{batch_id}")
@@ -819,6 +847,8 @@ def near_dedup_stream(
                 base = usable[-1] if usable else None
         sigs.unpersist()
         bb.unpersist()
+        if prev is not None:
+            prev.unpersist()
         _gc_versions(spark, side_path, versions, keep, batch_id)
         _gc_deltas(spark, side_path, base, batch_id)
 
