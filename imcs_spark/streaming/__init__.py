@@ -764,8 +764,17 @@ def near_dedup_stream(
                 if sim_threshold is not None
                 else []
             )
+            # guard the one unbounded case: availableNow with no
+            # maxFilesPerTrigger delivers the whole backlog as a single
+            # batch, whose cell set may not fit a driver broadcast.
+            # bb is persisted and reused by every later step, so the
+            # count materializes work that happens anyway; past the
+            # threshold (~3 ints + K longs per cell) the join falls
+            # back to the shuffle Spark would plan for two big sides.
+            n_cells = bb.count()
+            hint = F.broadcast if n_cells <= 20_000_000 else (lambda d: d)
             prev = seen.select(*state_cols).join(
-                F.broadcast(bb), ["band", "bucket"]
+                hint(bb), ["band", "bucket"]
             ).persist()
             # cells of THIS batch that already have an earlier occupant
             # (== bb \ fresh): tiny, reused by both anti-joins below so
@@ -791,7 +800,7 @@ def near_dedup_stream(
         # sim_threshold (similar to the batch min but dissimilar to
         # the true hub must survive under the star convention)
         fresh_bb = bb if collided is None else bb.join(
-            F.broadcast(collided), ["band", "bucket"], "left_anti"
+            hint(collided), ["band", "bucket"], "left_anti"
         )
         mins = fresh_bb.groupBy("band", "bucket").agg(F.min(id_col).alias("_min_id"))
         inb = fresh_bb.join(mins, ["band", "bucket"]).filter(
@@ -827,7 +836,7 @@ def near_dedup_stream(
             # occupant — the anti-join runs against the tiny collided
             # set, not the corpus-scale state (see rule (a) note)
             fresh = batch_hubs.join(
-                F.broadcast(collided), ["band", "bucket"], "left_anti"
+                hint(collided), ["band", "bucket"], "left_anti"
             )
             if usable and len(deltas) + 1 < compact_every:
                 _write_snapshot(spark, fresh, f"{side_path}/d{batch_id}")
