@@ -176,19 +176,23 @@ def main():
     # are floor-bound: exec ≈ job-submission floor, not scan —
     # BENCH_SCALE.md) existed but was invisible to the hard signal.
     # Format per row: [measured_ms, reference_baseline_ms, floor_ms]
-    # where floor_ms is the 32-task prepared-collect floor for the
-    # cached-scan micro rows (they all launch 32 tasks) and absent for
-    # the load row. Read the gate as (measured - floor) vs baseline.
+    # where floor_ms is the 32-task prepared-collect floor (every
+    # cached-scan row launches 32 tasks) and absent for the load row.
+    # Read the gate as (measured - floor) vs baseline. ALL gated rows
+    # use the prepared-plan *_exec keys — the convention BENCH_SCALE.md
+    # defines as the analog of the reference's published psql numbers;
+    # mixing in statement-latency keys would bill ~60-110 ms of
+    # Catalyst compile to rows the baseline measured without it.
     scale = payload.get("scale") or {}
     if isinstance(scale, dict) and "error" not in scale and scale:
         gate_rows = {
             # scale key -> reference baseline (ms), BASELINE.md:19-31
             "vwap_one_exec": 10.0,
-            "vwap_all": 386.5,
+            "vwap_all_exec": 386.5,
             "filter_project_exec": 12.0,
             "filtered_count_exec": 6.274,
             "sum_close_exec": 76.2,
-            "dbitem_hash_agg": 144.0,
+            "dbitem_hash_agg_exec": 144.0,
             "load_quotes": 10200.0,
         }
         floor32 = scale.get("floor_32task_agg_exec")

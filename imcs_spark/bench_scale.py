@@ -1118,10 +1118,18 @@ def _run_near_dedup_soak(spark: SparkSession, data_dir: str) -> dict:
             stream, target, num_hashes=NH, bands=BANDS,
             sim_threshold=TAU, checkpoint=chk,
         )
-        q.awaitTermination(3600)
+        finished = q.awaitTermination(3600)
         out["nd2m_total_sec"] = round(time.time() - t0, 4)
         stop.set()
         poller.join(5)
+        if not finished:
+            # timeout: stop the live query BEFORE the finally-block
+            # rmtree pulls its dirs away, record the fact, and skip
+            # the equality math — partial output would report a
+            # spurious mismatch as if it were a semantics bug
+            q.stop()
+            out["nd2m_timeout"] = 1
+            return out
 
         batch_secs = sorted(
             p["durationMs"]["triggerExecution"] / 1000.0

@@ -488,56 +488,58 @@ def _train_ivf_sequential(
         .withColumn("_u", _unit("_v"))
         .persist()
     )
-    key = hash48(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
-    init = (
-        unit.withColumn("_rk", key)
-        .orderBy("_rk", id_col)
-        .limit(n_centroids)
-        .select("_u")
-        .collect()
-    )
-    centroids = [list(r["_u"]) for r in init]
-    if not centroids:
-        raise ValueError(
-            "train_ivf_centroids: empty corpus — cannot initialize"
-            " centroids (same condition lsh_index reports)"
-        )
-    dim = len(centroids[0])
-    for _ in range(iters):
-        assigned = unit.withColumn("cell", _assign_expr("_u", centroids))
-        rows = (
-            assigned.select(
-                "cell",
-                F.col(id_col).alias("_id"),
-                F.posexplode("_u").alias("_d", "_x"),
-            )
-            .groupBy("cell", "_d")
-            .agg(
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.struct("_id", "_x"))),
-                    F.lit(0.0),
-                    lambda acc, s: acc + s["_x"],
-                ).alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
-            )
+    try:
+        key = hash48(F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}")))
+        init = (
+            unit.withColumn("_rk", key)
+            .orderBy("_rk", id_col)
+            .limit(n_centroids)
+            .select("_u")
             .collect()
         )
-        acc: dict[int, list[float]] = {}
-        for r in rows:
-            acc.setdefault(r["cell"], [0.0] * dim)[r["_d"]] = r["_s"] / r["_n"]
-        new = []
-        for ci in range(len(centroids)):
-            if ci in acc:
-                m = acc[ci]
-                ss = 0.0
-                for x in m:  # dim-ordered left fold, like the SQL twin
-                    ss += x * x
-                norm = math.sqrt(ss) or 1.0
-                new.append([x / norm for x in m])
-            else:  # empty cluster: keep previous centroid
-                new.append(centroids[ci])
-        centroids = new
-    unit.unpersist()
+        centroids = [list(r["_u"]) for r in init]
+        if not centroids:
+            raise ValueError(
+                "train_ivf_centroids: empty corpus — cannot initialize"
+                " centroids (same condition lsh_index reports)"
+            )
+        dim = len(centroids[0])
+        for _ in range(iters):
+            assigned = unit.withColumn("cell", _assign_expr("_u", centroids))
+            rows = (
+                assigned.select(
+                    "cell",
+                    F.col(id_col).alias("_id"),
+                    F.posexplode("_u").alias("_d", "_x"),
+                )
+                .groupBy("cell", "_d")
+                .agg(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(F.struct("_id", "_x"))),
+                        F.lit(0.0),
+                        lambda acc, s: acc + s["_x"],
+                    ).alias("_s"),
+                    F.count(F.lit(1)).alias("_n"),
+                )
+                .collect()
+            )
+            acc: dict[int, list[float]] = {}
+            for r in rows:
+                acc.setdefault(r["cell"], [0.0] * dim)[r["_d"]] = r["_s"] / r["_n"]
+            new = []
+            for ci in range(len(centroids)):
+                if ci in acc:
+                    m = acc[ci]
+                    ss = 0.0
+                    for x in m:  # dim-ordered left fold, like the SQL twin
+                        ss += x * x
+                    norm = math.sqrt(ss) or 1.0
+                    new.append([x / norm for x in m])
+                else:  # empty cluster: keep previous centroid
+                    new.append(centroids[ci])
+            centroids = new
+    finally:
+        unit.unpersist()
     return centroids
 
 

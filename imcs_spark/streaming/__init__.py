@@ -768,11 +768,14 @@ def near_dedup_stream(
             # maxFilesPerTrigger delivers the whole backlog as a single
             # batch, whose cell set may not fit a driver broadcast.
             # bb is persisted and reused by every later step, so the
-            # count materializes work that happens anyway; past the
-            # threshold (~3 ints + K longs per cell) the join falls
-            # back to the shuffle Spark would plan for two big sides.
+            # count materializes work that happens anyway. One cell row
+            # is (id long, band int, bucket long) ≈ 25-40 B serialized,
+            # so 4M cells ≈ 100-160 MB of driver broadcast — the
+            # ceiling; past it the join falls back to the shuffle
+            # Spark would plan for two big sides. A normal micro-batch
+            # (100k docs × 8 bands = 800k cells) sits well under it.
             n_cells = bb.count()
-            hint = F.broadcast if n_cells <= 20_000_000 else (lambda d: d)
+            hint = F.broadcast if n_cells <= 4_000_000 else (lambda d: d)
             prev = seen.select(*state_cols).join(
                 hint(bb), ["band", "bucket"]
             ).persist()

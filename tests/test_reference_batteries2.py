@@ -159,18 +159,26 @@ def test_operators_weighted_aggs_and_corr(quote):
 
 
 def test_operators_filter_and_filter_pos(quote):
-    # (Open>Close)?Day  and  ?(Open>Close)
-    ibm = _ibm_series(quote, "close")
+    # (Open>Close)?Day  and  ?(Open>Close), through the engine's own
+    # positional operators (cs_filter / cs_filter_pos)
+    ibm = _ibm_series(quote, "close").withColumnRenamed("val", "close_v")
     opens = _ibm_series(quote, "open").withColumnRenamed("val", "open")
     days = [str(d) for d in _ibm(quote, F.col("day"))]
     s = ibm.join(opens, "pos").withColumn(
-        "day", F.element_at(F.array(*[F.lit(d) for d in days]), F.col("pos").cast("int") + 1)
+        "val",
+        F.element_at(F.array(*[F.lit(d) for d in days]), F.col("pos").cast("int") + 1),
     )
-    kept = positional.filter_(s.select("pos", F.col("day").alias("val")),
-                              F.col("open") > F.col("_v") if False else None) \
-        if False else s.filter(F.col("open") > F.col("val"))
-    assert sorted(r["day"] for r in kept.collect()) == ["2013-11-04", "2013-11-05"]
-    fpos = positional.filter_pos(s, F.col("open") > F.col("val"))
+    kept = positional.filter_(
+        s.select("pos", "val", "open", "close_v"),
+        F.col("open") > F.col("close_v"),
+    )
+    assert [r["val"] for r in kept.orderBy("pos").collect()] == [
+        "2013-11-04", "2013-11-05",
+    ]
+    fpos = positional.filter_pos(
+        s.select("pos", F.col("close_v").alias("val"), "open"),
+        F.col("open") > F.col("val"),
+    )
     assert [r["val"] for r in fpos.orderBy("pos").collect()] == [2, 3]
 
 

@@ -118,9 +118,21 @@ def main() -> int:
         # drop build-once artifact DataFrames too: they memoize plans
         # built under the first pass's gates (e.g. quantile's shared
         # exact-boundaries frame), so reusing them would re-flag the
-        # old shape no matter what this pass forces
+        # old shape no matter what this pass forces. Unpersist any
+        # cached frames the artifacts hold first — clear() alone would
+        # drop the only references while their RDD blocks stay cached
+        # for the rest of the audit session.
+        from pyspark.sql import DataFrame as _DF
+
         from imcs_spark import queries as _queries
 
+        for _v in _queries._ARTIFACTS.values():
+            for _item in (_v if isinstance(_v, (tuple, list)) else (_v,)):
+                if isinstance(_item, _DF):
+                    try:
+                        _item.unpersist()
+                    except Exception:  # noqa: BLE001 - best-effort GC
+                        pass
         _queries._ARTIFACTS.clear()
         try:
             truly_bad = []
