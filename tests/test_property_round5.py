@@ -286,3 +286,75 @@ def test_java_word_boundary_parity(spark):
         if j != p:
             bad.append((repr(t), j, p))
     assert not bad, bad[:5]
+
+
+def test_asof_join_property_random(spark):
+    """Randomized asof_join vs a direct Python model: every direction,
+    strict and tolerant variants, duplicate left timestamps, per-series
+    (by=) grouping, and left rows outside the right range. Right
+    timestamps are unique per series (duplicate right keys have no
+    defined winner in either the reference or pandas merge_asof).
+    Complements the golden vectors in test_golden_vectors and the
+    direction/tolerance edges in test_scale_joins."""
+    from imcs_spark.operators.joins import asof_join
+
+    rng = random.Random(20260815)
+
+    def model_row(x, rts, direction, strict, tol):
+        prevs = [t for t in rts if (t < x if strict else t <= x)]
+        nexts = [t for t in rts if (t > x if strict else t >= x)]
+        prev_t = max(prevs) if prevs else None
+        next_t = min(nexts) if nexts else None
+        if direction == "backward":
+            m = prev_t
+        elif direction == "forward":
+            m = next_t
+        else:  # nearest, ties to backward (x-prev <= next-x)
+            if prev_t is None:
+                m = next_t
+            elif next_t is None:
+                m = prev_t
+            else:
+                m = prev_t if (x - prev_t) <= (next_t - x) else next_t
+        if m is not None and tol is not None and abs(x - m) > tol:
+            m = None
+        return m
+
+    for trial in range(3):
+        rows_l, rows_r = [], []
+        model_r = {}
+        for sid in ("a", "b"):
+            rts = sorted(rng.sample(range(0, 200, 2), 12))  # unique, even
+            model_r[sid] = rts
+            rows_r += [(sid, float(t), float(t) * 10 + trial) for t in rts]
+            for _ in range(15):
+                # odd, even (exact hits), and out-of-range left keys
+                x = rng.choice(
+                    [rng.randrange(0, 200), rng.choice(rts), -5, 250]
+                )
+                rows_l.append((sid, float(x)))
+        left = spark.createDataFrame(rows_l, "sid string, ts double")
+        right = spark.createDataFrame(rows_r, "sid string, ts double, pay double")
+
+        cases = [("backward", False), ("backward", True),
+                 ("forward", False), ("forward", True), ("nearest", False)]
+        for direction, strict in cases:
+            for tol in (None, 7.0):
+                got = asof_join(
+                    left, right, on="ts", by=["sid"],
+                    direction=direction, strict=strict, tolerance=tol,
+                ).collect()
+                assert len(got) == len(rows_l)
+                counts = {}
+                for r in got:
+                    counts[(r["sid"], r["ts"])] = counts.get((r["sid"], r["ts"]), 0) + 1
+                for r in got:
+                    m = model_row(r["ts"], model_r[r["sid"]], direction, strict, tol)
+                    want = None if m is None else float(m) * 10 + trial
+                    assert r["pay"] == want, (
+                        trial, direction, strict, tol, r["sid"], r["ts"], r["pay"], want
+                    )
+                # duplicate left rows each get their own match
+                for (sid, ts), n in counts.items():
+                    expect_n = sum(1 for s, x in rows_l if s == sid and x == ts)
+                    assert n == expect_n, (sid, ts, n, expect_n)
