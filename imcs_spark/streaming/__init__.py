@@ -68,6 +68,78 @@ def _write_snapshot(spark, df, path: str, n_files: int | None = 8) -> None:
     fs.create(jvm.org.apache.hadoop.fs.Path(f"{path}/_COMMITTED"), True).close()
 
 
+def _write_state(
+    spark, cells: DataFrame, sigs: DataFrame, path: str,
+    n_files: int | None = None, sort: bool = False,
+) -> None:
+    """Write one near-dedup state version in the SPLIT layout (v2):
+
+      {path}/cells  — (band, bucket, hub_id): the narrow collision
+                      probe — what every batch scans
+      {path}/sigs   — (hub_id, mh_0..mh_{H-1}): ONE row per hub doc
+                      (not per cell), read only under sim_threshold
+                      and only for the batch's collided hubs
+
+    vs the v1 flat layout (band, bucket, hub_id, mh_*) this cuts the
+    per-batch state-read bytes ~6-8x: the signature longs — `bands`
+    copies per hub in v1 — are stored once per hub and never decoded
+    by the collision probe. Written zstd-compressed; with sort=True
+    (compaction-time snapshots) cells are range-sorted by
+    (band, bucket) so the bucket column's row-group/page stats are
+    tight — a small batch's IN-pushdown probe (see handle_batch) then
+    skips most pages instead of scanning the corpus. Deltas only get a
+    within-partition sort (no shuffle; an O(batch) write must not pay
+    a corpus-shaped exchange).
+
+    The version-level _COMMITTED marker is stamped only after BOTH
+    sub-tables land, and any stale marker is removed first: subdir
+    overwrite does not clear a parent marker the way v1's flat
+    overwrite did, and a crash between the two writes must not leave a
+    committed-looking half-version."""
+    fs, _, jvm = _hfs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs.delete(P(f"{path}/_COMMITTED"), False)
+    c = cells.repartitionByRange(
+        max(cells.sparkSession.sparkContext.defaultParallelism, 8),
+        "band", "bucket",
+    ) if sort else cells.sortWithinPartitions("band", "bucket")
+    if n_files is not None:
+        c = c.coalesce(n_files)
+    c.write.mode("overwrite").option("compression", "zstd").parquet(
+        f"{path}/cells"
+    )
+    s = sigs if n_files is None else sigs.coalesce(n_files)
+    s.write.mode("overwrite").option("compression", "zstd").parquet(
+        f"{path}/sigs"
+    )
+    fs.create(P(f"{path}/_COMMITTED"), True).close()
+
+
+def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
+    """Union the (cells, sigs) pair across state version paths,
+    reading v2 split layouts and v1 flat layouts side by side (a
+    stream upgraded mid-corpus has a v1 base snapshot plus v2 deltas
+    until the next compaction rewrites everything as v2). A v1 dir is
+    split on the fly: its sigs carry `bands` duplicate rows per hub —
+    harmless on the read path (every consumer applies distinct on the
+    drop set) and deduped at the next compaction, which the returned
+    `legacy` flag triggers."""
+    cells, sigs, legacy = None, None, False
+    for p in paths:
+        fs, _, jvm = _hfs(spark, p)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{p}/cells")):
+            c = spark.read.parquet(f"{p}/cells")
+            s = spark.read.parquet(f"{p}/sigs")
+        else:  # v1 flat layout
+            flat = spark.read.parquet(p)
+            c = flat.select("band", "bucket", "hub_id")
+            s = flat.drop("band", "bucket")
+            legacy = True
+        cells = c if cells is None else cells.unionByName(c)
+        sigs = s if sigs is None else sigs.unionByName(s)
+    return cells, sigs, legacy
+
+
 def _committed(fs, hpath) -> bool:
     return bool(
         fs.exists(hpath.suffix("/_COMMITTED"))
@@ -644,17 +716,29 @@ def near_dedup_stream(
 
     Scale design — no driver state, versioned-side-table protocol
     shared with :func:`append_stream` plus DELTA versions: the
-    seen-bucket set lives in a parquet side table storing one row per
-    occupied (band, bucket) with its hub id + full signature
-    (num_hashes longs — the state a signature-verified near-dedup
-    minimally needs). Each batch joins against it with the BATCH side
-    broadcast (round 9): the batch's cell set is micro-batch-bounded
-    by construction while the state grows with the corpus, so the
-    state is scanned once per batch and never shuffled — the collision
-    set the scan yields (bounded by the batch) then drives the
-    fresh-cell anti-joins without touching the state again. Per-batch
-    state READ therefore stays one sequential column-pruned scan
-    (O(corpus), parallel across executors); state WRITE maintenance is
+    seen-bucket set lives in a parquet side table split per version
+    into a narrow ``cells`` sub-table (one row per occupied
+    (band, bucket) with its hub id — what every batch's collision
+    probe scans) and a ``sigs`` sub-table (ONE signature row per hub
+    doc, num_hashes longs — read only under ``sim_threshold`` and only
+    for the batch's collided hubs). The split (round 10) cuts the
+    per-batch state-read bytes ~6-8x vs storing the signature on every
+    cell row: the collision probe decodes 3 narrow columns, and the
+    signature longs — previously duplicated ``bands`` times per hub —
+    are stored once and fetched by a broadcast semi-join on the tiny
+    collided-hub set. Each batch joins against the state with the
+    BATCH side broadcast (round 9): the batch's cell set is
+    micro-batch-bounded by construction while the state grows with the
+    corpus, so the state is scanned once per batch and never shuffled
+    — the collision set the scan yields (bounded by the batch) then
+    drives the fresh-cell anti-joins without touching the state again.
+    Snapshots are written zstd-compressed and range-sorted by
+    (band, bucket); a trickle batch (≤512 distinct buckets) pushes its
+    bucket set into the state scan as a parquet IN predicate, so its
+    probe skips most row groups/pages via the sorted layout's tight
+    stats instead of scanning O(corpus). Per-batch state READ for
+    normal batches stays one sequential column-pruned scan (O(corpus)
+    narrow cells, parallel across executors); state WRITE maintenance is
     **O(batch), not O(corpus)**: a batch writes only its NEWLY-occupied cells as a
     delta version (``{state}/d{batch_id}``) and readers take
     ``base snapshot ∪ deltas`` — cells are disjoint across versions
@@ -689,13 +773,21 @@ def near_dedup_stream(
     sig_cols = [f"mh_{k}" for k in range(num_hashes)]
     token = _stream_token(stream_df.sparkSession, checkpoint)
 
-    def _hubs(bb: DataFrame, sigs: DataFrame) -> DataFrame:
-        """One row per (band, bucket): the minimum-id occupant and its
-        signature."""
-        hub = bb.groupBy("band", "bucket").agg(F.min(id_col).alias("hub_id"))
-        return hub.join(
-            sigs.withColumnRenamed(id_col, "hub_id"), "hub_id"
-        ).select("band", "bucket", "hub_id", *sig_cols)
+    def _cells_sigs(
+        bb: DataFrame, sigs: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Split state for a doc set: cells = one row per (band,
+        bucket) with its minimum-id occupant; sigs = ONE signature row
+        per hub doc (left_semi — sigs is one row per doc, so no
+        distinct pass over hub ids is needed)."""
+        cells = bb.groupBy("band", "bucket").agg(
+            F.min(id_col).alias("hub_id")
+        )
+        hub_sigs = (
+            sigs.withColumnRenamed(id_col, "hub_id")
+            .join(cells.select("hub_id"), "hub_id", "left_semi")
+        )
+        return cells, hub_sigs
 
     def _est_sim(prefix: str) -> F.Column:
         matches = None
@@ -721,12 +813,13 @@ def near_dedup_stream(
         )
         pre_path = f"{side_path}/v{batch_id}pre"
         if usable:
-            seen = spark.read.parquet(
-                f"{side_path}/v{usable[-1]}",
-                *[f"{side_path}/d{d}" for d in deltas],
+            seen = _read_state(
+                spark,
+                [f"{side_path}/v{usable[-1]}"]
+                + [f"{side_path}/d{d}" for d in deltas],
             )
         elif _snapshot_ok(spark, pre_path):
-            seen = spark.read.parquet(pre_path)
+            seen = _read_state(spark, [pre_path])
         elif _data_exists(spark, target_path):
             # first batch over a pre-existing table: derive its bucket
             # state once and persist BEFORE appending (replay safety)
@@ -735,8 +828,8 @@ def near_dedup_stream(
                 existing, text_col=text_col, id_col=id_col, num_hashes=num_hashes
             )
             ebb = D.band_buckets(esigs, id_col, num_hashes, bands)
-            _write_snapshot(spark, _hubs(ebb, esigs), pre_path, n_files=None)
-            seen = spark.read.parquet(pre_path)
+            _write_state(spark, *_cells_sigs(ebb, esigs), pre_path, sort=True)
+            seen = _read_state(spark, [pre_path])
         else:
             # fresh target: persist an EMPTY pre snapshot before the
             # append (same reasoning as append_stream — without it, a
@@ -745,7 +838,8 @@ def near_dedup_stream(
             # every replayed doc as a self-collision, and the
             # idempotent replace would wipe the first batch from the
             # dedup table)
-            _write_snapshot(spark, _hubs(bb, sigs).limit(0), pre_path, n_files=1)
+            ec, es = _cells_sigs(bb, sigs)
+            _write_state(spark, ec.limit(0), es.limit(0), pre_path, n_files=1)
             seen = None
 
         # (a) collisions against earlier batches. Join DIRECTION matters
@@ -758,34 +852,72 @@ def near_dedup_stream(
         # 2M docs) up to three times per batch. `prev` (bounded by the
         # batch's cell count) is persisted so the collision set and the
         # drop set share the single state scan.
+        prev_in_thresh = None
         if seen is not None:
-            state_cols = ["band", "bucket"] + (
-                [F.col(c).alias(f"_h_{c}") for c in sig_cols]
-                if sim_threshold is not None
-                else []
-            )
+            cells_s, sigs_s, legacy = seen
             # guard the one unbounded case: availableNow with no
             # maxFilesPerTrigger delivers the whole backlog as a single
             # batch, whose cell set may not fit a driver broadcast.
-            # bb is persisted and reused by every later step, so the
-            # count materializes work that happens anyway. One cell row
-            # is (id long, band int, bucket long) ≈ 25-40 B serialized,
-            # so 4M cells ≈ 100-160 MB of driver broadcast — the
-            # ceiling; past it the join falls back to the shuffle
-            # Spark would plan for two big sides. A normal micro-batch
-            # (100k docs × 8 bands = 800k cells) sits well under it.
-            n_cells = bb.count()
-            hint = F.broadcast if n_cells <= 4_000_000 else (lambda d: d)
-            prev = seen.select(*state_cols).join(
-                hint(bb), ["band", "bucket"]
-            ).persist()
+            # Sized by estimated BYTES, not row count (round-10 ADVICE
+            # fix: a caller-supplied STRING id can blow the driver
+            # broadcast well under any row cap): one cell row is
+            # band int4 + bucket int8 + id + per-row overhead ≈ 32 B
+            # plus the id's actual string bytes. bb is persisted and
+            # reused by every later step, so the one agg job
+            # materializes work that happens anyway; it also yields
+            # the distinct-bucket count the trickle fast path needs.
+            id_is_str = isinstance(batch.schema[id_col].dataType, T.StringType)
+            srow = bb.agg(
+                F.count(F.lit(1)).alias("n"),
+                (
+                    F.sum(F.length(id_col)) if id_is_str else F.lit(0)
+                ).alias("idb"),
+                F.count_distinct("bucket").alias("nb"),
+            ).collect()[0]
+            est_bytes = srow["n"] * 32 + (srow["idb"] or 0)
+            hint = F.broadcast if est_bytes <= (128 << 20) else (lambda d: d)
+            probe = cells_s
+            if srow["nb"] <= 512:
+                # trickle batch (a handful of late docs against a
+                # corpus-scale state): push the batch's bucket SET
+                # into the state scan as an IN predicate. Snapshots
+                # are range-sorted by (band, bucket) at write time, so
+                # parquet's row-group/page stats on `bucket` are tight
+                # and a few-hundred-value IN skips most of the state's
+                # pages instead of scanning O(corpus). Spark only
+                # pushes IN to parquet below inFilterThreshold
+                # (default 10 — above it the pushed filter degrades to
+                # a min/max range, useless for uniform hash buckets),
+                # so the threshold is raised for this batch's plans
+                # and restored after the batch's actions run.
+                vals = [r[0] for r in bb.select("bucket").distinct().collect()]
+                prev_in_thresh = spark.conf.get(
+                    "spark.sql.parquet.pushdown.inFilterThreshold", "10"
+                )
+                spark.conf.set(
+                    "spark.sql.parquet.pushdown.inFilterThreshold", "1024"
+                )
+                probe = probe.filter(F.col("bucket").isin(vals))
+            # the collision probe scans ONLY the narrow cells table
+            # (band, bucket, hub_id) — the signature longs (bands
+            # copies per hub in the old flat layout, ~85% of the state
+            # bytes) are in the separate sigs table and are fetched
+            # below only for the batch's collided hubs
+            prev = probe.join(hint(bb), ["band", "bucket"]).persist()
             # cells of THIS batch that already have an earlier occupant
             # (== bb \ fresh): tiny, reused by both anti-joins below so
             # the state table is never scanned for them
             collided = prev.select("band", "bucket").distinct()
             if sim_threshold is not None:
-                gated = prev.join(sigs, id_col).filter(
-                    _est_sim("_h_") >= sim_threshold
+                hubs = prev.select("hub_id").distinct()
+                hsig = sigs_s.join(hint(hubs), "hub_id").select(
+                    "hub_id",
+                    *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
+                )
+                gated = (
+                    prev.join(hsig, "hub_id")
+                    .join(sigs, id_col)
+                    .filter(_est_sim("_h_") >= sim_threshold)
                 )
             else:
                 gated = prev
@@ -826,23 +958,34 @@ def near_dedup_stream(
 
         # post-batch state: earlier occupants win their cells; new
         # cells take this batch's min-id occupant. O(batch) path:
-        # write ONLY the fresh cells as a delta; compact the union to
-        # a full snapshot every `compact_every` batches (bounding the
+        # write ONLY the fresh cells (+ their hubs' signatures, one
+        # row per hub) as a delta; compact the union to a full
+        # snapshot every `compact_every` batches (bounding the
         # reader's file fan-in) or when no base snapshot exists yet.
-        batch_hubs = _hubs(bb, sigs)
+        batch_cells, batch_sigs = _cells_sigs(bb, sigs)
         if seen is None:
-            _write_snapshot(spark, batch_hubs, f"{side_path}/v{batch_id}", n_files=None)
+            _write_state(
+                spark, batch_cells, batch_sigs, f"{side_path}/v{batch_id}",
+                sort=True,
+            )
             keep = {batch_id}
             base = None
         else:
-            # fresh cells = batch hubs whose cell had no earlier
-            # occupant — the anti-join runs against the tiny collided
-            # set, not the corpus-scale state (see rule (a) note)
-            fresh = batch_hubs.join(
+            # fresh cells = batch cells with no earlier occupant — the
+            # anti-join runs against the tiny collided set, not the
+            # corpus-scale state (see rule (a) note); fresh sigs are
+            # the fresh hubs' rows of the batch's per-doc signatures
+            fresh = batch_cells.join(
                 hint(collided), ["band", "bucket"], "left_anti"
             )
+            fresh_sigs = sigs.withColumnRenamed(id_col, "hub_id").join(
+                fresh.select("hub_id"), "hub_id", "left_semi"
+            )
             if usable and len(deltas) + 1 < compact_every:
-                _write_snapshot(spark, fresh, f"{side_path}/d{batch_id}")
+                _write_state(
+                    spark, fresh, fresh_sigs, f"{side_path}/d{batch_id}",
+                    n_files=8,
+                )
                 keep = {usable[-1]}
                 base = usable[-1]
             else:
@@ -850,10 +993,18 @@ def near_dedup_stream(
                 # derived snapshot): one corpus-size write, amortized
                 # over compact_every delta-only batches. The old base
                 # + its deltas stay until the NEXT batch's GC — they
-                # are this batch's replay fallback.
-                _write_snapshot(
-                    spark, seen.unionByName(fresh), f"{side_path}/v{batch_id}",
-                    n_files=None,
+                # are this batch's replay fallback. Range-sorted by
+                # (band, bucket) here so the trickle IN-pushdown above
+                # gets tight page stats. A v1-flat base's split sigs
+                # carry `bands` duplicate rows per hub; compaction is
+                # where they are deduped away (one extra exchange, on
+                # the one batch that pays a corpus write anyway).
+                sig_all = sigs_s.unionByName(fresh_sigs)
+                if legacy:
+                    sig_all = sig_all.dropDuplicates(["hub_id"])
+                _write_state(
+                    spark, cells_s.unionByName(fresh), sig_all,
+                    f"{side_path}/v{batch_id}", sort=True,
                 )
                 keep = {batch_id} | ({usable[-1]} if usable else set())
                 base = usable[-1] if usable else None
@@ -861,6 +1012,10 @@ def near_dedup_stream(
         bb.unpersist()
         if prev is not None:
             prev.unpersist()
+        if prev_in_thresh is not None:
+            spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold", prev_in_thresh
+            )
         _gc_versions(spark, side_path, versions, keep, batch_id)
         _gc_deltas(spark, side_path, base, batch_id)
 

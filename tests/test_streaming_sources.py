@@ -966,12 +966,64 @@ def test_near_dedup_stream_delta_state(spark):
         kept = {r["doc_id"] for r in spark.read.parquet(target).collect()}
         assert kept == ref
         # state integrity: v0 ∪ deltas covers exactly the corpus cells
+        # (split layout: the narrow cells sub-table is the cell set)
         state = spark.read.parquet(
-            os.path.join(side, "v0"), *[os.path.join(side, f"d{b}") for b in range(1, 6)]
+            os.path.join(side, "v0", "cells"),
+            *[os.path.join(side, f"d{b}", "cells") for b in range(1, 6)],
         )
         expect_cells = bb.select("band", "bucket").distinct().count()
         assert state.count() == expect_cells  # disjoint + complete
         assert state.select("band", "bucket").distinct().count() == expect_cells
+        # sigs sub-table: ONE row per hub doc, never per cell — the
+        # round-10 layout claim the 6-8x read cut rests on
+        sig = spark.read.parquet(
+            os.path.join(side, "v0", "sigs"),
+            *[os.path.join(side, f"d{b}", "sigs") for b in range(1, 6)],
+        )
+        n_hubs = state.select("hub_id").distinct().count()
+        assert sig.count() == n_hubs
+        assert sig.select("hub_id").distinct().count() == n_hubs
+        assert sig.count() < expect_cells  # strictly narrower than cells
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_read_state_v1_flat_compat(spark):
+    """_read_state must read a v1 FLAT state dir (band, bucket,
+    hub_id, mh_*) alongside a v2 split dir: a stream upgraded
+    mid-corpus has a v1 base + v2 deltas until the next compaction.
+    The v1 sigs come back with one row per CELL (deduped only at
+    compaction, which the legacy flag triggers)."""
+    from imcs_spark.streaming import _read_state, _write_state
+
+    tmp = tempfile.mkdtemp(prefix="imcs_v1compat_")
+    try:
+        flat = spark.createDataFrame(
+            [(0, 10, 100, 7, 8), (1, 11, 100, 7, 8), (0, 12, 101, 5, 6)],
+            "band int, bucket long, hub_id long, mh_0 long, mh_1 long",
+        )
+        v1 = os.path.join(tmp, "v0")
+        flat.write.parquet(v1)
+        v2 = os.path.join(tmp, "d1")
+        _write_state(
+            spark,
+            spark.createDataFrame([(0, 13, 102)], "band int, bucket long, hub_id long"),
+            spark.createDataFrame([(102, 1, 2)], "hub_id long, mh_0 long, mh_1 long"),
+            v2,
+            n_files=1,
+        )
+        cells, sigs, legacy = _read_state(spark, [v1, v2])
+        assert legacy is True
+        assert cells.count() == 4
+        got = {
+            (r["hub_id"], r["mh_0"], r["mh_1"]) for r in sigs.collect()
+        }
+        assert got == {(100, 7, 8), (101, 5, 6), (102, 1, 2)}
+        # v1 sigs are per-cell: hub 100 occupies two cells -> 2 rows
+        assert sigs.count() == 4
+        # v2-only read carries no legacy flag
+        _, _, legacy2 = _read_state(spark, [v2])
+        assert legacy2 is False
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1018,7 +1070,7 @@ def test_near_dedup_stream_compaction_gc(spark):
         assert [d for d in dirs if d.startswith("d")] == ["d4"], dirs
         # compacted state + trailing delta still cover every doc's cells
         state = spark.read.parquet(
-            os.path.join(side, "v3"), os.path.join(side, "d4")
+            os.path.join(side, "v3", "cells"), os.path.join(side, "d4", "cells")
         )
         assert state.count() == state.select("band", "bucket").distinct().count()
         kept = {r["doc_id"] for r in spark.read.parquet(target).collect()}
