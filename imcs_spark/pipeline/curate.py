@@ -488,7 +488,26 @@ def pii_profile(
 
 import re as _re
 
-import regex as _rx
+
+def _rx_mod():
+    """The third-party `regex` module, imported LAZILY (round-10
+    ADVICE): it is needed only by the PII Python oracle twins (exact
+    JDK \\b semantics require \\p{M}/\\p{Pc} classes stdlib `re`
+    lacks), and an unconditional module-level import would break ALL
+    of pipeline.curate in environments without it — including callers
+    never touching PII (the Spark-side redaction itself is JVM
+    regexp). Executors running the PII twins still need `regex`
+    installed; the error below names the package."""
+    try:
+        import regex
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "pipeline.curate's PII Python twins require the third-party"
+            " 'regex' module (pip install regex): exact JDK \\b"
+            " semantics need \\p{M}/\\p{Pc} character classes that"
+            " the stdlib re engine does not support"
+        ) from e
+    return regex
 
 # The JDK Bound rule as lookarounds. Every \b in the PII patterns is
 # adjacent to a guaranteed word char INSIDE the match (a digit or hex
@@ -533,14 +552,30 @@ def _rewrite_java_b(p: str) -> str:
 def _py_pat(p: str):
     # no PII pattern uses \d inside a character class (asserted by the
     # fuzz suite), so a textual rewrite is exact
-    return _rx.compile(_rewrite_java_b(p.replace("\\d", "[0-9]")))
+    return _rx_mod().compile(_rewrite_java_b(p.replace("\\d", "[0-9]")))
 
 
-_PII_COMPILED: list[tuple[str, object, str]] = [
-    (name, _py_pat(p), _re.sub(r"\$(\d)", r"\\\1", r))
-    for name, p, r in PII_PATTERNS
-]
-_CCARD_COMPILED = _py_pat(CCARD_PATTERN)
+# compiled lazily on first PII use (see _rx_mod); the compiled pattern
+# objects are pickled into the pandas-UDF closures as before — laziness
+# moves WHERE the missing-module error surfaces, not the dependency
+_PII_CACHE: dict[str, object] = {}
+
+
+def _pii_compiled() -> list[tuple[str, object, str]]:
+    if "pii" not in _PII_CACHE:
+        _PII_CACHE["pii"] = [
+            (name, _py_pat(p), _re.sub(r"\$(\d)", r"\\\1", r))
+            for name, p, r in PII_PATTERNS
+        ]
+    return _PII_CACHE["pii"]
+
+
+def _ccard_compiled():
+    if "ccard" not in _PII_CACHE:
+        _PII_CACHE["ccard"] = _py_pat(CCARD_PATTERN)
+    return _PII_CACHE["ccard"]
+
+
 _NON_DIGIT = _re.compile(r"[^0-9]")
 
 
@@ -551,7 +586,7 @@ def _luhn_ok_py(span: str) -> bool:
 
 
 def _ccard_hit(t) -> bool:
-    return isinstance(t, str) and _CCARD_COMPILED.search(t) is not None
+    return isinstance(t, str) and _ccard_compiled().search(t) is not None
 
 
 def _subber(pat, repl):
@@ -570,9 +605,9 @@ def _ccard_redact_py(t: str) -> str:
     # non-overlapping left-to-right candidates, fold in document order —
     # the exact semantics of the Column form's regexp_extract_all +
     # aggregate; candidates contain only [0-9 -] so no escaping needed
-    for cand in _CCARD_COMPILED.findall(t):
+    for cand in _ccard_compiled().findall(t):
         if _luhn_ok_py(cand):
-            t = _rx.sub(_JAVA_NL + cand + _JAVA_NR, "[CCARD]", t)
+            t = _rx_mod().sub(_JAVA_NL + cand + _JAVA_NR, "[CCARD]", t)
     return t
 
 
@@ -599,7 +634,7 @@ def redact_pii_batch(text_col: str | Column) -> Column:
                     s = s.copy()
                     s[mask] = s[mask].map(_ccard_redact_py)
             else:
-                _, pat, repl = next(x for x in _PII_COMPILED if x[0] == name)
+                _, pat, repl = next(x for x in _pii_compiled() if x[0] == name)
                 s = s.map(_subber(pat, repl))
         return s
 
@@ -635,7 +670,7 @@ def pii_profile_batch(
                         sub = s[mask]
                         cands = sub.map(
                             lambda t: [
-                                c for c in _CCARD_COMPILED.findall(t) if _luhn_ok_py(c)
+                                c for c in _ccard_compiled().findall(t) if _luhn_ok_py(c)
                             ]
                         )
                         n[mask] = cands.map(len)
@@ -645,7 +680,7 @@ def pii_profile_batch(
                             for t, cs in zip(sub.tolist(), cands.tolist())
                         ]
                 else:
-                    _, pat, repl = next(x for x in _PII_COMPILED if x[0] == name)
+                    _, pat, repl = next(x for x in _pii_compiled() if x[0] == name)
                     n = s.map(_counter(pat))
                     s = s.map(_subber(pat, repl))
                 # NULL text -> NULL counts, exactly like the Column
@@ -662,5 +697,5 @@ def pii_profile_batch(
 
 def _apply_ccard_subs(t: str, cands: list) -> str:
     for cand in cands:
-        t = _rx.sub(_JAVA_NL + cand + _JAVA_NR, "[CCARD]", t)
+        t = _rx_mod().sub(_JAVA_NL + cand + _JAVA_NR, "[CCARD]", t)
     return t

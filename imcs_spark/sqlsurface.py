@@ -288,7 +288,15 @@ def register_sql(spark: SparkSession) -> None:
         # weighted geometric mean exp(Σ w·ln v / Σ w) — the §2.9 UDAF
         # the reference cannot express at all (its extensibility story
         # is "write a C operator", SURVEY §2.9); SQL engines express it
-        # only through the exp/ln identity the oracle uses
+        # only through the exp/ln identity the oracle uses.
+        # Sums via math.fsum (round-10 ADVICE): exactly-rounded and
+        # therefore ORDER-INDEPENDENT, where numpy's pairwise sum and
+        # the oracle's sequential SUM could disagree in the last ulp —
+        # the residual boundary risk is the shared-with-wavg/prd class
+        # (true value within 1 ulp of a .5e-6 rounding edge), now with
+        # no self-inflicted ordering term on top
+        import math
+
         import numpy as np
 
         va = v.to_numpy(dtype="float64")
@@ -297,7 +305,9 @@ def register_sql(spark: SparkSession) -> None:
         if not mask.any():
             return None
         va, wa = va[mask], wa[mask]
-        return float(np.exp((np.log(va) * wa).sum() / wa.sum()))
+        return float(
+            math.exp(math.fsum(np.log(va) * wa) / math.fsum(wa))
+        )
 
     spark.udf.register("cs_prd", _cs_prd)
     spark.udf.register("cs_wsum", _cs_wsum)
