@@ -1130,6 +1130,32 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     ).count()
     out["ann1m_ivf_recall10"] = round(hits / max(n_truth, 1), 4)
 
+    # PQ legs (round 10): the memory-bound scale path — the encoded
+    # corpus is m bytes of codes per vector instead of dim floats
+    # (32x smaller scan at 64-dim/8-sub), ADC-scored via the LUT
+    # matrix kernel, exact rerank of the top-8k. Recorded invariant:
+    # recall@10 after rerank (codebook/encode defects collapse it).
+    t0 = time.time()
+    books = S.train_pq_codebooks(
+        corpus, m=8, n_codes=64, iters=2, kernel="column"
+    )
+    enc = S.pq_encode(corpus, books, kernel="matrix").persist()
+    enc.count()
+    out["ann1m_pq_build_sec"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    pq = S.pq_topk(
+        enc, queries, books, k=10, rerank=corpus, rerank_factor=8,
+        kernel="matrix",
+    ).persist()
+    pq.count()
+    out["ann1m_pq_query_sec"] = round(time.time() - t0, 4)
+    hits = truth.select("query_id", "vec_id").intersect(
+        pq.select("query_id", "vec_id")
+    ).count()
+    out["ann1m_pq_recall10"] = round(hits / max(n_truth, 1), 4)
+    pq.unpersist()
+    enc.unpersist()
+
     for f in (truth, approx, index[1], queries, corpus):
         f.unpersist()
     return out

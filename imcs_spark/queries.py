@@ -1254,6 +1254,7 @@ def _ann_recall_oracle() -> str:
     # whose accumulation order is indeed not SQL-reproducible — the
     # fix was defining an order, not discovering one).
     from .oracle_ivf import ivf_ctes
+    from .oracle_pq import pq_ctes
     from .pipeline.similarity import hyperplanes
 
     planes = hyperplanes(64, 8, seed=42)
@@ -1304,7 +1305,7 @@ WITH pl AS (
            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
     FROM cand
   ) WHERE rn <= 5
-){ivf_ctes(n_centroids=8, iters=1, n_probe=3, k=5, n_queries=3, seed=42, dim=64, unit_cte="u")}
+){ivf_ctes(n_centroids=8, iters=1, n_probe=3, k=5, n_queries=3, seed=42, dim=64, unit_cte="u")}{pq_ctes(m=2, n_codes=4, iters=1, k=5, n_queries=3, seed=42, dim=64, rerank_factor=4, unit_cte="u")}
 SELECT 'lsh' AS method, CAST(a.query_id AS BIGINT) AS query_id,
        CAST(COUNT(*) AS INTEGER) AS recall
 FROM approx a JOIN ex USING (query_id, vec_id)
@@ -1312,6 +1313,10 @@ GROUP BY a.query_id
 UNION ALL
 SELECT 'ivf', CAST(a.query_id AS BIGINT), CAST(COUNT(*) AS INTEGER)
 FROM iv_approx a JOIN ex USING (query_id, vec_id)
+GROUP BY a.query_id
+UNION ALL
+SELECT 'pq', CAST(a.query_id AS BIGINT), CAST(COUNT(*) AS INTEGER)
+FROM pq_approx a JOIN ex USING (query_id, vec_id)
 GROUP BY a.query_id
 """
 
@@ -1349,6 +1354,29 @@ def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.ivf_topk(
         emb, queries_df, k=5, n_centroids=8, n_probe=3, iters=1, index=ivf_index
     )
+    # PQ legs (round 10): codebooks from the same sequential fixed-
+    # order kernel, so oracle_pq.py recomputes train -> encode -> ADC
+    # -> rerank -> recall from scratch in SQL (codebooks pinned
+    # bit-for-bit in tests/test_pipeline.py); serving is the standard
+    # PQ shape — ADC top-(k*4) over the m-code encoded corpus, exact
+    # cosine re-rank inside
+    pq_index = _ann_index(
+        spark,
+        ("pq", sf_dir),
+        lambda: (
+            lambda books: (
+                books,
+                similarity.pq_encode(emb, books).persist(),
+            )
+        )(
+            similarity.train_pq_codebooks(
+                emb, m=2, n_codes=4, iters=1, kernel="sequential"
+            )
+        ),
+    )
+    pq = similarity.pq_topk(
+        pq_index[1], queries_df, pq_index[0], k=5, rerank=emb, rerank_factor=4
+    )
     exact = _exact_top5(spark, sf_dir)
 
     def recall(ann: DataFrame, method: str) -> DataFrame:
@@ -1360,7 +1388,11 @@ def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(method).alias("method"), "query_id", "recall")
         )
 
-    return recall(lsh, "lsh").unionByName(recall(ivf, "ivf"))
+    return (
+        recall(lsh, "lsh")
+        .unionByName(recall(ivf, "ivf"))
+        .unionByName(recall(pq, "pq"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1718,3 +1718,107 @@ def test_ivf_sequential_centroids_bit_equal_duckdb(spark, sf_dir):
         assert len(c) == len(cents[ci]) == 64
         for j, (a, b) in enumerate(zip(cents[ci], c)):
             assert struct.pack("<d", a) == struct.pack("<d", b), (ci, j, a, b)
+
+
+def test_pq_sequential_codebooks_bit_equal_duckdb(spark, sf_dir):
+    """train_pq_codebooks(kernel='sequential') must be BIT-identical
+    to the DuckDB recomputation (oracle_pq.pq_codebooks_sql) — the
+    property that makes ann_recall's PQ legs a true cross-engine
+    oracle from day one (the IVF centroid pin's PQ sibling: same
+    fixed-order left folds, applied per subspace with plain means)."""
+    import struct
+
+    import duckdb
+
+    from imcs_spark.oracle_pq import pq_codebooks_sql
+    from imcs_spark.pipeline import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = similarity.train_pq_codebooks(
+        emb, m=2, n_codes=4, iters=2, kernel="sequential"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    rows = con.execute(pq_codebooks_sql(m=2, n_codes=4, iters=2)).fetchall()
+    assert len(rows) == 8  # 2 subs x 4 codes
+    for sub, ci, c in rows:
+        sc = books[sub][ci]
+        assert len(c) == len(sc) == 32
+        for j, (a, b) in enumerate(zip(sc, c)):
+            assert struct.pack("<d", a) == struct.pack("<d", b), (sub, ci, j, a, b)
+
+
+def test_pq_matrix_kernel_matches_column_kernel(spark, sf_dir):
+    """pq_encode kernel='matrix' (numpy squared-L2 argmin per Arrow
+    batch) returns the same code arrays as the Column expression for
+    the same codebooks — the ivf matrix-kernel equality applied to
+    PQ."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.train_pq_codebooks(corpus, m=4, n_codes=8, iters=2)
+    col = {r.vec_id: list(r.codes) for r in S.pq_encode(corpus, books).collect()}
+    mat = {
+        r.vec_id: list(r.codes)
+        for r in S.pq_encode(corpus, books, kernel="matrix").collect()
+    }
+    assert col == mat
+
+
+def test_pq_topk_rerank_recovers_exact_neighbors(spark, sf_dir):
+    """ADC top-(k*factor) + exact rerank: each query's own vector must
+    come back at rank 1 with cosine ~1, and every returned cosine is a
+    TRUE cosine (rerank output), monotone in rank."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.train_pq_codebooks(corpus, m=4, n_codes=8, iters=2)
+    enc = S.pq_encode(corpus, books, kernel="matrix")
+    queries = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = S.pq_topk(enc, queries, books, k=5, rerank=corpus, rerank_factor=8)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        # exact rerank guarantees descending true cosine
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        # the query's own vector survives quantization + rerank
+        # (float32 inputs: self-cosine lands within ~2e-8 of 1.0)
+        assert rs[0].vec_id == q and abs(rs[0].cosine - 1.0) < 1e-6
+
+
+def test_pq_m_must_divide_dim(spark):
+    from imcs_spark.pipeline import similarity as S
+
+    with pytest.raises(ValueError, match="must divide"):
+        S._pq_slices(64, 5)
+
+
+def test_pq_topk_matrix_kernel_matches_column_kernel(spark, sf_dir):
+    """pq_topk kernel='matrix' (driver LUT + numpy gather per batch)
+    returns the same candidate ids and post-rerank ranking as the
+    Column ADC fold for the same codebooks and codes."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.train_pq_codebooks(corpus, m=4, n_codes=8, iters=2)
+    enc = S.pq_encode(corpus, books, kernel="matrix").persist()
+    queries = corpus.filter(F.col("vec_id") % 97 == 3).limit(4).selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    out = {}
+    for kern in ("column", "matrix"):
+        rows = S.pq_topk(
+            enc, queries, books, k=5, rerank=corpus, rerank_factor=4,
+            kernel=kern,
+        ).collect()
+        out[kern] = {(r.query_id, r.rank): r.vec_id for r in rows}
+    enc.unpersist()
+    assert out["column"] == out["matrix"]
