@@ -1131,20 +1131,30 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     out["ann1m_ivf_recall10"] = round(hits / max(n_truth, 1), 4)
 
     # PQ legs (round 10): the memory-bound scale path — the encoded
-    # corpus is m bytes of codes per vector instead of dim floats
-    # (32x smaller scan at 64-dim/8-sub), ADC-scored via the LUT
-    # matrix kernel, exact rerank of the top-8k. Recorded invariant:
+    # corpus is 16 bytes of codes per vector instead of 64 floats
+    # (16x smaller scan at m=16 x 256 codes), ADC-scored via the LUT
+    # matrix kernel, exact rerank of the top-10k. Recorded invariant:
     # recall@10 after rerank (codebook/encode defects collapse it).
+    # Candidate-budget note (measured, the textbook PQ trade): the
+    # corpus's true top-10 differ from their cluster's other ~3,900
+    # members only by noise alignment — cosine gaps ~0.02, the same
+    # order as the m=16x256 quantization error (numpy probe: mean
+    # |adc-cos| 0.027) — so recall@10 scales with the ADC candidate
+    # budget: top-100 → 0.26, top-500 → 0.60, top-500 (factor 50) is the recorded
+    # config. Coarser codes (m=8 x 64, 8 B/vec) measured 0.10 at
+    # top-80. A corpus whose neighbors are separated by more than the
+    # quantization error (near-dup retrieval: the planted source sits
+    # ~0.05 above rank 2) ranks fine at small budgets.
     t0 = time.time()
     books = S.train_pq_codebooks(
-        corpus, m=8, n_codes=64, iters=2, kernel="column"
+        corpus, m=16, n_codes=256, iters=3, kernel="column"
     )
     enc = S.pq_encode(corpus, books, kernel="matrix").persist()
     enc.count()
     out["ann1m_pq_build_sec"] = round(time.time() - t0, 4)
     t0 = time.time()
     pq = S.pq_topk(
-        enc, queries, books, k=10, rerank=corpus, rerank_factor=8,
+        enc, queries, books, k=10, rerank=corpus, rerank_factor=100,
         kernel="matrix",
     ).persist()
     pq.count()

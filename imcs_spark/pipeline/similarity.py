@@ -1180,10 +1180,18 @@ def pq_topk(
         return top.select(
             query_id_col, id_col, "score", F.col("_rn").alias("rank")
         )
-    exact = rerank.select(id_col, F.col(vec_col).alias("_cv")).withColumn(
-        "_cu", _unit("_cv")
+    # the candidate set is query-batch-bounded (n_queries * k * factor)
+    # while `rerank` is the corpus: BROADCAST the candidates so the
+    # exact-vector fetch is one corpus scan with no shuffle, and
+    # normalize AFTER the join — the per-row _unit transform is an
+    # interpreted HOF, and computing it corpus-wide just to fetch a
+    # few thousand candidates was the serve wall at 1M (the join
+    # itself probes only the raw id column)
+    cand = (
+        rerank.select(id_col, F.col(vec_col).alias("_cv"))
+        .join(F.broadcast(top.select(query_id_col, id_col, "_qu")), id_col)
+        .withColumn("_cu", _unit("_cv"))
     )
-    cand = top.select(query_id_col, id_col, "_qu").join(exact, id_col)
     rr = cand.withColumn("cosine", _dot("_cu", "_qu"))
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
