@@ -96,5 +96,18 @@ def test_run_scale_contract(spark, tiny):
     # asserted sane here — the 1M run records the real number
     assert out["ann1m_rows"] == 2000
     assert 0.0 <= out["ann1m_ivf_recall10"] <= 1.0
-    for k in ("ann1m_brute_sec", "ann1m_ivf_build_sec", "ann1m_ivf_query_sec"):
+    assert 0.0 <= out["ann1m_pq_recall10"] <= 1.0
+    for k in (
+        "ann1m_brute_sec", "ann1m_ivf_build_sec", "ann1m_ivf_query_sec",
+        "ann1m_pq_build_sec", "ann1m_pq_query_sec",
+    ):
+        assert k in out and out[k] >= 0
+    # round-10 contention hygiene: every soak section stamps its own
+    # adjacent floor, the load rows carry medians, and each gate row
+    # carries its interleaved floor probe
+    for k in (
+        "cur2m_floor_sec", "ann1m_floor_sec", "nd2m_floor_sec",
+        "load_quotes_med", "load_dbitem_med",
+        "vwap_one_exec_floor", "dbitem_hash_agg_exec_floor",
+    ):
         assert k in out and out[k] >= 0
