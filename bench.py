@@ -250,6 +250,15 @@ def main():
                 if row_floor is not None:
                     row.append(round(row_floor * 1000, 1))
                 gate[key] = row
+        # the scale-proof INVARIANTS ride the compact line too: a
+        # tail-limited capture then still shows the soak booleans
+        # (kept-set equality, recall, idempotence) next to the gate
+        inv_keys = (
+            "nd2m_kept_equal_batch", "ann1m_ivf_recall10",
+            "ann1m_pq_recall10", "cur2m_dedup_idempotent",
+            "cur2m_split_frac_ok", "cur2m_pack_budget_ok",
+            "lsh_mega_cc_equal",
+        )
         print(
             json.dumps(
                 {
@@ -263,6 +272,9 @@ def main():
                             "floor_32task_agg_exec",
                         )
                         if k in scale
+                    },
+                    "invariants": {
+                        k: scale[k] for k in inv_keys if k in scale
                     },
                     "compact": True,
                 }
