@@ -1097,3 +1097,48 @@ def test_near_dedup_stream_query_leg(spark, sf_dir):
     # artifact-cached second call returns the same set with no new run
     again = {r["doc_id"] for r in QUERIES["near_dedup_stream"](spark, sf_dir).collect()}
     assert again == kept
+
+
+def test_state_scan_in_pushdown_reaches_parquet(spark):
+    """The trickle-batch fast path's machinery, plan-asserted: with
+    the inFilterThreshold raised (as handle_batch does for a <=512
+    bucket batch), an isin() over the range-sorted cells sub-table is
+    pushed to the parquet scan as an In predicate — the sorted layout's
+    row-group/page stats can then skip most of a corpus-scale state
+    for a handful of late documents. Without the raise Spark degrades
+    the pushed filter to a min/max range, useless for uniform hash
+    buckets (this test pins the conf interplay, not just our code)."""
+    from pyspark.sql import functions as F
+
+    from imcs_spark.streaming import _write_state
+
+    tmp = tempfile.mkdtemp(prefix="imcs_inpush_")
+    try:
+        cells = spark.range(5000).select(
+            (F.col("id") % 8).cast("int").alias("band"),
+            F.xxhash64("id").alias("bucket"),
+            F.col("id").alias("hub_id"),
+        )
+        sigs = spark.range(0).select(
+            F.col("id").alias("hub_id"), F.col("id").alias("mh_0")
+        )
+        _write_state(spark, cells, sigs, os.path.join(tmp, "v0"), sort=True)
+        vals = [r[0] for r in
+                spark.read.parquet(os.path.join(tmp, "v0", "cells"))
+                .select("bucket").limit(40).collect()]
+        prev = spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
+        try:
+            spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+            df = spark.read.parquet(os.path.join(tmp, "v0", "cells")).filter(
+                F.col("bucket").isin(vals)
+            )
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "PushedFilters" in plan
+            # the In predicate itself must reach the scan (not a
+            # degraded >=min/<=max range pair)
+            assert "In(bucket" in plan, plan[:2000]
+            assert df.count() == len(set(vals)) or df.count() >= len(vals) - 1
+        finally:
+            spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", prev)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
