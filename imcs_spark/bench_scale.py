@@ -1177,6 +1177,31 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     enc = S.pq_encode(corpus, books, kernel="matrix").persist()
     enc.count()
     out["ann1m_pq_build_sec"] = round(time.time() - t0, 4)
+
+    # the compression claim, measured not asserted: encoded codes
+    # parquet vs the float32 embedding parquet (at 100 TB the
+    # embedding column is the IO bill — this ratio is the point of PQ)
+    import shutil as _sh
+    import tempfile as _tf
+
+    _pq_dir = _tf.mkdtemp(prefix="imcs_pq_bytes_")
+    try:
+        enc.write.mode("overwrite").parquet(os.path.join(_pq_dir, "enc"))
+        out["ann1m_pq_bytes"] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(os.path.join(_pq_dir, "enc"))
+            for f in fs
+        )
+        out["ann1m_emb_bytes"] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(path)
+            for f in fs
+        )
+        out["ann1m_pq_compression"] = round(
+            out["ann1m_emb_bytes"] / max(out["ann1m_pq_bytes"], 1), 2
+        )
+    finally:
+        _sh.rmtree(_pq_dir, ignore_errors=True)
     t0 = time.time()
     pq = S.pq_topk(
         enc, queries, books, k=10, rerank=corpus, rerank_factor=100,
