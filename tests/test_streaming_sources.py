@@ -1142,3 +1142,35 @@ def test_state_scan_in_pushdown_reaches_parquet(spark):
             spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", prev)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_uncommitted_v2_version_ignored(spark):
+    """Crash between the cells and sigs writes of a v2 state version:
+    the version-level _COMMITTED marker is stamped only after BOTH
+    sub-tables land, so a half-written version (cells present, sigs +
+    marker missing) must be invisible to _versions — the replay
+    rewrites it instead of reading garbage. A committed neighbor stays
+    visible. (Hadoop's _SUCCESS lives inside the SUBDIRS in v2, so it
+    can never make the version dir look committed.)"""
+    from pyspark.sql import functions as F
+
+    from imcs_spark.streaming import _versions, _write_state
+
+    tmp = tempfile.mkdtemp(prefix="imcs_v2crash_")
+    try:
+        cells = spark.range(10).select(
+            F.lit(0).alias("band"), F.col("id").alias("bucket"),
+            F.col("id").alias("hub_id"),
+        )
+        sigs = spark.range(10).select(
+            F.col("id").alias("hub_id"), F.col("id").alias("mh_0")
+        )
+        _write_state(spark, cells, sigs, os.path.join(tmp, "v0"), n_files=1)
+        # simulate the crash: v1 has only the cells subdir, no marker
+        cells.coalesce(1).write.parquet(os.path.join(tmp, "v1", "cells"))
+        assert _versions(spark, tmp) == [0]
+        # the replay completes v1; it becomes visible
+        _write_state(spark, cells, sigs, os.path.join(tmp, "v1"), n_files=1)
+        assert _versions(spark, tmp) == [0, 1]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
