@@ -9,6 +9,19 @@
   (optionally multi-probe neighboring buckets), exact re-rank inside.
   At 100 TB the bucket join replaces the full cross product; recall is
   tunable by planes/probes.
+- ivf_topk: coarse spherical-k-means cells, each query probes its
+  n_probe nearest cells, exact cosine re-rank inside — the
+  corpus-fraction scan trade.
+- pq_topk over pq_encode/train_pq_codebooks: product quantization —
+  the memory trade: m small codes per vector instead of dim floats
+  (12.8x smaller on disk at 64-dim/16-sub, measured), ADC scoring +
+  exact re-rank of the candidate budget.
+
+IVF and PQ training both have an ORACLE-GRADE sequential kernel
+(fixed-order left folds) that DuckDB recomputes bit-identically
+(oracle_ivf.py / oracle_pq.py), so the ann_recall driver legs are true
+cross-engine checks, plus matrix kernels (numpy per Arrow batch) as
+the measured scale path.
 """
 
 from __future__ import annotations
