@@ -364,9 +364,11 @@ class Engine:
         """Register a series table from a DataFrame or a path.
 
         ``format`` selects the reader for path sources: 'parquet'
-        (default — the engine's native layout), 'csv' (header inferred
-        unless a ``schema`` DDL string is given; pass reader options
-        like ``delimiter`` through), or 'json' (JSON-lines). Ingest
+        (default — the engine's native layout), 'orc' (the other
+        columnar format Spark reads natively, with pushdown/pruning —
+        fine to query in place), 'csv' (header inferred unless a
+        ``schema`` DDL string is given; pass reader options like
+        ``delimiter`` through), or 'json' (JSON-lines). Ingest
         from text formats is a one-time scan — call ``.save()`` on the
         result to land the versioned sorted parquet layout every later
         query should read (text formats carry no column pruning, no
@@ -379,6 +381,8 @@ class Engine:
             path = source
             if format == "parquet":
                 df = self.spark.read.parquet(source)
+            elif format == "orc":
+                df = self.spark.read.options(**reader_options).orc(source)
             elif format in ("csv", "json"):
                 reader = self.spark.read
                 if schema:

@@ -265,6 +265,13 @@ def test_engine_create_csv_json_sources(spark, tmp_path):
     # one-time ingest -> versioned parquet layout round trip
     saved = t3.save(str(tmp_path / "landed"))
     assert saved.count() == 4
+    # ORC: the other native columnar reader (round 10) — written from
+    # the CSV table's frame, read back through the same surface
+    orc = tmp_path / "t.orc"
+    t1.df().write.orc(str(orc))
+    t4 = eng.create("o1", str(orc), "ts", "id", format="orc")
+    assert t4.count() == 3 and t4.count("a") == 2
+    assert [r.ts for r in t4.get("b").collect()] == [1]
     with pytest.raises(ValueError, match="unsupported format"):
         eng.create("x", str(csv), "ts", format="xml")
     with pytest.raises(ValueError, match="not in source columns"):
