@@ -135,6 +135,12 @@ def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
             c = flat.select("band", "bucket", "hub_id")
             s = flat.drop("band", "bucket")
             legacy = True
+        if "_v" not in c.columns:
+            # pre-eviction layouts carry no origin version; -1 means
+            # "unknown, never evict" — the conservative direction
+            # (keeping old state drops MORE duplicates, matching the
+            # no-TTL semantics those files were written under)
+            c = c.withColumn("_v", F.lit(-1))
         cells = c if cells is None else cells.unionByName(c)
         sigs = s if sigs is None else sigs.unionByName(s)
     return cells, sigs, legacy
@@ -687,6 +693,7 @@ def near_dedup_stream(
     state_path: str | None = None,
     compact_every: int = 8,
     keep_all_columns: bool = False,
+    evict_after: int | None = None,
 ) -> StreamingQuery:
     """Streaming NEAR-duplicate dedup — the streaming face of the batch
     MinHash/LSH pipeline (pipeline.dedup): keep a document only if none
@@ -761,11 +768,25 @@ def near_dedup_stream(
     (checkpoint, batch_id), so a replay replaces its own output
     instead of appending duplicate rows into the deduplicated table
     (do not delete the checkpoint while keeping the target: that
-    restarts batch numbering and reuses the keys). State grows
-    with the distinct-bucket count of the corpus — content dedup has
-    no time locality to evict by, the same trade as global
+    restarts batch numbering and reuses the keys).
+
+    State growth: without ``evict_after`` the state grows with the
+    distinct-bucket count of the corpus — content dedup has no
+    inherent time locality to evict by, the same trade as global
     dropDuplicates (use dedup_stream's watermarked digest variant when
-    near-miss detection is not needed).
+    near-miss detection is not needed). ``evict_after=K`` (round 10)
+    makes the locality assumption EXPLICIT and bounds the state: a
+    cell stops gating new documents once its origin batch is more than
+    K batches old ("near-dup within the last K batches" — the
+    unbounded-ingest shape where only recent history matters). Every
+    cell row carries its origin version (``_v``); reads filter by the
+    horizon — a pushable predicate, so whole row groups of old sorted
+    state files skip — and compaction physically drops evicted cells
+    and their orphaned hub signatures, making steady-state size
+    O(cells added in the last K batches). A re-occupied cell takes the
+    new batch's hub (the old occupant aged out, so the newcomer IS the
+    first live occupant). Already-kept documents are never retracted —
+    eviction changes only future gating decisions.
     """
     from ..pipeline import dedup as D
 
@@ -828,7 +849,14 @@ def near_dedup_stream(
                 existing, text_col=text_col, id_col=id_col, num_hashes=num_hashes
             )
             ebb = D.band_buckets(esigs, id_col, num_hashes, bands)
-            _write_state(spark, *_cells_sigs(ebb, esigs), pre_path, sort=True)
+            ec, es = _cells_sigs(ebb, esigs)
+            # derived cells are stamped with THIS batch's version: the
+            # existing corpus's true ages are unknown, and dating the
+            # derivation point is the conservative TTL reading
+            _write_state(
+                spark, ec.withColumn("_v", F.lit(batch_id)), es, pre_path,
+                sort=True,
+            )
             seen = _read_state(spark, [pre_path])
         else:
             # fresh target: persist an EMPTY pre snapshot before the
@@ -839,7 +867,10 @@ def near_dedup_stream(
             # idempotent replace would wipe the first batch from the
             # dedup table)
             ec, es = _cells_sigs(bb, sigs)
-            _write_state(spark, ec.limit(0), es.limit(0), pre_path, n_files=1)
+            _write_state(
+                spark, ec.withColumn("_v", F.lit(batch_id)).limit(0),
+                es.limit(0), pre_path, n_files=1,
+            )
             seen = None
 
         # (a) collisions against earlier batches. Join DIRECTION matters
@@ -855,6 +886,15 @@ def near_dedup_stream(
         prev_in_thresh = None
         if seen is not None:
             cells_s, sigs_s, legacy = seen
+            if evict_after is not None:
+                # TTL horizon: cells older than K batches stop gating.
+                # _v < 0 = unknown origin (pre-eviction layouts) ->
+                # never evicted (conservative: keeps dedup state). The
+                # comparison is a pushable predicate over the sorted
+                # state files, so fully-aged row groups skip at scan.
+                cells_s = cells_s.filter(
+                    (F.col("_v") < 0) | (F.col("_v") >= batch_id - evict_after)
+                )
             # guard the one unbounded case: availableNow with no
             # maxFilesPerTrigger delivers the whole backlog as a single
             # batch, whose cell set may not fit a driver broadcast.
@@ -963,6 +1003,7 @@ def near_dedup_stream(
         # snapshot every `compact_every` batches (bounding the
         # reader's file fan-in) or when no base snapshot exists yet.
         batch_cells, batch_sigs = _cells_sigs(bb, sigs)
+        batch_cells = batch_cells.withColumn("_v", F.lit(batch_id))
         if seen is None:
             _write_state(
                 spark, batch_cells, batch_sigs, f"{side_path}/v{batch_id}",
@@ -1002,8 +1043,18 @@ def near_dedup_stream(
                 sig_all = sigs_s.unionByName(fresh_sigs)
                 if legacy:
                     sig_all = sig_all.dropDuplicates(["hub_id"])
+                cell_all = cells_s.unionByName(fresh)
+                if evict_after is not None:
+                    # cells_s was horizon-filtered at read, so this
+                    # union IS the surviving state; drop the evicted
+                    # hubs' orphaned signatures with it (one semi-join
+                    # on the one batch that pays a corpus write anyway)
+                    sig_all = sig_all.join(
+                        cell_all.select("hub_id").distinct(),
+                        "hub_id", "left_semi",
+                    )
                 _write_state(
-                    spark, cells_s.unionByName(fresh), sig_all,
+                    spark, cell_all, sig_all,
                     f"{side_path}/v{batch_id}", sort=True,
                 )
                 keep = {batch_id} | ({usable[-1]} if usable else set())

@@ -1174,3 +1174,75 @@ def test_uncommitted_v2_version_ignored(spark):
         assert _versions(spark, tmp) == [0, 1]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_near_dedup_stream_evict_after(spark):
+    """evict_after=K ("near-dup within the last K batches"): a
+    duplicate arriving while its original's cells are within the
+    horizon is dropped; the SAME duplicate arriving after the horizon
+    is kept (the state aged out); compaction physically drops evicted
+    cells and their orphaned signatures. Twin run without eviction
+    drops both duplicates."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from imcs_spark.streaming import near_dedup_stream
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    filler = lambda i: " ".join(f"f{i}_{j}" for j in range(25))  # noqa: E731
+    # batch 0: original A; batch 1: duplicate of A (within horizon 2);
+    # batches 2-4: fillers; batch 5: duplicate of A again (beyond
+    # horizon: cell born in batch 0, 5 - 2 = 3 > 0 -> evicted)
+    batches = [
+        [(0, base)],
+        [(10, base)],
+        [(20, filler(20))],
+        [(30, filler(30))],
+        [(40, filler(40))],
+        [(50, base)],
+    ]
+
+    def run(tmp, **kw):
+        target = os.path.join(tmp, "kept")
+        chk = os.path.join(tmp, "chk")
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src)
+        t0 = 1_700_000_000
+        for b, rows in enumerate(batches):
+            p = os.path.join(src, f"b{b:03d}.parquet")
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(p + "_stage")
+            part = [f for f in os.listdir(p + "_stage") if f.startswith("part-")][0]
+            os.replace(os.path.join(p + "_stage", part), p)
+            shutil.rmtree(p + "_stage")
+            os.utime(p, (t0 + 10 * b, t0 + 10 * b))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = near_dedup_stream(stream, target, checkpoint=chk, bands=16, **kw)
+        q.awaitTermination(240)
+        return {r["doc_id"] for r in spark.read.parquet(target).collect()}
+
+    tmp1 = tempfile.mkdtemp(prefix="imcs_evict_")
+    tmp2 = tempfile.mkdtemp(prefix="imcs_noevict_")
+    try:
+        kept_ttl = run(tmp1, evict_after=2, compact_every=3)
+        # in-horizon dup (10) dropped; aged-out dup (50) kept
+        assert kept_ttl == {0, 20, 30, 40, 50}, kept_ttl
+        kept_all = run(tmp2)
+        assert kept_all == {0, 20, 30, 40}, kept_all
+        # physical eviction: the TTL run's final state holds no cell
+        # older than the horizon of the last compaction (batch 3 at
+        # compact_every=3 -> horizon 1; batch-0 cells gone from v3)
+        side = os.path.join(tmp1, "kept_buckets")
+        vdirs = [d for d in os.listdir(side) if d.startswith("v") and not d.endswith("pre")]
+        assert vdirs, os.listdir(side)
+        snap = spark.read.parquet(
+            *[os.path.join(side, v, "cells") for v in vdirs]
+        )
+        assert snap.filter(F.col("_v") == 0).count() == 0
+    finally:
+        shutil.rmtree(tmp1, ignore_errors=True)
+        shutil.rmtree(tmp2, ignore_errors=True)
