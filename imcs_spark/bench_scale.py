@@ -254,9 +254,30 @@ def run_scale(
     # RLE/dict decode on every scan buys ~20% on the agg rows for a
     # memory cost that is irrelevant at this size (at 100 TB you would
     # keep compression and trade the decode for capacity).
+    # Saved + restored on exit (round-10 review finding): with the
+    # gate part now running BEFORE the registry queries, leaving these
+    # set would cache every registry artifact uncompressed in 1M-row
+    # batches — a storage-footprint and cross-round-comparability
+    # change this section has no business making.
+    _prev_conf = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.inMemoryColumnarStorage.batchSize",
+            "spark.sql.inMemoryColumnarStorage.compressed",
+        )
+    }
     spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "1000000")
     spark.conf.set("spark.sql.inMemoryColumnarStorage.compressed", "false")
+    try:
+        return _run_scale_inner(spark, data_dir, runs, part)
+    finally:
+        for k, v in _prev_conf.items():
+            spark.conf.set(k, v)
 
+
+def _run_scale_inner(
+    spark: SparkSession, data_dir: str, runs: int, part: str
+) -> dict:
     out: dict[str, float] = {}
     if part == "rest":
         # skip straight to the adversarial/soak sections; the gate
@@ -353,9 +374,11 @@ def run_scale(
         # result decodes back to the three string columns via integer
         # div/mod + the same literal-array lookups. The same lever a
         # columnar engine's dictionary codes already are, one step
-        # further; the un-packed un-co-located twin is still timed
-        # below (dbitem_hash_agg_shuffle) for transparency.
+        # further; the un-packed un-co-located 3-key twin is timed
+        # below (dbitem_hash_agg_shuffle, via _dbitem_query3 over the
+        # pre-pack frame) for transparency.
         n_desk, n_office = len(dict_vals["desk"]), len(dict_vals["office"])
+        enc3 = enc  # un-packed 3-code frame, kept for the shuffle twin
         enc = enc.withColumn(
             "gkey",
             (
@@ -363,6 +386,7 @@ def run_scale(
                 + F.col("office_code")
             ).cast("int"),
         ).drop("trader_code", "desk_code", "office_code")
+        enc_holder["enc3"] = enc3
         enc_holder["enc"] = enc
         df = enc.repartition(32, "gkey").persist()
         df.count()
@@ -370,12 +394,12 @@ def run_scale(
 
     out["load_dbitem"], out["load_dbitem_med"], d = _loads(_load_d, lruns)
     d_rows = d.count()
-    enc = enc_holder["enc"]
+    enc3 = enc_holder["enc3"]
     # transparency copy: same encoded rows, NOT co-located with the
     # group keys (round-robin layout) — its agg pays the partial-row
     # shuffle. Cache build excluded from the load row (bench-infra
     # copy, not a layout the engine would pick here).
-    d_flat = enc.repartition(32).persist()
+    d_flat = enc3.repartition(32).persist()
     d_flat.count()
 
     # Micro-latency rows: their whole cost is the fixed job floor, and
@@ -494,11 +518,25 @@ def run_scale(
             "trader", "desk", "office", (F.col("_pv") / F.col("_v")).alias("wavg")
         )
 
+    def _dbitem_query3(df):
+        # the UN-PACKED twin: groups by the original three int codes —
+        # the transparency control the packed-gkey row is read against
+        r = df.groupBy("trader_code", "desk_code", "office_code").agg(
+            F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+            F.sum("volume").alias("_v"),
+        )
+        for c in ("trader", "desk", "office"):
+            arr = F.array(*[F.lit(s) for s in dict_vals[c]])
+            r = r.withColumn(c, F.element_at(arr, F.col(f"{c}_code") + 1))
+        return r.select(
+            "trader", "desk", "office", (F.col("_pv") / F.col("_v")).alias("wavg")
+        )
+
     _time_row(out, "dbitem_hash_agg", lambda: _dbitem_query(d), mruns, floor_df=_t32)
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")  # 640k partial rows
     _time_row(
-        out, "dbitem_hash_agg_shuffle", lambda: _dbitem_query(d_flat), mruns
+        out, "dbitem_hash_agg_shuffle", lambda: _dbitem_query3(d_flat), mruns
     )
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -1165,8 +1203,8 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     # members only by noise alignment — cosine gaps ~0.02, the same
     # order as the m=16x256 quantization error (numpy probe: mean
     # |adc-cos| 0.027) — so recall@10 scales with the ADC candidate
-    # budget: top-100 → 0.26, top-500 → 0.60, top-500 (factor 50) is the recorded
-    # config. Coarser codes (m=8 x 64, 8 B/vec) measured 0.10 at
+    # budget: top-100 → 0.26, top-500 → 0.60, top-1000 (factor 100) is
+    # the recorded config. Coarser codes (m=8 x 64, 8 B/vec) measured 0.10 at
     # top-80. A corpus whose neighbors are separated by more than the
     # quantization error (near-dup retrieval: the planted source sits
     # ~0.05 above rank 2) ranks fine at small budgets.

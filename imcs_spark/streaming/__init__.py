@@ -84,9 +84,8 @@ def _write_state(
     per-batch state-read bytes ~6-8x: the signature longs — `bands`
     copies per hub in v1 — are stored once per hub and never decoded
     by the collision probe. Written zstd-compressed; with sort=True
-    (compaction-time snapshots) cells are range-sorted by
-    (band, bucket) so the bucket column's row-group/page stats are
-    tight — a small batch's IN-pushdown probe (see handle_batch) then
+    (compaction-time snapshots) cells are range-sorted BUCKET-major
+    so the bucket column's row-group/page stats are tight — a small batch's IN-pushdown probe (see handle_batch) then
     skips most pages instead of scanning the corpus. Deltas only get a
     within-partition sort (no shuffle; an O(batch) write must not pay
     a corpus-shaped exchange).
@@ -99,12 +98,25 @@ def _write_state(
     fs, _, jvm = _hfs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     fs.delete(P(f"{path}/_COMMITTED"), False)
+    # ORDER MATTERS (round-10 review findings): repartitionByRange
+    # only RANGE-PARTITIONS — rows inside each partition stay unsorted,
+    # and a coalesce AFTER a sortWithinPartitions concatenates sorted
+    # runs back into unsorted files. So: partition/coalesce first,
+    # sort within partitions LAST. And the sort is BUCKET-major, not
+    # (band, bucket): the trickle fast path pushes an IN predicate on
+    # `bucket` alone, and under band-major ordering every band resets
+    # the bucket range, so a row group holding 2+ bands spans most of
+    # the 64-bit bucket space and nothing skips (measured: median
+    # row-group span 0.25, max ~1.0 of the range under band-major vs
+    # ~1/n_groups under bucket-major). The collision probe is a hash
+    # join — layout-agnostic — so bucket-major costs nothing else.
     c = cells.repartitionByRange(
         max(cells.sparkSession.sparkContext.defaultParallelism, 8),
-        "band", "bucket",
-    ) if sort else cells.sortWithinPartitions("band", "bucket")
+        "bucket", "band",
+    ) if sort else cells
     if n_files is not None:
         c = c.coalesce(n_files)
+    c = c.sortWithinPartitions("bucket", "band")
     c.write.mode("overwrite").option("compression", "zstd").parquet(
         f"{path}/cells"
     )
@@ -345,90 +357,103 @@ def append_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        versions = _versions(spark, side_path)
-        usable = [v for v in versions if v < batch_id]
-        pre_path = f"{side_path}/v{batch_id}pre"
-        if usable:
-            old = spark.read.parquet(f"{side_path}/v{usable[-1]}")
-        elif _snapshot_ok(spark, pre_path):
-            # replay of a crashed attempt that had already persisted
-            # this batch's pre-append state — use it, NOT the data
-            # table (which may contain the failed attempt's own rows).
-            # Marker-gated (_COMMITTED/_SUCCESS): a pre dir from a
-            # crash mid-write means the append never ran, so
-            # re-deriving below is correct.
-            old = spark.read.parquet(pre_path)
-        elif _data_exists(spark, target_path):
-            # first batch over a pre-existing table: derive the maxes
-            # from the data once (distributed) and persist them BEFORE
-            # appending, so a replay never checks the batch against
-            # its own partial write
-            current = spark.read.parquet(target_path)
-            if id_col:
-                old = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
+        # snapshot the one session conf the trickle fast path may raise
+        # and restore it in a finally (round-10 review finding): an
+        # exception mid-batch must not leave a session-wide planner
+        # behavior change behind for other queries/streams in this
+        # session
+        _in_prev = spark.conf.get(
+            "spark.sql.parquet.pushdown.inFilterThreshold", "10"
+        )
+        try:
+            versions = _versions(spark, side_path)
+            usable = [v for v in versions if v < batch_id]
+            pre_path = f"{side_path}/v{batch_id}pre"
+            if usable:
+                old = spark.read.parquet(f"{side_path}/v{usable[-1]}")
+            elif _snapshot_ok(spark, pre_path):
+                # replay of a crashed attempt that had already persisted
+                # this batch's pre-append state — use it, NOT the data
+                # table (which may contain the failed attempt's own rows).
+                # Marker-gated (_COMMITTED/_SUCCESS): a pre dir from a
+                # crash mid-write means the append never ran, so
+                # re-deriving below is correct.
+                old = spark.read.parquet(pre_path)
+            elif _data_exists(spark, target_path):
+                # first batch over a pre-existing table: derive the maxes
+                # from the data once (distributed) and persist them BEFORE
+                # appending, so a replay never checks the batch against
+                # its own partial write
+                current = spark.read.parquet(target_path)
+                if id_col:
+                    old = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
+                else:
+                    old = current.agg(F.max(ts_col).alias("_maxts")).filter(
+                        F.col("_maxts").isNotNull()
+                    )
+                _write_snapshot(spark, old, pre_path)
+                old = spark.read.parquet(pre_path)
             else:
-                old = current.agg(F.max(ts_col).alias("_maxts")).filter(
+                # genuinely fresh target — persist an EMPTY pre snapshot
+                # before appending. Without it, a replay of a crashed
+                # first batch finds the target EXISTING (the failed
+                # attempt's own files) and the derive branch above builds
+                # state from the batch's own rows: 'drop' mode would then
+                # filter the replay against its own in-batch maxes
+                # (silently deleting rows) and 'error' mode would reject
+                # the batch forever. The empty snapshot routes the replay
+                # through the pre branch with the true (empty) state.
+                if id_col:
+                    empty = batch.groupBy(id_col).agg(
+                        F.max(ts_col).alias("_maxts")
+                    ).limit(0)
+                else:
+                    empty = batch.agg(F.max(ts_col).alias("_maxts")).limit(0)
+                _write_snapshot(spark, empty, pre_path, n_files=1)
+                old = None
+            out = batch
+            if old is not None:
+                if id_col:
+                    out = batch.join(old, id_col, "left")
+                else:
+                    # 0-or-1-row side: condition-true left join keeps every
+                    # batch row even when the side is empty (a crossJoin
+                    # against an empty side would silently drop the batch)
+                    out = batch.join(old, F.lit(True), "left")
+                late = out.filter(F.col(ts_col) < F.col("_maxts"))
+                if on_violation == "error":
+                    if late.limit(1).count():
+                        raise ValueError(
+                            f"out-of-order append into {target_path} (batch {batch_id})"
+                        )
+                else:
+                    out = out.filter(
+                        F.col("_maxts").isNull() | (F.col(ts_col) >= F.col("_maxts"))
+                    )
+                out = out.drop("_maxts")
+            _idempotent_append(spark, out, target_path, f"batch-{token}-{batch_id}-")
+            # next maxes snapshot: old ∪ raw-batch maxes, distributed
+            if id_col:
+                bm = batch.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
+                new = bm if old is None else old.unionByName(bm).groupBy(id_col).agg(
+                    F.max("_maxts").alias("_maxts")
+                )
+            else:
+                bm = batch.agg(F.max(ts_col).alias("_maxts")).filter(
                     F.col("_maxts").isNotNull()
                 )
-            _write_snapshot(spark, old, pre_path)
-            old = spark.read.parquet(pre_path)
-        else:
-            # genuinely fresh target — persist an EMPTY pre snapshot
-            # before appending. Without it, a replay of a crashed
-            # first batch finds the target EXISTING (the failed
-            # attempt's own files) and the derive branch above builds
-            # state from the batch's own rows: 'drop' mode would then
-            # filter the replay against its own in-batch maxes
-            # (silently deleting rows) and 'error' mode would reject
-            # the batch forever. The empty snapshot routes the replay
-            # through the pre branch with the true (empty) state.
-            if id_col:
-                empty = batch.groupBy(id_col).agg(
-                    F.max(ts_col).alias("_maxts")
-                ).limit(0)
-            else:
-                empty = batch.agg(F.max(ts_col).alias("_maxts")).limit(0)
-            _write_snapshot(spark, empty, pre_path, n_files=1)
-            old = None
-        out = batch
-        if old is not None:
-            if id_col:
-                out = batch.join(old, id_col, "left")
-            else:
-                # 0-or-1-row side: condition-true left join keeps every
-                # batch row even when the side is empty (a crossJoin
-                # against an empty side would silently drop the batch)
-                out = batch.join(old, F.lit(True), "left")
-            late = out.filter(F.col(ts_col) < F.col("_maxts"))
-            if on_violation == "error":
-                if late.limit(1).count():
-                    raise ValueError(
-                        f"out-of-order append into {target_path} (batch {batch_id})"
-                    )
-            else:
-                out = out.filter(
-                    F.col("_maxts").isNull() | (F.col(ts_col) >= F.col("_maxts"))
-                )
-            out = out.drop("_maxts")
-        _idempotent_append(spark, out, target_path, f"batch-{token}-{batch_id}-")
-        # next maxes snapshot: old ∪ raw-batch maxes, distributed
-        if id_col:
-            bm = batch.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
-            new = bm if old is None else old.unionByName(bm).groupBy(id_col).agg(
-                F.max("_maxts").alias("_maxts")
+                new = bm if old is None else old.unionByName(bm).agg(
+                    F.max("_maxts").alias("_maxts")
+                ).filter(F.col("_maxts").isNotNull())
+            _write_snapshot(spark, new, f"{side_path}/v{batch_id}")
+            # GC: keep the snapshot just read (crash fallback) + new; this
+            # batch's pre snapshot survives until the NEXT batch's GC
+            keep = {batch_id} | ({usable[-1]} if usable else set())
+            _gc_versions(spark, side_path, versions, keep, batch_id)
+        finally:
+            spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold", _in_prev
             )
-        else:
-            bm = batch.agg(F.max(ts_col).alias("_maxts")).filter(
-                F.col("_maxts").isNotNull()
-            )
-            new = bm if old is None else old.unionByName(bm).agg(
-                F.max("_maxts").alias("_maxts")
-            ).filter(F.col("_maxts").isNotNull())
-        _write_snapshot(spark, new, f"{side_path}/v{batch_id}")
-        # GC: keep the snapshot just read (crash fallback) + new; this
-        # batch's pre snapshot survives until the NEXT batch's GC
-        keep = {batch_id} | ({usable[-1]} if usable else set())
-        _gc_versions(spark, side_path, versions, keep, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:
@@ -739,8 +764,8 @@ def near_dedup_stream(
     corpus, so the state is scanned once per batch and never shuffled
     — the collision set the scan yields (bounded by the batch) then
     drives the fresh-cell anti-joins without touching the state again.
-    Snapshots are written zstd-compressed and range-sorted by
-    (band, bucket); a trickle batch (≤512 distinct buckets) pushes its
+    Snapshots are written zstd-compressed and range-sorted
+    BUCKET-major; a trickle batch (≤512 distinct buckets) pushes its
     bucket set into the state scan as a parquet IN predicate, so its
     probe skips most row groups/pages via the sorted layout's tight
     stats instead of scanning O(corpus). Per-batch state READ for
@@ -883,7 +908,6 @@ def near_dedup_stream(
         # 2M docs) up to three times per batch. `prev` (bounded by the
         # batch's cell count) is persisted so the collision set and the
         # drop set share the single state scan.
-        prev_in_thresh = None
         if seen is not None:
             cells_s, sigs_s, legacy = seen
             if evict_after is not None:
@@ -921,7 +945,7 @@ def near_dedup_stream(
                 # trickle batch (a handful of late docs against a
                 # corpus-scale state): push the batch's bucket SET
                 # into the state scan as an IN predicate. Snapshots
-                # are range-sorted by (band, bucket) at write time, so
+                # are range-sorted bucket-major at write time, so
                 # parquet's row-group/page stats on `bucket` are tight
                 # and a few-hundred-value IN skips most of the state's
                 # pages instead of scanning O(corpus). Spark only
@@ -931,9 +955,6 @@ def near_dedup_stream(
                 # so the threshold is raised for this batch's plans
                 # and restored after the batch's actions run.
                 vals = [r[0] for r in bb.select("bucket").distinct().collect()]
-                prev_in_thresh = spark.conf.get(
-                    "spark.sql.parquet.pushdown.inFilterThreshold", "10"
-                )
                 spark.conf.set(
                     "spark.sql.parquet.pushdown.inFilterThreshold", "1024"
                 )
@@ -1063,10 +1084,6 @@ def near_dedup_stream(
         bb.unpersist()
         if prev is not None:
             prev.unpersist()
-        if prev_in_thresh is not None:
-            spark.conf.set(
-                "spark.sql.parquet.pushdown.inFilterThreshold", prev_in_thresh
-            )
         _gc_versions(spark, side_path, versions, keep, batch_id)
         _gc_deltas(spark, side_path, base, batch_id)
 

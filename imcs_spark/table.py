@@ -382,7 +382,13 @@ class Engine:
             if format == "parquet":
                 df = self.spark.read.parquet(source)
             elif format == "orc":
-                df = self.spark.read.options(**reader_options).orc(source)
+                reader = self.spark.read
+                if schema:
+                    # honored like the csv/json branches (round-10
+                    # review finding: silently ignoring it would hand
+                    # back file-embedded types a caller asked to cast)
+                    reader = reader.schema(schema)
+                df = reader.options(**reader_options).orc(source)
             elif format in ("csv", "json"):
                 reader = self.spark.read
                 if schema:

@@ -1140,6 +1140,24 @@ def test_state_scan_in_pushdown_reaches_parquet(spark):
             assert df.count() == len(set(vals)) or df.count() >= len(vals) - 1
         finally:
             spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", prev)
+        # a pushed predicate only SKIPS if the stats are tight: the
+        # bucket-major sort must keep every row group's bucket span a
+        # small fraction of the 64-bit range (round-10 review finding:
+        # band-major sorting left spans at 0.25-1.0 of the range and
+        # nothing skipped despite the pushed In)
+        import glob
+
+        import pyarrow.parquet as pq
+
+        full = float(2**64)
+        spans = []
+        for f in glob.glob(os.path.join(tmp, "v0", "cells", "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                names = [md.schema.column(i).name for i in range(md.num_columns)]
+                st = md.row_group(rg).column(names.index("bucket")).statistics
+                spans.append((st.max - st.min) / full)
+        assert spans and max(spans) < 0.15, spans
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
