@@ -357,103 +357,90 @@ def append_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # snapshot the one session conf the trickle fast path may raise
-        # and restore it in a finally (round-10 review finding): an
-        # exception mid-batch must not leave a session-wide planner
-        # behavior change behind for other queries/streams in this
-        # session
-        _in_prev = spark.conf.get(
-            "spark.sql.parquet.pushdown.inFilterThreshold", "10"
-        )
-        try:
-            versions = _versions(spark, side_path)
-            usable = [v for v in versions if v < batch_id]
-            pre_path = f"{side_path}/v{batch_id}pre"
-            if usable:
-                old = spark.read.parquet(f"{side_path}/v{usable[-1]}")
-            elif _snapshot_ok(spark, pre_path):
-                # replay of a crashed attempt that had already persisted
-                # this batch's pre-append state — use it, NOT the data
-                # table (which may contain the failed attempt's own rows).
-                # Marker-gated (_COMMITTED/_SUCCESS): a pre dir from a
-                # crash mid-write means the append never ran, so
-                # re-deriving below is correct.
-                old = spark.read.parquet(pre_path)
-            elif _data_exists(spark, target_path):
-                # first batch over a pre-existing table: derive the maxes
-                # from the data once (distributed) and persist them BEFORE
-                # appending, so a replay never checks the batch against
-                # its own partial write
-                current = spark.read.parquet(target_path)
-                if id_col:
-                    old = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
-                else:
-                    old = current.agg(F.max(ts_col).alias("_maxts")).filter(
-                        F.col("_maxts").isNotNull()
-                    )
-                _write_snapshot(spark, old, pre_path)
-                old = spark.read.parquet(pre_path)
-            else:
-                # genuinely fresh target — persist an EMPTY pre snapshot
-                # before appending. Without it, a replay of a crashed
-                # first batch finds the target EXISTING (the failed
-                # attempt's own files) and the derive branch above builds
-                # state from the batch's own rows: 'drop' mode would then
-                # filter the replay against its own in-batch maxes
-                # (silently deleting rows) and 'error' mode would reject
-                # the batch forever. The empty snapshot routes the replay
-                # through the pre branch with the true (empty) state.
-                if id_col:
-                    empty = batch.groupBy(id_col).agg(
-                        F.max(ts_col).alias("_maxts")
-                    ).limit(0)
-                else:
-                    empty = batch.agg(F.max(ts_col).alias("_maxts")).limit(0)
-                _write_snapshot(spark, empty, pre_path, n_files=1)
-                old = None
-            out = batch
-            if old is not None:
-                if id_col:
-                    out = batch.join(old, id_col, "left")
-                else:
-                    # 0-or-1-row side: condition-true left join keeps every
-                    # batch row even when the side is empty (a crossJoin
-                    # against an empty side would silently drop the batch)
-                    out = batch.join(old, F.lit(True), "left")
-                late = out.filter(F.col(ts_col) < F.col("_maxts"))
-                if on_violation == "error":
-                    if late.limit(1).count():
-                        raise ValueError(
-                            f"out-of-order append into {target_path} (batch {batch_id})"
-                        )
-                else:
-                    out = out.filter(
-                        F.col("_maxts").isNull() | (F.col(ts_col) >= F.col("_maxts"))
-                    )
-                out = out.drop("_maxts")
-            _idempotent_append(spark, out, target_path, f"batch-{token}-{batch_id}-")
-            # next maxes snapshot: old ∪ raw-batch maxes, distributed
+        versions = _versions(spark, side_path)
+        usable = [v for v in versions if v < batch_id]
+        pre_path = f"{side_path}/v{batch_id}pre"
+        if usable:
+            old = spark.read.parquet(f"{side_path}/v{usable[-1]}")
+        elif _snapshot_ok(spark, pre_path):
+            # replay of a crashed attempt that had already persisted
+            # this batch's pre-append state — use it, NOT the data
+            # table (which may contain the failed attempt's own rows).
+            # Marker-gated (_COMMITTED/_SUCCESS): a pre dir from a
+            # crash mid-write means the append never ran, so
+            # re-deriving below is correct.
+            old = spark.read.parquet(pre_path)
+        elif _data_exists(spark, target_path):
+            # first batch over a pre-existing table: derive the maxes
+            # from the data once (distributed) and persist them BEFORE
+            # appending, so a replay never checks the batch against
+            # its own partial write
+            current = spark.read.parquet(target_path)
             if id_col:
-                bm = batch.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
-                new = bm if old is None else old.unionByName(bm).groupBy(id_col).agg(
-                    F.max("_maxts").alias("_maxts")
-                )
+                old = current.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
             else:
-                bm = batch.agg(F.max(ts_col).alias("_maxts")).filter(
+                old = current.agg(F.max(ts_col).alias("_maxts")).filter(
                     F.col("_maxts").isNotNull()
                 )
-                new = bm if old is None else old.unionByName(bm).agg(
-                    F.max("_maxts").alias("_maxts")
-                ).filter(F.col("_maxts").isNotNull())
-            _write_snapshot(spark, new, f"{side_path}/v{batch_id}")
-            # GC: keep the snapshot just read (crash fallback) + new; this
-            # batch's pre snapshot survives until the NEXT batch's GC
-            keep = {batch_id} | ({usable[-1]} if usable else set())
-            _gc_versions(spark, side_path, versions, keep, batch_id)
-        finally:
-            spark.conf.set(
-                "spark.sql.parquet.pushdown.inFilterThreshold", _in_prev
+            _write_snapshot(spark, old, pre_path)
+            old = spark.read.parquet(pre_path)
+        else:
+            # genuinely fresh target — persist an EMPTY pre snapshot
+            # before appending. Without it, a replay of a crashed
+            # first batch finds the target EXISTING (the failed
+            # attempt's own files) and the derive branch above builds
+            # state from the batch's own rows: 'drop' mode would then
+            # filter the replay against its own in-batch maxes
+            # (silently deleting rows) and 'error' mode would reject
+            # the batch forever. The empty snapshot routes the replay
+            # through the pre branch with the true (empty) state.
+            if id_col:
+                empty = batch.groupBy(id_col).agg(
+                    F.max(ts_col).alias("_maxts")
+                ).limit(0)
+            else:
+                empty = batch.agg(F.max(ts_col).alias("_maxts")).limit(0)
+            _write_snapshot(spark, empty, pre_path, n_files=1)
+            old = None
+        out = batch
+        if old is not None:
+            if id_col:
+                out = batch.join(old, id_col, "left")
+            else:
+                # 0-or-1-row side: condition-true left join keeps every
+                # batch row even when the side is empty (a crossJoin
+                # against an empty side would silently drop the batch)
+                out = batch.join(old, F.lit(True), "left")
+            late = out.filter(F.col(ts_col) < F.col("_maxts"))
+            if on_violation == "error":
+                if late.limit(1).count():
+                    raise ValueError(
+                        f"out-of-order append into {target_path} (batch {batch_id})"
+                    )
+            else:
+                out = out.filter(
+                    F.col("_maxts").isNull() | (F.col(ts_col) >= F.col("_maxts"))
+                )
+            out = out.drop("_maxts")
+        _idempotent_append(spark, out, target_path, f"batch-{token}-{batch_id}-")
+        # next maxes snapshot: old ∪ raw-batch maxes, distributed
+        if id_col:
+            bm = batch.groupBy(id_col).agg(F.max(ts_col).alias("_maxts"))
+            new = bm if old is None else old.unionByName(bm).groupBy(id_col).agg(
+                F.max("_maxts").alias("_maxts")
             )
+        else:
+            bm = batch.agg(F.max(ts_col).alias("_maxts")).filter(
+                F.col("_maxts").isNotNull()
+            )
+            new = bm if old is None else old.unionByName(bm).agg(
+                F.max("_maxts").alias("_maxts")
+            ).filter(F.col("_maxts").isNotNull())
+        _write_snapshot(spark, new, f"{side_path}/v{batch_id}")
+        # GC: keep the snapshot just read (crash fallback) + new; this
+        # batch's pre snapshot survives until the NEXT batch's GC
+        keep = {batch_id} | ({usable[-1]} if usable else set())
+        _gc_versions(spark, side_path, versions, keep, batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:
@@ -849,248 +836,263 @@ def near_dedup_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        full_batch = batch
-        batch = batch.select(id_col, text_col)
-        sigs = D.minhash_signatures(
-            batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes
-        ).persist()
-        bb = D.band_buckets(sigs, id_col, num_hashes, bands).persist()
-        versions = _versions(spark, side_path)
-        usable = [v for v in versions if v < batch_id]
-        deltas = (
-            [d for d in _versions(spark, side_path, "d") if usable[-1] < d < batch_id]
-            if usable
-            else []
+        # snapshot the one session conf the trickle fast path below
+        # may raise, and restore it in a finally (round-10 review
+        # found the guard misplaced in append_stream, which never
+        # touches it): neither an exception mid-batch nor a normal
+        # trickle batch may leave a session-wide planner change
+        # behind for other queries/streams sharing this session
+        _in_prev = spark.conf.get(
+            "spark.sql.parquet.pushdown.inFilterThreshold", "10"
         )
-        pre_path = f"{side_path}/v{batch_id}pre"
-        if usable:
-            seen = _read_state(
-                spark,
-                [f"{side_path}/v{usable[-1]}"]
-                + [f"{side_path}/d{d}" for d in deltas],
+        try:
+            full_batch = batch
+            batch = batch.select(id_col, text_col)
+            sigs = D.minhash_signatures(
+                batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes
+            ).persist()
+            bb = D.band_buckets(sigs, id_col, num_hashes, bands).persist()
+            versions = _versions(spark, side_path)
+            usable = [v for v in versions if v < batch_id]
+            deltas = (
+                [d for d in _versions(spark, side_path, "d") if usable[-1] < d < batch_id]
+                if usable
+                else []
             )
-        elif _snapshot_ok(spark, pre_path):
-            seen = _read_state(spark, [pre_path])
-        elif _data_exists(spark, target_path):
-            # first batch over a pre-existing table: derive its bucket
-            # state once and persist BEFORE appending (replay safety)
-            existing = spark.read.parquet(target_path).select(id_col, text_col)
-            esigs = D.minhash_signatures(
-                existing, text_col=text_col, id_col=id_col, num_hashes=num_hashes
-            )
-            ebb = D.band_buckets(esigs, id_col, num_hashes, bands)
-            ec, es = _cells_sigs(ebb, esigs)
-            # derived cells are stamped with THIS batch's version: the
-            # existing corpus's true ages are unknown, and dating the
-            # derivation point is the conservative TTL reading
-            _write_state(
-                spark, ec.withColumn("_v", F.lit(batch_id)), es, pre_path,
-                sort=True,
-            )
-            seen = _read_state(spark, [pre_path])
-        else:
-            # fresh target: persist an EMPTY pre snapshot before the
-            # append (same reasoning as append_stream — without it, a
-            # replay of a crashed first batch would derive bucket
-            # state from the failed attempt's own kept docs, drop
-            # every replayed doc as a self-collision, and the
-            # idempotent replace would wipe the first batch from the
-            # dedup table)
-            ec, es = _cells_sigs(bb, sigs)
-            _write_state(
-                spark, ec.withColumn("_v", F.lit(batch_id)).limit(0),
-                es.limit(0), pre_path, n_files=1,
-            )
-            seen = None
-
-        # (a) collisions against earlier batches. Join DIRECTION matters
-        # at scale (round 9): the batch side is micro-batch-bounded by
-        # construction while `seen` grows with the corpus, so the batch
-        # cells are BROADCAST and the state table is scanned exactly
-        # once per batch with NO shuffle — the previous shape
-        # (bb.join(seen, ...) + two left_antis against seen) shuffled
-        # the corpus-scale state (16 signature longs per cell, ~2 GB at
-        # 2M docs) up to three times per batch. `prev` (bounded by the
-        # batch's cell count) is persisted so the collision set and the
-        # drop set share the single state scan.
-        if seen is not None:
-            cells_s, sigs_s, legacy = seen
-            if evict_after is not None:
-                # TTL horizon: cells older than K batches stop gating.
-                # _v < 0 = unknown origin (pre-eviction layouts) ->
-                # never evicted (conservative: keeps dedup state). The
-                # comparison is a pushable predicate over the sorted
-                # state files, so fully-aged row groups skip at scan.
-                cells_s = cells_s.filter(
-                    (F.col("_v") < 0) | (F.col("_v") >= batch_id - evict_after)
+            pre_path = f"{side_path}/v{batch_id}pre"
+            if usable:
+                seen = _read_state(
+                    spark,
+                    [f"{side_path}/v{usable[-1]}"]
+                    + [f"{side_path}/d{d}" for d in deltas],
                 )
-            # guard the one unbounded case: availableNow with no
-            # maxFilesPerTrigger delivers the whole backlog as a single
-            # batch, whose cell set may not fit a driver broadcast.
-            # Sized by estimated BYTES, not row count (round-10 ADVICE
-            # fix: a caller-supplied STRING id can blow the driver
-            # broadcast well under any row cap): one cell row is
-            # band int4 + bucket int8 + id + per-row overhead ≈ 32 B
-            # plus the id's actual string bytes. bb is persisted and
-            # reused by every later step, so the one agg job
-            # materializes work that happens anyway; it also yields
-            # the distinct-bucket count the trickle fast path needs.
-            id_is_str = isinstance(batch.schema[id_col].dataType, T.StringType)
-            srow = bb.agg(
-                F.count(F.lit(1)).alias("n"),
-                (
-                    F.sum(F.length(id_col)) if id_is_str else F.lit(0)
-                ).alias("idb"),
-                F.count_distinct("bucket").alias("nb"),
-            ).collect()[0]
-            est_bytes = srow["n"] * 32 + (srow["idb"] or 0)
-            hint = F.broadcast if est_bytes <= (128 << 20) else (lambda d: d)
-            probe = cells_s
-            if srow["nb"] <= 512:
-                # trickle batch (a handful of late docs against a
-                # corpus-scale state): push the batch's bucket SET
-                # into the state scan as an IN predicate. Snapshots
-                # are range-sorted bucket-major at write time, so
-                # parquet's row-group/page stats on `bucket` are tight
-                # and a few-hundred-value IN skips most of the state's
-                # pages instead of scanning O(corpus). Spark only
-                # pushes IN to parquet below inFilterThreshold
-                # (default 10 — above it the pushed filter degrades to
-                # a min/max range, useless for uniform hash buckets),
-                # so the threshold is raised for this batch's plans
-                # and restored after the batch's actions run.
-                vals = [r[0] for r in bb.select("bucket").distinct().collect()]
-                spark.conf.set(
-                    "spark.sql.parquet.pushdown.inFilterThreshold", "1024"
+            elif _snapshot_ok(spark, pre_path):
+                seen = _read_state(spark, [pre_path])
+            elif _data_exists(spark, target_path):
+                # first batch over a pre-existing table: derive its bucket
+                # state once and persist BEFORE appending (replay safety)
+                existing = spark.read.parquet(target_path).select(id_col, text_col)
+                esigs = D.minhash_signatures(
+                    existing, text_col=text_col, id_col=id_col, num_hashes=num_hashes
                 )
-                probe = probe.filter(F.col("bucket").isin(vals))
-            # the collision probe scans ONLY the narrow cells table
-            # (band, bucket, hub_id) — the signature longs (bands
-            # copies per hub in the old flat layout, ~85% of the state
-            # bytes) are in the separate sigs table and are fetched
-            # below only for the batch's collided hubs
-            prev = probe.join(hint(bb), ["band", "bucket"]).persist()
-            # cells of THIS batch that already have an earlier occupant
-            # (== bb \ fresh): tiny, reused by both anti-joins below so
-            # the state table is never scanned for them
-            collided = prev.select("band", "bucket").distinct()
-            if sim_threshold is not None:
-                hubs = prev.select("hub_id").distinct()
-                hsig = sigs_s.join(hint(hubs), "hub_id").select(
-                    "hub_id",
-                    *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
+                ebb = D.band_buckets(esigs, id_col, num_hashes, bands)
+                ec, es = _cells_sigs(ebb, esigs)
+                # derived cells are stamped with THIS batch's version: the
+                # existing corpus's true ages are unknown, and dating the
+                # derivation point is the conservative TTL reading
+                _write_state(
+                    spark, ec.withColumn("_v", F.lit(batch_id)), es, pre_path,
+                    sort=True,
                 )
-                gated = (
-                    prev.join(hsig, "hub_id")
-                    .join(sigs, id_col)
-                    .filter(_est_sim("_h_") >= sim_threshold)
-                )
+                seen = _read_state(spark, [pre_path])
             else:
-                gated = prev
-            drop_prev = gated.select(id_col).distinct()
-        else:
-            prev = None
-            collided = None
-            drop_prev = None
+                # fresh target: persist an EMPTY pre snapshot before the
+                # append (same reasoning as append_stream — without it, a
+                # replay of a crashed first batch would derive bucket
+                # state from the failed attempt's own kept docs, drop
+                # every replayed doc as a self-collision, and the
+                # idempotent replace would wipe the first batch from the
+                # dedup table)
+                ec, es = _cells_sigs(bb, sigs)
+                _write_state(
+                    spark, ec.withColumn("_v", F.lit(batch_id)).limit(0),
+                    es.limit(0), pre_path, n_files=1,
+                )
+                seen = None
 
-        # (b) within-batch: collision with a smaller-id document's cell
-        # — restricted to cells with NO earlier-batch occupant: a seen
-        # cell's hub is its ORIGINAL occupant and rule (a) already
-        # gates every batch doc against that hub; gating against the
-        # batch-local min id instead would over-drop under
-        # sim_threshold (similar to the batch min but dissimilar to
-        # the true hub must survive under the star convention)
-        fresh_bb = bb if collided is None else bb.join(
-            hint(collided), ["band", "bucket"], "left_anti"
-        )
-        mins = fresh_bb.groupBy("band", "bucket").agg(F.min(id_col).alias("_min_id"))
-        inb = fresh_bb.join(mins, ["band", "bucket"]).filter(
-            F.col(id_col) > F.col("_min_id")
-        )
-        if sim_threshold is not None:
-            hub_sigs = sigs.select(
-                F.col(id_col).alias("_min_id"),
-                *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
-            )
-            inb = inb.join(hub_sigs, "_min_id").join(sigs, id_col)
-            inb = inb.filter(_est_sim("_h_") >= sim_threshold)
-        drop_in = inb.select(id_col).distinct()
-        drops = drop_in if drop_prev is None else drop_prev.unionByName(drop_in).distinct()
+            # (a) collisions against earlier batches. Join DIRECTION matters
+            # at scale (round 9): the batch side is micro-batch-bounded by
+            # construction while `seen` grows with the corpus, so the batch
+            # cells are BROADCAST and the state table is scanned exactly
+            # once per batch with NO shuffle — the previous shape
+            # (bb.join(seen, ...) + two left_antis against seen) shuffled
+            # the corpus-scale state (16 signature longs per cell, ~2 GB at
+            # 2M docs) up to three times per batch. `prev` (bounded by the
+            # batch's cell count) is persisted so the collision set and the
+            # drop set share the single state scan.
+            if seen is not None:
+                cells_s, sigs_s, legacy = seen
+                if evict_after is not None:
+                    # TTL horizon: cells older than K batches stop gating.
+                    # _v < 0 = unknown origin (pre-eviction layouts) ->
+                    # never evicted (conservative: keeps dedup state). The
+                    # comparison is a pushable predicate over the sorted
+                    # state files, so fully-aged row groups skip at scan.
+                    cells_s = cells_s.filter(
+                        (F.col("_v") < 0) | (F.col("_v") >= batch_id - evict_after)
+                    )
+                # guard the one unbounded case: availableNow with no
+                # maxFilesPerTrigger delivers the whole backlog as a single
+                # batch, whose cell set may not fit a driver broadcast.
+                # Sized by estimated BYTES, not row count (round-10 ADVICE
+                # fix: a caller-supplied STRING id can blow the driver
+                # broadcast well under any row cap): one cell row is
+                # band int4 + bucket int8 + id + per-row overhead ≈ 32 B
+                # plus the id's actual string bytes. bb is persisted and
+                # reused by every later step, so the one agg job
+                # materializes work that happens anyway; it also yields
+                # the distinct-bucket count the trickle fast path needs.
+                id_is_str = isinstance(batch.schema[id_col].dataType, T.StringType)
+                srow = bb.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    (
+                        F.sum(F.length(id_col)) if id_is_str else F.lit(0)
+                    ).alias("idb"),
+                    F.count_distinct("bucket").alias("nb"),
+                ).collect()[0]
+                est_bytes = srow["n"] * 32 + (srow["idb"] or 0)
+                hint = F.broadcast if est_bytes <= (128 << 20) else (lambda d: d)
+                probe = cells_s
+                if srow["nb"] <= 512:
+                    # trickle batch (a handful of late docs against a
+                    # corpus-scale state): push the batch's bucket SET
+                    # into the state scan as an IN predicate. Snapshots
+                    # are range-sorted bucket-major at write time, so
+                    # parquet's row-group/page stats on `bucket` are tight
+                    # and a few-hundred-value IN skips most of the state's
+                    # pages instead of scanning O(corpus). Spark only
+                    # pushes IN to parquet below inFilterThreshold
+                    # (default 10 — above it the pushed filter degrades to
+                    # a min/max range, useless for uniform hash buckets),
+                    # so the threshold is raised for this batch's plans
+                    # and restored in handle_batch's finally once the
+                    # batch's actions have run.
+                    vals = [r[0] for r in bb.select("bucket").distinct().collect()]
+                    spark.conf.set(
+                        "spark.sql.parquet.pushdown.inFilterThreshold", "1024"
+                    )
+                    probe = probe.filter(F.col("bucket").isin(vals))
+                # the collision probe scans ONLY the narrow cells table
+                # (band, bucket, hub_id) — the signature longs (bands
+                # copies per hub in the old flat layout, ~85% of the state
+                # bytes) are in the separate sigs table and are fetched
+                # below only for the batch's collided hubs
+                prev = probe.join(hint(bb), ["band", "bucket"]).persist()
+                # cells of THIS batch that already have an earlier occupant
+                # (== bb \ fresh): tiny, reused by both anti-joins below so
+                # the state table is never scanned for them
+                collided = prev.select("band", "bucket").distinct()
+                if sim_threshold is not None:
+                    hubs = prev.select("hub_id").distinct()
+                    hsig = sigs_s.join(hint(hubs), "hub_id").select(
+                        "hub_id",
+                        *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
+                    )
+                    gated = (
+                        prev.join(hsig, "hub_id")
+                        .join(sigs, id_col)
+                        .filter(_est_sim("_h_") >= sim_threshold)
+                    )
+                else:
+                    gated = prev
+                drop_prev = gated.select(id_col).distinct()
+            else:
+                prev = None
+                collided = None
+                drop_prev = None
 
-        kept = batch.join(drops, id_col, "left_anti")
-        if keep_all_columns:
-            kept = full_batch.join(kept.select(id_col), id_col, "left_semi")
-        _idempotent_append(spark, kept, target_path, f"batch-{token}-{batch_id}-")
-
-        # post-batch state: earlier occupants win their cells; new
-        # cells take this batch's min-id occupant. O(batch) path:
-        # write ONLY the fresh cells (+ their hubs' signatures, one
-        # row per hub) as a delta; compact the union to a full
-        # snapshot every `compact_every` batches (bounding the
-        # reader's file fan-in) or when no base snapshot exists yet.
-        batch_cells, batch_sigs = _cells_sigs(bb, sigs)
-        batch_cells = batch_cells.withColumn("_v", F.lit(batch_id))
-        if seen is None:
-            _write_state(
-                spark, batch_cells, batch_sigs, f"{side_path}/v{batch_id}",
-                sort=True,
-            )
-            keep = {batch_id}
-            base = None
-        else:
-            # fresh cells = batch cells with no earlier occupant — the
-            # anti-join runs against the tiny collided set, not the
-            # corpus-scale state (see rule (a) note); fresh sigs are
-            # the fresh hubs' rows of the batch's per-doc signatures
-            fresh = batch_cells.join(
+            # (b) within-batch: collision with a smaller-id document's cell
+            # — restricted to cells with NO earlier-batch occupant: a seen
+            # cell's hub is its ORIGINAL occupant and rule (a) already
+            # gates every batch doc against that hub; gating against the
+            # batch-local min id instead would over-drop under
+            # sim_threshold (similar to the batch min but dissimilar to
+            # the true hub must survive under the star convention)
+            fresh_bb = bb if collided is None else bb.join(
                 hint(collided), ["band", "bucket"], "left_anti"
             )
-            fresh_sigs = sigs.withColumnRenamed(id_col, "hub_id").join(
-                fresh.select("hub_id"), "hub_id", "left_semi"
+            mins = fresh_bb.groupBy("band", "bucket").agg(F.min(id_col).alias("_min_id"))
+            inb = fresh_bb.join(mins, ["band", "bucket"]).filter(
+                F.col(id_col) > F.col("_min_id")
             )
-            if usable and len(deltas) + 1 < compact_every:
-                _write_state(
-                    spark, fresh, fresh_sigs, f"{side_path}/d{batch_id}",
-                    n_files=8,
+            if sim_threshold is not None:
+                hub_sigs = sigs.select(
+                    F.col(id_col).alias("_min_id"),
+                    *[F.col(c).alias(f"_h_{c}") for c in sig_cols],
                 )
-                keep = {usable[-1]}
-                base = usable[-1]
+                inb = inb.join(hub_sigs, "_min_id").join(sigs, id_col)
+                inb = inb.filter(_est_sim("_h_") >= sim_threshold)
+            drop_in = inb.select(id_col).distinct()
+            drops = drop_in if drop_prev is None else drop_prev.unionByName(drop_in).distinct()
+
+            kept = batch.join(drops, id_col, "left_anti")
+            if keep_all_columns:
+                kept = full_batch.join(kept.select(id_col), id_col, "left_semi")
+            _idempotent_append(spark, kept, target_path, f"batch-{token}-{batch_id}-")
+
+            # post-batch state: earlier occupants win their cells; new
+            # cells take this batch's min-id occupant. O(batch) path:
+            # write ONLY the fresh cells (+ their hubs' signatures, one
+            # row per hub) as a delta; compact the union to a full
+            # snapshot every `compact_every` batches (bounding the
+            # reader's file fan-in) or when no base snapshot exists yet.
+            batch_cells, batch_sigs = _cells_sigs(bb, sigs)
+            batch_cells = batch_cells.withColumn("_v", F.lit(batch_id))
+            if seen is None:
+                _write_state(
+                    spark, batch_cells, batch_sigs, f"{side_path}/v{batch_id}",
+                    sort=True,
+                )
+                keep = {batch_id}
+                base = None
             else:
-                # compaction (or first batch whose base was a pre/
-                # derived snapshot): one corpus-size write, amortized
-                # over compact_every delta-only batches. The old base
-                # + its deltas stay until the NEXT batch's GC — they
-                # are this batch's replay fallback. Range-sorted by
-                # (band, bucket) here so the trickle IN-pushdown above
-                # gets tight page stats. A v1-flat base's split sigs
-                # carry `bands` duplicate rows per hub; compaction is
-                # where they are deduped away (one extra exchange, on
-                # the one batch that pays a corpus write anyway).
-                sig_all = sigs_s.unionByName(fresh_sigs)
-                if legacy:
-                    sig_all = sig_all.dropDuplicates(["hub_id"])
-                cell_all = cells_s.unionByName(fresh)
-                if evict_after is not None:
-                    # cells_s was horizon-filtered at read, so this
-                    # union IS the surviving state; drop the evicted
-                    # hubs' orphaned signatures with it (one semi-join
-                    # on the one batch that pays a corpus write anyway)
-                    sig_all = sig_all.join(
-                        cell_all.select("hub_id").distinct(),
-                        "hub_id", "left_semi",
-                    )
-                _write_state(
-                    spark, cell_all, sig_all,
-                    f"{side_path}/v{batch_id}", sort=True,
+                # fresh cells = batch cells with no earlier occupant — the
+                # anti-join runs against the tiny collided set, not the
+                # corpus-scale state (see rule (a) note); fresh sigs are
+                # the fresh hubs' rows of the batch's per-doc signatures
+                fresh = batch_cells.join(
+                    hint(collided), ["band", "bucket"], "left_anti"
                 )
-                keep = {batch_id} | ({usable[-1]} if usable else set())
-                base = usable[-1] if usable else None
-        sigs.unpersist()
-        bb.unpersist()
-        if prev is not None:
-            prev.unpersist()
-        _gc_versions(spark, side_path, versions, keep, batch_id)
-        _gc_deltas(spark, side_path, base, batch_id)
+                fresh_sigs = sigs.withColumnRenamed(id_col, "hub_id").join(
+                    fresh.select("hub_id"), "hub_id", "left_semi"
+                )
+                if usable and len(deltas) + 1 < compact_every:
+                    _write_state(
+                        spark, fresh, fresh_sigs, f"{side_path}/d{batch_id}",
+                        n_files=8,
+                    )
+                    keep = {usable[-1]}
+                    base = usable[-1]
+                else:
+                    # compaction (or first batch whose base was a pre/
+                    # derived snapshot): one corpus-size write, amortized
+                    # over compact_every delta-only batches. The old base
+                    # + its deltas stay until the NEXT batch's GC — they
+                    # are this batch's replay fallback. Range-sorted by
+                    # (band, bucket) here so the trickle IN-pushdown above
+                    # gets tight page stats. A v1-flat base's split sigs
+                    # carry `bands` duplicate rows per hub; compaction is
+                    # where they are deduped away (one extra exchange, on
+                    # the one batch that pays a corpus write anyway).
+                    sig_all = sigs_s.unionByName(fresh_sigs)
+                    if legacy:
+                        sig_all = sig_all.dropDuplicates(["hub_id"])
+                    cell_all = cells_s.unionByName(fresh)
+                    if evict_after is not None:
+                        # cells_s was horizon-filtered at read, so this
+                        # union IS the surviving state; drop the evicted
+                        # hubs' orphaned signatures with it (one semi-join
+                        # on the one batch that pays a corpus write anyway)
+                        sig_all = sig_all.join(
+                            cell_all.select("hub_id").distinct(),
+                            "hub_id", "left_semi",
+                        )
+                    _write_state(
+                        spark, cell_all, sig_all,
+                        f"{side_path}/v{batch_id}", sort=True,
+                    )
+                    keep = {batch_id} | ({usable[-1]} if usable else set())
+                    base = usable[-1] if usable else None
+            sigs.unpersist()
+            bb.unpersist()
+            if prev is not None:
+                prev.unpersist()
+            _gc_versions(spark, side_path, versions, keep, batch_id)
+            _gc_deltas(spark, side_path, base, batch_id)
+        finally:
+            spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold", _in_prev
+            )
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:

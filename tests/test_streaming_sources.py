@@ -1162,6 +1162,66 @@ def test_state_scan_in_pushdown_reaches_parquet(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_trickle_batch_restores_in_filter_threshold(spark):
+    """A trickle batch raises inFilterThreshold to 1024 for its own
+    plans; handle_batch's finally must restore the SESSION value
+    afterwards (round-10 review: the restore guard had been placed in
+    append_stream — which never touches the conf — so every trickle
+    batch leaked a session-wide planner change)."""
+    from pyspark.sql import functions as F
+
+    from imcs_spark.pipeline import dedup as D
+    from imcs_spark.streaming import near_dedup_stream
+
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    tmp = tempfile.mkdtemp(prefix="imcs_trickle_conf_")
+    target = os.path.join(tmp, "kept")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "incoming")
+    os.makedirs(src)
+    import random
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(300)]
+
+    def text():
+        return " ".join(rng.choice(vocab) for _ in range(30))
+
+    run1 = [(i, text()) for i in range(3)]
+    run2 = [(10 + i, text()) for i in range(3)]
+    prev = spark.conf.get(key, "10")
+    try:
+        # sentinel: any leak of the raised value is distinguishable
+        # from both the default and the raise
+        spark.conf.set(key, "7")
+        # precondition pin: run 2's batch takes the trickle path
+        # (<= 512 distinct buckets), else this test checks nothing
+        sigs = D.minhash_signatures(
+            spark.createDataFrame(run2, "doc_id long, text string"),
+            num_hashes=32,
+        )
+        nb = (
+            D.band_buckets(sigs, "doc_id", 32, 16)
+            .select("bucket").distinct().count()
+        )
+        assert nb <= 512, nb
+
+        for run in (run1, run2):
+            spark.createDataFrame(
+                run, "doc_id long, text string"
+            ).coalesce(1).write.parquet(src, mode="append")
+            stream = spark.readStream.schema(
+                "doc_id long, text string"
+            ).parquet(src)
+            q = near_dedup_stream(stream, target, checkpoint=chk, bands=16)
+            q.awaitTermination(120)
+        assert spark.conf.get(key) == "7"
+        assert spark.read.parquet(target).count() == 6
+    finally:
+        spark.conf.set(key, prev)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_uncommitted_v2_version_ignored(spark):
     """Crash between the cells and sigs writes of a v2 state version:
     the version-level _COMMITTED marker is stamped only after BOTH
