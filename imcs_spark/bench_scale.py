@@ -305,9 +305,11 @@ def _run_scale_inner(
     _t1 = spark.range(0, 1, 1, 1).selectExpr("sum(id) AS s")
     _t1.collect()
     out["floor_1task_agg_exec"] = _best(lambda: _t1.collect(), 7)
-    _t32 = spark.range(0, 32, 1, 32).selectExpr("sum(id) AS s")
-    _t32.collect()
-    out["floor_32task_agg_exec"] = _best(lambda: _t32.collect(), 7)
+    # same probe definition as every per-row/per-section floor — one
+    # definition, so the section floor and the interleaved row floors
+    # stay comparable (round-10 review: an inline copy here could
+    # drift from _floor_probe)
+    out["floor_32task_agg_exec"], _t32 = _floor_probe(spark, 7)
 
     # Pre-touch the parquet bytes into the OS page cache: the
     # reference's published Quote_load reads a PostgreSQL heap table
@@ -535,8 +537,12 @@ def _run_scale_inner(
     _time_row(out, "dbitem_hash_agg", lambda: _dbitem_query(d), mruns, floor_df=_t32)
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")  # 640k partial rows
+    # the transparency twin carries its own interleaved floor too: a
+    # contention spike on the CONTROL row must be tellable from a real
+    # regression of the un-packed path, same as the gated rows
     _time_row(
-        out, "dbitem_hash_agg_shuffle", lambda: _dbitem_query3(d_flat), mruns
+        out, "dbitem_hash_agg_shuffle", lambda: _dbitem_query3(d_flat), mruns,
+        floor_df=_t32,
     )
     spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     spark.conf.set("spark.sql.adaptive.enabled", "true")

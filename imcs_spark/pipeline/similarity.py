@@ -1022,6 +1022,11 @@ def pq_encode(
                 X = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
                 )
+                if X.shape[1] != m * sd:
+                    raise ValueError(
+                        f"pq_encode: corpus vector dim {X.shape[1]} != "
+                        f"codebook dim {m * sd} (m={m} x sd={sd})"
+                    )
                 nrm = np.linalg.norm(X, axis=1)
                 nrm[nrm == 0] = 1.0
                 U = X / nrm[:, None]
@@ -1046,14 +1051,30 @@ def pq_encode(
     u = corpus.select(id_col, F.col(vec_col).alias("_v")).withColumn(
         "_u", _unit("_v")
     )
+    codes = F.array(
+        *[
+            _pq_assign_expr("_u", lo, sd_, codebooks[si])
+            for si, (lo, sd_) in enumerate(slices)
+        ]
+    )
+    # Dimension guard (round-10 review): slice() on a too-short vector
+    # silently returns a short array, zip_with pads with nulls, and the
+    # argmin fold would pick an arbitrary code — the encode would
+    # complete with meaningless codes. The matrix kernel fails loudly
+    # (numpy shape check above); make this kernel fail loudly too.
     return u.select(
         id_col,
-        F.array(
-            *[
-                _pq_assign_expr("_u", lo, sd_, codebooks[si])
-                for si, (lo, sd_) in enumerate(slices)
-            ]
-        ).alias("codes"),
+        F.when(F.size("_u") == m * sd, codes)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_encode: corpus vector dim "),
+                    F.size("_u").cast("string"),
+                    F.lit(f" != codebook dim {m * sd} (m={m} x sd={sd})"),
+                )
+            )
+        )
+        .alias("codes"),
     )
 
 
@@ -1104,6 +1125,11 @@ def pq_topk(
         qn = np.linalg.norm(Q, axis=1)
         qn[qn == 0] = 1.0
         Q = Q / qn[:, None]
+        if Q.shape[1] != m * sd:
+            raise ValueError(
+                f"pq_topk: query vector dim {Q.shape[1]} != codebook dim "
+                f"{m * sd} (m={m} x sd={sd})"
+            )
         n_q = len(q_ids)
         # LUT[q, s, code] = dot(q_sub, codebooks[s][code])
         LUT = np.stack(
@@ -1178,6 +1204,18 @@ def pq_topk(
                 " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
             )
         score = F.expr(" + ".join(f"({t})" for t in sub_terms))
+        # same dimension guard as pq_encode's column kernel: slice() on
+        # a short query vector silently yields null sub-dots instead of
+        # an error
+        score = F.when(F.size("_qu") == m * sd, score).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("pq_topk: query vector dim "),
+                    F.size("_qu").cast("string"),
+                    F.lit(f" != codebook dim {m * sd} (m={m} x sd={sd})"),
+                )
+            )
+        )
         scored = encoded.join(F.broadcast(qu), how="cross").withColumn(
             "score", score
         )

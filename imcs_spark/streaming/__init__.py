@@ -15,6 +15,7 @@ reference cannot express (SURVEY §2.8: it has no watermarks).
 from __future__ import annotations
 
 import hashlib
+import threading
 import uuid
 
 from pyspark.sql import DataFrame
@@ -91,13 +92,23 @@ def _write_state(
     a corpus-shaped exchange).
 
     The version-level _COMMITTED marker is stamped only after BOTH
-    sub-tables land, and any stale marker is removed first: subdir
-    overwrite does not clear a parent marker the way v1's flat
-    overwrite did, and a crash between the two writes must not leave a
-    committed-looking half-version."""
+    sub-tables land, and the target dir is cleared first: subdir
+    overwrite does not clear a parent-level marker or v1 flat part
+    files the way v1's flat overwrite did, and a crash between the two
+    writes must not leave a committed-looking half-version. Clearing
+    only _COMMITTED is NOT enough (round-10 review): a v1 dir being
+    overwritten in place (upgrade replay) also carries Hadoop's
+    _SUCCESS at the version-dir level, which _committed() accepts — a
+    crash after the cells write would leave cells/ + stale _SUCCESS +
+    stale flat files, a committed-looking half-version that wedges
+    every later read on the missing sigs/. The full recursive delete
+    is safe: no _write_state target is ever an input of its own write
+    (replays read only versions < batch_id; pre/derived snapshots are
+    rebuilt from the target table), and an interrupted overwrite was
+    already a to-be-replayed state."""
     fs, _, jvm = _hfs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
-    fs.delete(P(f"{path}/_COMMITTED"), False)
+    fs.delete(P(path), True)
     # ORDER MATTERS (round-10 review findings): repartitionByRange
     # only RANGE-PARTITIONS — rows inside each partition stay unsorted,
     # and a coalesce AFTER a sortWithinPartitions concatenates sorted
@@ -156,6 +167,16 @@ def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
         cells = c if cells is None else cells.unionByName(c)
         sigs = s if sigs is None else sigs.unionByName(s)
     return cells, sigs, legacy
+
+
+# Serializes the ONE session-conf mutation the engine makes at runtime
+# (the trickle fast path's parquet inFilterThreshold raise): two
+# near-dedup streams sharing a SparkSession run their foreachBatch
+# callbacks on separate query-execution threads, and an unserialized
+# read-modify-write of shared session conf can interleave so that one
+# stream's "restore" writes back the other stream's raised value —
+# leaking the planner change session-wide (round-10 review finding).
+_IN_THRESH_LOCK = threading.Lock()
 
 
 def _committed(fs, hpath) -> bool:
@@ -836,15 +857,13 @@ def near_dedup_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        # snapshot the one session conf the trickle fast path below
-        # may raise, and restore it in a finally (round-10 review
-        # found the guard misplaced in append_stream, which never
-        # touches it): neither an exception mid-batch nor a normal
-        # trickle batch may leave a session-wide planner change
-        # behind for other queries/streams sharing this session
-        _in_prev = spark.conf.get(
-            "spark.sql.parquet.pushdown.inFilterThreshold", "10"
-        )
+        # Persisted per-batch frames are released in the finally: an
+        # exception mid-batch must not leak sigs/bb/prev cache blocks
+        # into a long-lived stream's storage pool. (The trickle-path
+        # conf guard that used to wrap the whole batch here is now
+        # scoped — with a cross-stream lock — to the one
+        # materialization that needs it; see the trickle branch.)
+        sigs = bb = prev = None
         try:
             full_batch = batch
             batch = batch.select(id_col, text_col)
@@ -943,24 +962,16 @@ def near_dedup_stream(
                 est_bytes = srow["n"] * 32 + (srow["idb"] or 0)
                 hint = F.broadcast if est_bytes <= (128 << 20) else (lambda d: d)
                 probe = cells_s
-                if srow["nb"] <= 512:
+                trickle = srow["nb"] <= 512
+                if trickle:
                     # trickle batch (a handful of late docs against a
                     # corpus-scale state): push the batch's bucket SET
                     # into the state scan as an IN predicate. Snapshots
                     # are range-sorted bucket-major at write time, so
                     # parquet's row-group/page stats on `bucket` are tight
                     # and a few-hundred-value IN skips most of the state's
-                    # pages instead of scanning O(corpus). Spark only
-                    # pushes IN to parquet below inFilterThreshold
-                    # (default 10 — above it the pushed filter degrades to
-                    # a min/max range, useless for uniform hash buckets),
-                    # so the threshold is raised for this batch's plans
-                    # and restored in handle_batch's finally once the
-                    # batch's actions have run.
+                    # pages instead of scanning O(corpus).
                     vals = [r[0] for r in bb.select("bucket").distinct().collect()]
-                    spark.conf.set(
-                        "spark.sql.parquet.pushdown.inFilterThreshold", "1024"
-                    )
                     probe = probe.filter(F.col("bucket").isin(vals))
                 # the collision probe scans ONLY the narrow cells table
                 # (band, bucket, hub_id) — the signature longs (bands
@@ -968,6 +979,30 @@ def near_dedup_stream(
                 # bytes) are in the separate sigs table and are fetched
                 # below only for the batch's collided hubs
                 prev = probe.join(hint(bb), ["band", "bucket"]).persist()
+                if trickle:
+                    # Spark only pushes IN to parquet below
+                    # inFilterThreshold (default 10 — above it the pushed
+                    # filter degrades to a min/max range, useless for
+                    # uniform hash buckets), so the threshold is raised
+                    # while the probe's scan is PLANNED. That raise is a
+                    # session-global planner change: scope it to the one
+                    # job that plans the scan — materialize the persisted
+                    # `prev` under the raised conf (every later consumer
+                    # reads the cached blocks; an evicted block recomputes
+                    # the already-compiled cached plan, not a re-plan) and
+                    # restore immediately, serialized across streams
+                    # sharing this session by a module lock. The previous
+                    # whole-batch set/restore raced a sibling stream's
+                    # snapshot/restore and could leak the raised value
+                    # session-wide (round-10 review finding).
+                    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+                    with _IN_THRESH_LOCK:
+                        _in_prev = spark.conf.get(key, "10")
+                        spark.conf.set(key, "1024")
+                        try:
+                            prev.count()
+                        finally:
+                            spark.conf.set(key, _in_prev)
                 # cells of THIS batch that already have an earlier occupant
                 # (== bb \ fresh): tiny, reused by both anti-joins below so
                 # the state table is never scanned for them
@@ -1058,9 +1093,10 @@ def near_dedup_stream(
                     # derived snapshot): one corpus-size write, amortized
                     # over compact_every delta-only batches. The old base
                     # + its deltas stay until the NEXT batch's GC — they
-                    # are this batch's replay fallback. Range-sorted by
-                    # (band, bucket) here so the trickle IN-pushdown above
-                    # gets tight page stats. A v1-flat base's split sigs
+                    # are this batch's replay fallback. Range-sorted
+                    # BUCKET-major (bucket, band) here — see _write_state
+                    # — so the trickle IN-pushdown above gets tight page
+                    # stats. A v1-flat base's split sigs
                     # carry `bands` duplicate rows per hub; compaction is
                     # where they are deduped away (one extra exchange, on
                     # the one batch that pays a corpus write anyway).
@@ -1083,16 +1119,12 @@ def near_dedup_stream(
                     )
                     keep = {batch_id} | ({usable[-1]} if usable else set())
                     base = usable[-1] if usable else None
-            sigs.unpersist()
-            bb.unpersist()
-            if prev is not None:
-                prev.unpersist()
             _gc_versions(spark, side_path, versions, keep, batch_id)
             _gc_deltas(spark, side_path, base, batch_id)
         finally:
-            spark.conf.set(
-                "spark.sql.parquet.pushdown.inFilterThreshold", _in_prev
-            )
+            for _df in (sigs, bb, prev):
+                if _df is not None:
+                    _df.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(handle_batch)
     if checkpoint:

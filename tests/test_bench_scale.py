@@ -109,5 +109,9 @@ def test_run_scale_contract(spark, tiny):
         "cur2m_floor_sec", "ann1m_floor_sec", "nd2m_floor_sec",
         "load_quotes_med", "load_dbitem_med",
         "vwap_one_exec_floor", "dbitem_hash_agg_exec_floor",
+        # the transparency twin carries an interleaved floor too
+        # (round-10 review: the control row must self-exonerate the
+        # same way the gated rows do)
+        "dbitem_hash_agg_shuffle_exec_floor",
     ):
         assert k in out and out[k] >= 0

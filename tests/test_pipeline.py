@@ -1822,3 +1822,36 @@ def test_pq_topk_matrix_kernel_matches_column_kernel(spark, sf_dir):
         out[kern] = {(r.query_id, r.rank): r.vec_id for r in rows}
     enc.unpersist()
     assert out["column"] == out["matrix"]
+
+
+def test_pq_dim_mismatch_raises(spark):
+    """A corpus/query vector whose dimension does not match the
+    codebooks' m*sd must fail LOUDLY in every kernel (round-10 review:
+    the column kernel's slice() on a short vector silently produced
+    null sub-distances and an arbitrary argmin code)."""
+    from imcs_spark.pipeline import similarity as S
+
+    # m=2 subspaces x sd=4 -> codebook dim 8; vectors are 6-dim
+    books = [
+        [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+        [[0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]],
+    ]
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="pq_encode.*dim"):
+        S.pq_encode(short, books).collect()
+    with pytest.raises(Exception, match="pq_encode.*dim"):
+        S.pq_encode(short, books, kernel="matrix").collect()
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    enc = S.pq_encode(ok, books)
+    short_q = short.selectExpr("vec_id AS query_id", "embedding")
+    with pytest.raises(Exception, match="pq_topk.*dim"):
+        S.pq_topk(enc, short_q, books, k=1).collect()
+    with pytest.raises(ValueError, match="pq_topk.*dim"):
+        S.pq_topk(enc, short_q, books, k=1, kernel="matrix")

@@ -1324,3 +1324,47 @@ def test_near_dedup_stream_evict_after(spark):
     finally:
         shutil.rmtree(tmp1, ignore_errors=True)
         shutil.rmtree(tmp2, ignore_errors=True)
+
+
+def test_write_state_clears_stale_v1_markers(spark):
+    """Overwriting a v1 FLAT version dir in place (the upgrade-replay
+    path _read_state documents) must clear the old top-level _SUCCESS
+    and flat part files first: _committed() accepts _SUCCESS, so a
+    crash after the cells write would otherwise leave a
+    committed-looking half-version (cells/ + stale _SUCCESS, no sigs/)
+    that wedges every later read on the missing sigs table (round-10
+    review finding — deleting only _COMMITTED was not enough)."""
+    from pyspark.sql import functions as F
+
+    from imcs_spark.streaming import _versions, _write_snapshot, _write_state
+
+    tmp = tempfile.mkdtemp(prefix="imcs_v1stale_")
+    try:
+        flat = spark.range(5).select(
+            F.lit(0).alias("band"), F.col("id").alias("bucket"),
+            F.col("id").alias("hub_id"), F.col("id").alias("mh_0"),
+        )
+        # v1 flat layout: part files + Hadoop _SUCCESS + _COMMITTED at
+        # the version-dir level
+        _write_snapshot(spark, flat, os.path.join(tmp, "v0"), n_files=1)
+        top = set(os.listdir(os.path.join(tmp, "v0")))
+        assert "_SUCCESS" in top and any(n.startswith("part-") for n in top)
+        assert _versions(spark, tmp) == [0]
+
+        # the upgrade replay overwrites the same dir with the v2 split
+        cells = flat.select("band", "bucket", "hub_id")
+        sigs = flat.select("hub_id", "mh_0")
+        _write_state(spark, cells, sigs, os.path.join(tmp, "v0"), n_files=1)
+        top = set(os.listdir(os.path.join(tmp, "v0")))
+        assert "_SUCCESS" not in top, top
+        assert not any(n.startswith("part-") for n in top), top
+        assert {"cells", "sigs", "_COMMITTED"} <= top
+        assert _versions(spark, tmp) == [0]
+
+        # and the crash it guards against: cells written, sigs + marker
+        # missing -> the version must be invisible
+        shutil.rmtree(os.path.join(tmp, "v0", "sigs"))
+        os.remove(os.path.join(tmp, "v0", "_COMMITTED"))
+        assert _versions(spark, tmp) == []
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
