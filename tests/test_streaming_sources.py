@@ -1368,3 +1368,123 @@ def test_write_state_clears_stale_v1_markers(spark):
         assert _versions(spark, tmp) == []
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_near_dedup_crash_replay_matrix(spark, monkeypatch):
+    """End-to-end crash injection at each durable-write boundary of a
+    NON-first micro-batch (the batch shape with prior state): whatever
+    the crash point — before the kept-rows append, after the append but
+    before the state delta, or after the state delta but before the
+    checkpoint commit — a restart over the same checkpoint + state dir
+    must converge to EXACTLY the no-crash twin's kept set: no duplicate
+    appends, no lost documents, no wedged state. (The unit tests cover
+    each mechanism — pre-snapshots, idempotent replace, uncommitted
+    versions, replay reading only versions < batch_id — this pins the
+    composition.)"""
+    import imcs_spark.streaming as ST
+    from imcs_spark.streaming import near_dedup_stream
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"oth{i}" for i in range(30))
+    batches = [
+        [(0, base), (1, other)],            # batch 0: seeds
+        [(10, base), (11, "x " + other)],   # batch 1: dup of 0 + near-new
+        [(20, other), (21, base)],          # batch 2: dups of both seeds
+    ]
+
+    def run_to_end(src, target, chk):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        return near_dedup_stream(stream, target, checkpoint=chk, bands=16)
+
+    def feed_all(src):
+        os.makedirs(src)
+        t0 = 1_700_000_000
+        for b, rows in enumerate(batches):
+            p = os.path.join(src, f"b{b:03d}.parquet")
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(p + "_stage")
+            part = [
+                f for f in os.listdir(p + "_stage") if f.startswith("part-")
+            ][0]
+            os.replace(os.path.join(p + "_stage", part), p)
+            shutil.rmtree(p + "_stage")
+            os.utime(p, (t0 + 10 * b, t0 + 10 * b))
+
+    # no-crash twin
+    twin_tmp = tempfile.mkdtemp(prefix="imcs_crashtwin_")
+    try:
+        feed_all(os.path.join(twin_tmp, "incoming"))
+        q = run_to_end(
+            os.path.join(twin_tmp, "incoming"),
+            os.path.join(twin_tmp, "kept"),
+            os.path.join(twin_tmp, "chk"),
+        )
+        q.awaitTermination(240)
+        twin_kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(twin_tmp, "kept")).collect()
+        }
+    finally:
+        shutil.rmtree(twin_tmp, ignore_errors=True)
+    assert twin_kept  # the scenario must keep something to be a test
+
+    real_append = ST._idempotent_append
+    real_ws = ST._write_state
+    arm = {"point": None}
+
+    def inj_append(spark_, df, path, prefix):
+        if arm["point"] == "append_before" and prefix.endswith("-1-"):
+            arm["point"] = None
+            raise RuntimeError("injected crash before batch-1 append")
+        real_append(spark_, df, path, prefix)
+        if arm["point"] == "append_after" and prefix.endswith("-1-"):
+            arm["point"] = None
+            raise RuntimeError("injected crash after batch-1 append")
+
+    def inj_ws(spark_, cells, sigs, path, **kw):
+        real_ws(spark_, cells, sigs, path, **kw)
+        if arm["point"] == "state_after" and (
+            path.endswith("/d1") or path.endswith("/v1")
+        ):
+            arm["point"] = None
+            raise RuntimeError("injected crash after batch-1 state write")
+
+    monkeypatch.setattr(ST, "_idempotent_append", inj_append)
+    monkeypatch.setattr(ST, "_write_state", inj_ws)
+
+    for point in ("append_before", "append_after", "state_after"):
+        tmp = tempfile.mkdtemp(prefix=f"imcs_crash_{point}_")
+        try:
+            feed_all(os.path.join(tmp, "incoming"))
+            arm["point"] = point
+            q = run_to_end(
+                os.path.join(tmp, "incoming"),
+                os.path.join(tmp, "kept"),
+                os.path.join(tmp, "chk"),
+            )
+            try:
+                q.awaitTermination(240)
+                crashed = False
+            except Exception:
+                crashed = True
+            assert crashed, f"{point}: the injected crash did not fire"
+            # restart over the same checkpoint + state: must converge
+            arm["point"] = None
+            q2 = run_to_end(
+                os.path.join(tmp, "incoming"),
+                os.path.join(tmp, "kept"),
+                os.path.join(tmp, "chk"),
+            )
+            q2.awaitTermination(240)
+            kept = {
+                r["doc_id"]
+                for r in spark.read.parquet(os.path.join(tmp, "kept")).collect()
+            }
+            assert kept == twin_kept, (point, kept, twin_kept)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
