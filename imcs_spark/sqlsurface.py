@@ -247,10 +247,20 @@ def register_sql(spark: SparkSession) -> None:
         )
 
     # --- aggregate UDAFs without builtins -------------------------------
+    # All four UDAFs accumulate with math.fsum (exactly-rounded and
+    # therefore ORDER-INDEPENDENT): Arrow delivers group rows in
+    # partition order, which Spark does not define, while the DuckDB
+    # oracle SUMs sequentially in scan order — numpy's pairwise sum
+    # added a third ordering on top. fsum removes every self-inflicted
+    # ordering term; the residual boundary risk (true value within an
+    # ulp of a .5e-6 rounding edge vs the oracle's sequential fold) is
+    # the accepted class noted on the wgeo leg.
     @pandas_udf("double")
     def _cs_prd(v: pd.Series) -> float:
         # sign-aware log-sum, matching functions/aggregates.py:prd
         # (func.c:1458-1466): 0 if any zero, sign = parity of negatives
+        import math
+
         import numpy as np
 
         x = v.to_numpy(dtype="float64")
@@ -260,28 +270,28 @@ def register_sql(spark: SparkSession) -> None:
         if (x == 0).any():
             return 0.0
         sign = -1.0 if int((x < 0).sum()) % 2 else 1.0
-        return float(sign * np.exp(np.log(np.abs(x)).sum()))
+        return float(sign * math.exp(math.fsum(np.log(np.abs(x)))))
 
     @pandas_udf("double")
     def _cs_wsum(w: pd.Series, v: pd.Series) -> float:
-        import numpy as np
+        import math
 
         prod = w.to_numpy(dtype="float64") * v.to_numpy(dtype="float64")
         mask = ~(pd.isna(w) | pd.isna(v)).to_numpy()
         if not mask.any():
             return None
-        return float(np.sum(prod[mask]))
+        return float(math.fsum(prod[mask]))
 
     @pandas_udf("double")
     def _cs_wavg(w: pd.Series, v: pd.Series) -> float:
-        import numpy as np
+        import math
 
         wa = w.to_numpy(dtype="float64")
         va = v.to_numpy(dtype="float64")
         mask = ~(pd.isna(w) | pd.isna(v)).to_numpy()
         if not mask.any():
             return None
-        return float(np.sum(wa[mask] * va[mask]) / np.sum(wa[mask]))
+        return float(math.fsum(wa[mask] * va[mask]) / math.fsum(wa[mask]))
 
     @pandas_udf("double")
     def _cs_wgeomean(v: pd.Series, w: pd.Series) -> float:
