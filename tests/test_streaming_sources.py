@@ -1488,3 +1488,115 @@ def test_near_dedup_crash_replay_matrix(spark, monkeypatch):
             assert kept == twin_kept, (point, kept, twin_kept)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_near_dedup_random_arrival_greedy_model(spark):
+    """Randomized ARRIVAL-ORDER semantics: every other stream-vs-batch
+    equality test feeds batches in id order (where the stream's kept
+    set provably equals the batch greedy rule). Here docs are shuffled
+    into random batches — smaller ids can arrive later — and the kept
+    set is checked against a pure-Python model of the documented
+    protocol: (a) a doc drops iff one of its (band, bucket) cells has
+    an occupant from an EARLIER batch; (b) within a batch, on cells
+    with no earlier occupant, the batch-min-id doc wins and larger ids
+    drop; state update: every fresh cell takes the batch's min-id
+    occupant ACROSS ALL batch docs (a dropped doc can still become a
+    cell's hub — exactly the batch greedy convention)."""
+    import random
+
+    from imcs_spark.pipeline import dedup as D
+    from imcs_spark.streaming import near_dedup_stream
+
+    rng = random.Random(77)
+    vocab = [f"tok{i}" for i in range(800)]
+
+    def text():
+        return " ".join(rng.choice(vocab) for _ in range(25))
+
+    # 30 base docs + 10 exact dups of random bases (dup ids interleave
+    # the base id range so random batching puts dups before originals)
+    docs = {i: text() for i in range(0, 60, 2)}
+    bases = sorted(docs)
+    for j in range(10):
+        docs[2 * j + 1] = docs[rng.choice(bases)]
+    ids = sorted(docs)
+
+    # ground cells from the BATCH api (the minhash itself has its own
+    # bit-exact oracle; under test here is the streaming protocol)
+    all_df = spark.createDataFrame(
+        [(i, docs[i]) for i in ids], "doc_id long, text string"
+    )
+    sigs = D.minhash_signatures(all_df, num_hashes=32)
+    bbp = D.band_buckets(sigs, "doc_id", 32, 16).collect()
+    cells: dict[int, set] = {i: set() for i in ids}
+    for r in bbp:
+        cells[r["doc_id"]].add((r["band"], r["bucket"]))
+
+    for trial in range(2):
+        shuffled = ids[:]
+        rng.shuffle(shuffled)
+        cuts = sorted(rng.sample(range(1, len(shuffled)), 3))
+        batches = [
+            shuffled[a:b]
+            for a, b in zip([0] + cuts, cuts + [len(shuffled)])
+        ]
+
+        # python model of the protocol
+        state: dict[tuple, int] = {}
+        model_kept: set[int] = set()
+        for b in batches:
+            dropped = set()
+            for d in b:
+                if any(c in state for c in cells[d]):
+                    dropped.add(d)
+            fresh: dict[tuple, int] = {}
+            for d in b:
+                for c in cells[d]:
+                    if c not in state:
+                        fresh[c] = min(fresh.get(c, d), d)
+            for d in b:
+                if d in dropped:
+                    continue
+                if any(fresh[c] < d for c in cells[d] if c not in state):
+                    dropped.add(d)
+            model_kept |= set(b) - dropped
+            state.update(fresh)
+
+        tmp = tempfile.mkdtemp(prefix=f"imcs_randarr{trial}_")
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src)
+        try:
+            t0 = 1_700_000_000
+            for bi, b in enumerate(batches):
+                p = os.path.join(src, f"b{bi:03d}.parquet")
+                spark.createDataFrame(
+                    [(i, docs[i]) for i in b], "doc_id long, text string"
+                ).coalesce(1).write.parquet(p + "_stage")
+                part = [
+                    f for f in os.listdir(p + "_stage")
+                    if f.startswith("part-")
+                ][0]
+                os.replace(os.path.join(p + "_stage", part), p)
+                shutil.rmtree(p + "_stage")
+                os.utime(p, (t0 + 10 * bi, t0 + 10 * bi))
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = near_dedup_stream(
+                stream,
+                os.path.join(tmp, "kept"),
+                checkpoint=os.path.join(tmp, "chk"),
+                bands=16,
+            )
+            q.awaitTermination(240)
+            kept = {
+                r["doc_id"]
+                for r in spark.read.parquet(os.path.join(tmp, "kept")).collect()
+            }
+            assert kept == model_kept, (
+                trial, sorted(kept ^ model_kept), batches,
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
