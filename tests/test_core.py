@@ -317,3 +317,57 @@ def test_save_open_preserves_tiebreak(spark, tmp_path):
     # equal-ts rows keep deterministic positions after the round trip
     pos = {(r.event_id): r.pos for r in reopened.with_pos().collect()}
     assert pos == {99: 0, 100: 1, 98: 2}
+
+
+def test_readme_quickstart_runs(spark, tmp_path):
+    """The README's quickstart porting example must stay executable
+    verbatim (modulo the data path): create-from-parquet, time-sliced
+    VWAP, filtered count, and the registered cs_* SQL surface."""
+    import datetime as dt
+
+    from imcs_spark.sqlsurface import register_sql, register_views
+
+    rows = [
+        ("IBM", dt.date(2010, 1, 2) + dt.timedelta(days=7 * i),
+         100.0 + i, 101.0 + 1.1 * i, 1000.0 + i)
+        for i in range(30)
+    ] + [
+        ("MSFT", dt.date(2010, 1, 2) + dt.timedelta(days=7 * i),
+         50.0 + i, 50.5 + i, 500.0 + i)
+        for i in range(30)
+    ]
+    src = str(tmp_path / "quotes.parquet")
+    spark.createDataFrame(
+        rows, "symbol string, day date, open double, close double, volume double"
+    ).write.parquet(src)
+
+    eng = Engine(spark)
+    q = eng.create("quote", src, ts_col="day", id_col="symbol")
+
+    vwap = (
+        q.get("IBM", "2010-01-01", "2012-12-31")
+        .agg((F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("vwap"))
+        .collect()[0]["vwap"]
+    )
+    assert vwap > 0
+
+    n = (
+        q.get("IBM", "2010-01-01", "2010-03-31")
+        .filter(F.col("close") > F.col("open") * 1.01)
+        .count()
+    )
+    # 13 weekly IBM rows fall in Q1 2010; close > open*1.01 iff
+    # 101 + 1.1i > 101 + 1.01i, strict for i >= 1 -> 12 rows
+    assert n == 12
+
+    register_sql(spark)
+    register_views(spark, quote_sql=q.df())
+    out = spark.sql(
+        """
+      SELECT symbol, cs_wavg(CAST(volume AS DOUBLE), close) AS vwap
+      FROM quote_sql GROUP BY symbol
+    """
+    ).collect()
+    got = {r["symbol"]: r["vwap"] for r in out}
+    assert set(got) == {"IBM", "MSFT"} and all(v > 0 for v in got.values())
+    eng.drop("quote")
