@@ -1062,6 +1062,8 @@ def pq_encode(
     # argmin fold would pick an arbitrary code — the encode would
     # complete with meaningless codes. The matrix kernel fails loudly
     # (numpy shape check above); make this kernel fail loudly too.
+    # NULL vectors also land here (size(NULL) is NULL → otherwise);
+    # coalesce keeps the error message non-NULL for them.
     return u.select(
         id_col,
         F.when(F.size("_u") == m * sd, codes)
@@ -1069,7 +1071,7 @@ def pq_encode(
             F.raise_error(
                 F.concat(
                     F.lit("pq_encode: corpus vector dim "),
-                    F.size("_u").cast("string"),
+                    F.coalesce(F.size("_u").cast("string"), F.lit("NULL")),
                     F.lit(f" != codebook dim {m * sd} (m={m} x sd={sd})"),
                 )
             )
@@ -1151,6 +1153,13 @@ def pq_topk(
                 codes = np.stack(
                     [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
                 )
+                if codes.shape[1] != m:
+                    # codes LONGER than m would otherwise silently use
+                    # the first m entries against the wrong codebooks
+                    raise ValueError(
+                        f"pq_topk: encoded codes length {codes.shape[1]}"
+                        f" != codebook count m={m}"
+                    )
                 # scores: (n_q, n_batch) = Σ_s LUT[:, s, codes[:, s]]
                 S = np.zeros((n_q, len(ids)))
                 for s in range(m):
@@ -1204,17 +1213,37 @@ def pq_topk(
                 " (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
             )
         score = F.expr(" + ".join(f"({t})" for t in sub_terms))
-        # same dimension guard as pq_encode's column kernel: slice() on
-        # a short query vector silently yields null sub-dots instead of
-        # an error
-        score = F.when(F.size("_qu") == m * sd, score).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("pq_topk: query vector dim "),
-                    F.size("_qu").cast("string"),
-                    F.lit(f" != codebook dim {m * sd} (m={m} x sd={sd})"),
-                )
+        # Dimension guards, BOTH sides (second review pass): slice() on
+        # a short query vector and element_at past a short codes array
+        # each silently yield NULL sub-dots — an all-NULL "top-k" — so
+        # both fail loudly. Sizes go through coalesce: size(NULL) is
+        # NULL, and concat with a NULL operand would swallow the whole
+        # error message.
+        _qd = F.coalesce(F.size("_qu").cast("string"), F.lit("NULL"))
+        _cd = F.coalesce(F.size("codes").cast("string"), F.lit("NULL"))
+        # eqNullSafe, not ==: size(NULL array) is NULL, a NULL when-
+        # condition falls through the chain, and a NULL row would reach
+        # otherwise() and score as NULL silently
+        score = (
+            F.when(
+                ~F.size("codes").eqNullSafe(m),
+                F.raise_error(
+                    F.concat(
+                        F.lit("pq_topk: encoded codes length "), _cd,
+                        F.lit(f" != codebook count m={m}"),
+                    )
+                ),
             )
+            .when(
+                ~F.size("_qu").eqNullSafe(m * sd),
+                F.raise_error(
+                    F.concat(
+                        F.lit("pq_topk: query vector dim "), _qd,
+                        F.lit(f" != codebook dim {m * sd} (m={m} x sd={sd})"),
+                    )
+                ),
+            )
+            .otherwise(score)
         )
         scored = encoded.join(F.broadcast(qu), how="cross").withColumn(
             "score", score

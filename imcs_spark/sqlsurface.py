@@ -255,6 +255,24 @@ def register_sql(spark: SparkSession) -> None:
     # ordering term; the residual boundary risk (true value within an
     # ulp of a .5e-6 rounding edge vs the oracle's sequential fold) is
     # the accepted class noted on the wgeo leg.
+    #
+    # Edge semantics stay IEEE, not Python (second review pass): plain
+    # math.fsum/math.exp and float division RAISE on intermediate
+    # overflow, exp overflow and 0.0 denominators where the previous
+    # numpy forms returned ±inf/nan — a crash-class regression on the
+    # SQL surface. _fsum falls back to np.sum's inf on overflow, exp
+    # saturates to inf, and division goes through np.float64 (nan/±inf,
+    # never ZeroDivisionError).
+    def _fsum(a) -> float:
+        import math
+
+        try:
+            return math.fsum(a)
+        except OverflowError:  # |partial| > DBL_MAX: IEEE answer is ±inf
+            import numpy as np
+
+            return float(np.sum(a))
+
     @pandas_udf("double")
     def _cs_prd(v: pd.Series) -> float:
         # sign-aware log-sum, matching functions/aggregates.py:prd
@@ -270,28 +288,34 @@ def register_sql(spark: SparkSession) -> None:
         if (x == 0).any():
             return 0.0
         sign = -1.0 if int((x < 0).sum()) % 2 else 1.0
-        return float(sign * math.exp(math.fsum(np.log(np.abs(x)))))
+        try:
+            e = math.exp(_fsum(np.log(np.abs(x))))
+        except OverflowError:  # product magnitude > DBL_MAX
+            e = float("inf")
+        return float(sign * e)
 
     @pandas_udf("double")
     def _cs_wsum(w: pd.Series, v: pd.Series) -> float:
-        import math
-
         prod = w.to_numpy(dtype="float64") * v.to_numpy(dtype="float64")
         mask = ~(pd.isna(w) | pd.isna(v)).to_numpy()
         if not mask.any():
             return None
-        return float(math.fsum(prod[mask]))
+        return float(_fsum(prod[mask]))
 
     @pandas_udf("double")
     def _cs_wavg(w: pd.Series, v: pd.Series) -> float:
-        import math
+        import numpy as np
 
         wa = w.to_numpy(dtype="float64")
         va = v.to_numpy(dtype="float64")
         mask = ~(pd.isna(w) | pd.isna(v)).to_numpy()
         if not mask.any():
             return None
-        return float(math.fsum(wa[mask] * va[mask]) / math.fsum(wa[mask]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return float(
+                np.float64(_fsum(wa[mask] * va[mask]))
+                / np.float64(_fsum(wa[mask]))
+            )
 
     @pandas_udf("double")
     def _cs_wgeomean(v: pd.Series, w: pd.Series) -> float:
@@ -315,9 +339,12 @@ def register_sql(spark: SparkSession) -> None:
         if not mask.any():
             return None
         va, wa = va[mask], wa[mask]
-        return float(
-            math.exp(math.fsum(np.log(va) * wa) / math.fsum(wa))
-        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ex = np.float64(_fsum(np.log(va) * wa)) / np.float64(_fsum(wa))
+        try:
+            return float(math.exp(ex))
+        except OverflowError:  # finite exponent > ln(DBL_MAX)
+            return float("inf")
 
     spark.udf.register("cs_prd", _cs_prd)
     spark.udf.register("cs_wsum", _cs_wsum)

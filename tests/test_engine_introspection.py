@@ -420,3 +420,40 @@ def test_format_series_truncates_before_first_element(spark):
     assert out == "text:{,...}"
     # and the budget is respected for every emitted form
     assert len(out) <= 10 + 5
+
+
+def test_udaf_ieee_edge_semantics(spark):
+    """The fsum-accumulating UDAFs must keep IEEE edge semantics, not
+    Python's raising ones (second round-10 review pass): an all-zero
+    weight group divides to nan — not ZeroDivisionError; a product
+    whose magnitude exceeds double range saturates to inf — not
+    OverflowError; a weighted sum overflowing fsum's accumulator
+    returns inf — not 'intermediate overflow in fsum'."""
+    import math
+
+    from imcs_spark.sqlsurface import register_sql
+
+    register_sql(spark)
+    df = spark.createDataFrame(
+        [("z", 0.0, 5.0)] * 3                      # zero weights
+        + [("p", 1.0, 1e4)] * 100                  # prd -> exp(~921) = inf
+        + [("o", 1.0, 1e308), ("o", 1.0, 1e308)],  # wsum -> inf
+        "g string, w double, v double",
+    )
+    df.createOrReplaceTempView("edge_t")
+    rows = {
+        r["g"]: r
+        for r in spark.sql(
+            """
+        SELECT g, cs_wavg(w, v) AS wavg, cs_prd(v) AS prd,
+               cs_wsum(w, v) AS wsum
+        FROM edge_t GROUP BY g
+    """
+        ).collect()
+    }
+    # 0/0 -> nan, no crash; Arrow's pandas bridge surfaces a nan
+    # return as SQL NULL (pandas' nan-is-null convention), which also
+    # matches DuckDB's NULL for division by zero
+    assert rows["z"]["wavg"] is None
+    assert math.isinf(rows["p"]["prd"]) and rows["p"]["prd"] > 0
+    assert math.isinf(rows["o"]["wsum"]) and rows["o"]["wsum"] > 0

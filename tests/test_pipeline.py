@@ -1855,3 +1855,16 @@ def test_pq_dim_mismatch_raises(spark):
         S.pq_topk(enc, short_q, books, k=1).collect()
     with pytest.raises(ValueError, match="pq_topk.*dim"):
         S.pq_topk(enc, short_q, books, k=1, kernel="matrix")
+
+    # corpus-side guard (second review pass): codes whose length does
+    # not match the codebook count — LONGER codes would otherwise
+    # silently score the first m entries against the wrong codebooks
+    # (matrix) or element_at past the end into all-NULL scores (column)
+    ok_q = ok.selectExpr("vec_id AS query_id", "embedding")
+    bad_codes = spark.createDataFrame(
+        [(1, [0, 1, 0, 1])], "vec_id long, codes array<int>"
+    )
+    with pytest.raises(Exception, match="codes length"):
+        S.pq_topk(bad_codes, ok_q, books, k=1).collect()
+    with pytest.raises(Exception, match="codes length"):
+        S.pq_topk(bad_codes, ok_q, books, k=1, kernel="matrix").collect()
