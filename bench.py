@@ -257,7 +257,8 @@ def main():
             "nd2m_kept_equal_batch", "ann1m_ivf_recall10",
             "ann1m_pq_recall10", "cur2m_dedup_idempotent",
             "cur2m_split_frac_ok", "cur2m_pack_budget_ok",
-            "lsh_mega_cc_equal",
+            "lsh_mega_cc_equal", "ndttl_kept_superset",
+            "ndttl_far_kept_frac_ttl",
         )
         print(
             json.dumps(

@@ -594,6 +594,11 @@ def _run_rest_sections(
         "ndstream",
         lambda: _run_near_dedup_soak(spark, data_dir),
     )
+    _section(
+        "SPARK_GRAFT_SCALE_NDTTL",
+        "ndttl",
+        lambda: _run_near_dedup_ttl_soak(spark),
+    )
 
 
 def gen_quotes_skewed(spark: SparkSession, path: str, parallelism: int = 32) -> None:
@@ -1434,4 +1439,143 @@ def _run_near_dedup_soak(spark: SparkSession, data_dir: str) -> dict:
     finally:
         docs.unpersist()
         shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TTL-evicted streaming near-dedup soak: evict_after at real size. The
+# unit tests pin the horizon semantics at toy size; this records the
+# trade at 400k docs / 8 batches with a purpose-built corpus whose
+# duplicate families straddle the horizon: a NEAR family duplicates a
+# source ~1 batch back (inside evict_after=2 — dropped by both runs)
+# and a FAR family duplicates a source ~4 batches back (beyond the
+# horizon — the TTL run keeps them, the unbounded run drops them).
+# Exact duplicates + sim_threshold=None make the kept sets MONOTONE
+# (in-horizon occupied cells are a subset of ever-occupied cells), so
+# the invariant is exact set inclusion, not a tolerance. The state
+# size keys record what the eviction buys: the TTL run's final
+# committed state vs the unbounded twin's over the same corpus.
+# ---------------------------------------------------------------------------
+NDTTL_ROWS = 400_000
+NDTTL_BATCHES = 8
+
+
+def _run_near_dedup_ttl_soak(spark: SparkSession) -> dict:
+    import shutil
+    import tempfile
+
+    from .streaming import _read_state, _versions, near_dedup_stream
+
+    N, NB = NDTTL_ROWS, NDTTL_BATCHES
+    step = N // NB
+    assert step % 10 == 0, "batch step must keep the mod-10 dup mapping"
+    # dup offsets ≡ 3 / 7 (mod 10): ~1 batch back (inside the horizon)
+    # and ~4 batches back (beyond it)
+    NEAR_OFF, FAR_OFF = step + 3, 4 * step + 7
+    EVICT, COMPACT = 2, 4
+    out: dict[str, float] = {}
+    out["ndttl_floor_sec"], _ = _floor_probe(spark)
+
+    # dup sources are always plain rows (offsets ≡ ±3/±7 mod 10 map a
+    # dup id to a base id ≡ 0 mod 10), so text(dup) == text(source)
+    # exactly — no dup-of-dup chains
+    base = F.expr(
+        f"CASE WHEN id % 10 = 3 AND id >= {NEAR_OFF + 7} THEN id - {NEAR_OFF}"
+        f" WHEN id % 10 = 7 AND id >= {FAR_OFF + 3} THEN id - {FAR_OFF}"
+        " ELSE id END"
+    )
+    docs = (
+        spark.range(0, N, 1, 32)
+        .withColumn("base", base)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1, 20 + cast(pmod(xxhash64(base, 1), 40) AS int)),"
+                " p -> concat('w', pmod(xxhash64(base, p), 50000))), ' ')"
+            ).alias("text"),
+        )
+        .persist()
+    )
+    out["ndttl_rows"] = docs.count()
+
+    def _stage(src: str) -> None:
+        (
+            docs.withColumn("_bb", F.floor(F.col("doc_id") / step).cast("int"))
+            .repartition(NB, "_bb")
+            .write.partitionBy("_bb")
+            .parquet(src)
+        )
+        for i in range(NB):
+            d = os.path.join(src, f"_bb={i}")
+            if os.path.isdir(d):
+                os.rename(d, os.path.join(src, f"b{i:02d}"))
+                for root, _dirs, files in os.walk(os.path.join(src, f"b{i:02d}")):
+                    for fn in files:
+                        os.utime(os.path.join(root, fn), (10**9 + i, 10**9 + i))
+
+    def _run(evict_after):
+        tmp = tempfile.mkdtemp(prefix="imcs_ndttl_")
+        src = os.path.join(tmp, "incoming")
+        target = os.path.join(tmp, "kept")
+        side = target + "_buckets"
+        _stage(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "*"))
+        )
+        t0 = time.time()
+        q = near_dedup_stream(
+            stream, target, num_hashes=16, bands=8,
+            checkpoint=os.path.join(tmp, "chk"),
+            compact_every=COMPACT, evict_after=evict_after,
+        )
+        finished = q.awaitTermination(1800)
+        wall = round(time.time() - t0, 4)
+        if not finished:
+            q.stop()
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise TimeoutError("ndttl stream timed out")
+        kept = {r[0] for r in spark.read.parquet(target).select("doc_id").collect()}
+        vs = _versions(spark, side)
+        paths = [f"{side}/v{vs[-1]}"] + [
+            f"{side}/d{d}" for d in _versions(spark, side, "d") if d > vs[-1]
+        ]
+        cells, _sigs, _legacy = _read_state(spark, paths)
+        n_cells = cells.count()
+        state_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for p in paths
+            for r, _d, fs in os.walk(p)
+            for f in fs
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return wall, kept, n_cells, state_bytes
+
+    try:
+        out["ndttl_total_sec"], kept_ttl, out["ndttl_state_cells"], \
+            out["ndttl_state_bytes"] = _run(EVICT)
+        out["ndttl_nottl_total_sec"], kept_un, out["ndttl_nottl_state_cells"], \
+            out["ndttl_nottl_state_bytes"] = _run(None)
+        out["ndttl_kept"] = len(kept_ttl)
+        out["ndttl_nottl_kept"] = len(kept_un)
+        # monotonicity: evicting gating state can only KEEP more
+        out["ndttl_kept_superset"] = int(kept_un <= kept_ttl)
+        near = {i for i in range(NEAR_OFF + 7, N) if i % 10 == 3}
+        far = {i for i in range(FAR_OFF + 3, N) if i % 10 == 7}
+        # NEAR dups (source ~1 batch back, inside the horizon): dropped
+        # by BOTH runs, every one of them — the source's cells carry an
+        # in-horizon origin version at the dup's batch
+        out["ndttl_near_dropped_ttl"] = int(not (near & kept_ttl))
+        out["ndttl_near_dropped_nottl"] = int(not (near & kept_un))
+        # FAR dups (source ~4 batches back, beyond the horizon): the
+        # unbounded run drops ALL of them (the source holds its cells
+        # forever); the TTL run keeps them — up to the rare random
+        # band-collision with an in-horizon doc, so a fraction, not 1.0
+        out["ndttl_far_dropped_nottl"] = int(not (far & kept_un))
+        out["ndttl_far_kept_frac_ttl"] = round(
+            len(far & kept_ttl) / len(far), 4
+        )
+    finally:
+        docs.unpersist()
     return out

@@ -22,6 +22,9 @@ def tiny(monkeypatch, tmp_path):
     monkeypatch.setattr(bs, "ANN_ROWS", 2000)
     monkeypatch.setattr(bs, "ANN_CLUSTERS", 16)
     monkeypatch.setattr(bs, "ANN_QUERIES", 10)
+    # 8 batches of 400 keeps the mod-10 dup mapping (step % 10 == 0)
+    # and the horizon families non-empty
+    monkeypatch.setattr(bs, "NDTTL_ROWS", 3200)
     return str(tmp_path)
 
 
@@ -115,3 +118,13 @@ def test_run_scale_contract(spark, tiny):
         "dbitem_hash_agg_shuffle_exec_floor",
     ):
         assert k in out and out[k] >= 0
+    # TTL soak: exact horizon invariants hold at toy size too — near
+    # dups (inside the horizon) drop in both runs, far dups drop only
+    # in the unbounded run, and eviction can only KEEP more (superset)
+    assert out["ndttl_kept_superset"] == 1
+    assert out["ndttl_near_dropped_ttl"] == 1
+    assert out["ndttl_near_dropped_nottl"] == 1
+    assert out["ndttl_far_dropped_nottl"] == 1
+    assert out["ndttl_far_kept_frac_ttl"] >= 0.9
+    assert out["ndttl_kept"] >= out["ndttl_nottl_kept"]
+    assert out["ndttl_state_bytes"] <= out["ndttl_nottl_state_bytes"]
