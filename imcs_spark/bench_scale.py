@@ -1270,6 +1270,30 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     return out
 
 
+def _stage_batches(docs, src: str, nb: int, step: int) -> None:
+    """Stage a doc frame as `nb` id-ordered micro-batch files for a
+    file stream: one range-bucketed partitionBy write, partition dirs
+    renamed to plain names (no partition-column inference), and
+    INCREASING mtimes per batch index — the file stream orders
+    micro-batches by (mtime, path), so arrival order equals id order,
+    the precondition of every equality twin. One definition: the
+    rename+mtime protocol is load-bearing for batch identity, and two
+    drifting copies would break one soak's twin silently."""
+    (
+        docs.withColumn("_bb", F.floor(F.col("doc_id") / step).cast("int"))
+        .repartition(nb, "_bb")
+        .write.partitionBy("_bb")
+        .parquet(src)
+    )
+    for i in range(nb):
+        d = os.path.join(src, f"_bb={i}")
+        if os.path.isdir(d):
+            os.rename(d, os.path.join(src, f"b{i:02d}"))
+            for root, _dirs, files in os.walk(os.path.join(src, f"b{i:02d}")):
+                for fn in files:
+                    os.utime(os.path.join(root, fn), (10**9 + i, 10**9 + i))
+
+
 # ---------------------------------------------------------------------------
 # Streaming near-dedup soak: the 2M-doc corpus replayed through
 # near_dedup_stream in ~20 id-ordered micro-batches — the streaming
@@ -1308,27 +1332,11 @@ def _run_near_dedup_soak(spark: SparkSession, data_dir: str) -> dict:
     side = target + "_buckets"
     chk = os.path.join(tmp, "chk")
     try:
-        # 20 ascending id-range chunk files; the file stream orders
-        # micro-batches by (mtime, path), so stamp increasing mtimes —
-        # arrival order then equals id order (the equality twin's
-        # precondition). One write job: range-bucket + partitionBy,
-        # then rename the partition dirs to plain names so the file
-        # stream does no partition-column inference.
+        # 20 ascending id-range chunk files with increasing mtimes —
+        # arrival order equals id order, the equality twin's
+        # precondition (see _stage_batches)
         t0 = time.time()
-        step = DOCS_2M // NB + 1
-        (
-            docs.withColumn("_bb", F.floor(F.col("doc_id") / step).cast("int"))
-            .repartition(NB, "_bb")
-            .write.partitionBy("_bb")
-            .parquet(src)
-        )
-        for i in range(NB):
-            d = os.path.join(src, f"_bb={i}")
-            if os.path.isdir(d):
-                os.rename(d, os.path.join(src, f"b{i:02d}"))
-                for root, _dirs, files in os.walk(os.path.join(src, f"b{i:02d}")):
-                    for fn in files:
-                        os.utime(os.path.join(root, fn), (10**9 + i, 10**9 + i))
+        _stage_batches(docs, src, NB, DOCS_2M // NB + 1)
         out["nd2m_stage_sec"] = round(time.time() - t0, 4)
 
         # poll the side table while the stream runs: deltas are GC'd at
@@ -1498,59 +1506,55 @@ def _run_near_dedup_ttl_soak(spark: SparkSession) -> dict:
     )
     out["ndttl_rows"] = docs.count()
 
-    def _stage(src: str) -> None:
-        (
-            docs.withColumn("_bb", F.floor(F.col("doc_id") / step).cast("int"))
-            .repartition(NB, "_bb")
-            .write.partitionBy("_bb")
-            .parquet(src)
-        )
-        for i in range(NB):
-            d = os.path.join(src, f"_bb={i}")
-            if os.path.isdir(d):
-                os.rename(d, os.path.join(src, f"b{i:02d}"))
-                for root, _dirs, files in os.walk(os.path.join(src, f"b{i:02d}")):
-                    for fn in files:
-                        os.utime(os.path.join(root, fn), (10**9 + i, 10**9 + i))
+    # the source corpus is byte-identical for both runs: stage ONCE
+    # and share the dir; only target/checkpoint/state are per-run
+    shared = tempfile.mkdtemp(prefix="imcs_ndttl_")
+    src = os.path.join(shared, "incoming")
+    _stage_batches(docs, src, NB, step)
 
     def _run(evict_after):
-        tmp = tempfile.mkdtemp(prefix="imcs_ndttl_")
-        src = os.path.join(tmp, "incoming")
-        target = os.path.join(tmp, "kept")
-        side = target + "_buckets"
-        _stage(src)
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(src, "*"))
-        )
-        t0 = time.time()
-        q = near_dedup_stream(
-            stream, target, num_hashes=16, bands=8,
-            checkpoint=os.path.join(tmp, "chk"),
-            compact_every=COMPACT, evict_after=evict_after,
-        )
-        finished = q.awaitTermination(1800)
-        wall = round(time.time() - t0, 4)
-        if not finished:
-            q.stop()
+        # try/finally around everything after mkdtemp: an exception
+        # anywhere (stream failure, state read) must not leak the
+        # ~100 MB of per-run kept/checkpoint/state temp data
+        tmp = tempfile.mkdtemp(prefix="imcs_ndttl_run_")
+        try:
+            target = os.path.join(tmp, "kept")
+            side = target + "_buckets"
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(src, "*"))
+            )
+            t0 = time.time()
+            q = near_dedup_stream(
+                stream, target, num_hashes=16, bands=8,
+                checkpoint=os.path.join(tmp, "chk"),
+                compact_every=COMPACT, evict_after=evict_after,
+            )
+            finished = q.awaitTermination(1800)
+            wall = round(time.time() - t0, 4)
+            if not finished:
+                q.stop()
+                raise TimeoutError("ndttl stream timed out")
+            kept = {
+                r[0]
+                for r in spark.read.parquet(target).select("doc_id").collect()
+            }
+            vs = _versions(spark, side)
+            paths = [f"{side}/v{vs[-1]}"] + [
+                f"{side}/d{d}" for d in _versions(spark, side, "d") if d > vs[-1]
+            ]
+            cells, _sigs, _legacy = _read_state(spark, paths)
+            n_cells = cells.count()
+            state_bytes = sum(
+                os.path.getsize(os.path.join(r, f))
+                for p in paths
+                for r, _d, fs in os.walk(p)
+                for f in fs
+            )
+            return wall, kept, n_cells, state_bytes
+        finally:
             shutil.rmtree(tmp, ignore_errors=True)
-            raise TimeoutError("ndttl stream timed out")
-        kept = {r[0] for r in spark.read.parquet(target).select("doc_id").collect()}
-        vs = _versions(spark, side)
-        paths = [f"{side}/v{vs[-1]}"] + [
-            f"{side}/d{d}" for d in _versions(spark, side, "d") if d > vs[-1]
-        ]
-        cells, _sigs, _legacy = _read_state(spark, paths)
-        n_cells = cells.count()
-        state_bytes = sum(
-            os.path.getsize(os.path.join(r, f))
-            for p in paths
-            for r, _d, fs in os.walk(p)
-            for f in fs
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
-        return wall, kept, n_cells, state_bytes
 
     try:
         out["ndttl_total_sec"], kept_ttl, out["ndttl_state_cells"], \
@@ -1578,4 +1582,5 @@ def _run_near_dedup_ttl_soak(spark: SparkSession) -> dict:
         )
     finally:
         docs.unpersist()
+        shutil.rmtree(shared, ignore_errors=True)
     return out
