@@ -104,17 +104,24 @@ def _recurrence_apply(
     val_col: str,
     kernels: dict,
     order_col: str = POS,
-    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Run per-series sequential kernels as ONE Arrow-batched grouped
     pandas pass. kernels: {out_col: fn(values: pd.Series) -> pd.Series}
-    — multiple recurrences share the transfer and the sort.
-    ``pre_partitioned=True`` promises the input is ALREADY laid out
-    with whole groups per physical partition, sorted by (keys, order)
-    — the global EWM/ATR path's range-partitioned frame qualifies, and
-    skipping the repartition avoids re-shuffling the entire series a
-    second time."""
+    — multiple recurrences share the transfer and the sort. An out_col
+    that already exists on the frame is REPLACED (withColumn
+    semantics) — keeping it would emit a duplicate schema field and an
+    Arrow column-count error at execution."""
     keys = list(partition_by) if partition_by else []
+    used = {val_col, order_col, *keys}
+    bad = [c for c in kernels if c in used]
+    if bad:
+        raise ValueError(
+            f"recurrence out_col(s) {bad} collide with input columns the "
+            "computation reads (value/order/partition)"
+        )
+    clash = [c for c in kernels if c in df.columns]
+    if clash:
+        df = df.drop(*clash)
     schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
     schema = ", ".join(schema_parts + [f"{c} double" for c in kernels])
 
@@ -141,11 +148,7 @@ def _recurrence_apply(
     # overhead-bound when series are small and numerous). Groups are
     # contiguous and internally ordered after sortWithinPartitions, so
     # the kernel loop runs inside pandas.
-    part = (
-        df
-        if pre_partitioned
-        else df.repartition(*keys).sortWithinPartitions(*keys, order_col)
-    )
+    part = df.repartition(*keys).sortWithinPartitions(*keys, order_col)
 
     def gen(batches):
         import numpy as np
@@ -171,17 +174,16 @@ def _recurrence_apply(
         for k in keys:
             a = pdf[k].to_numpy()
             neq = a[1:] != a[:-1]
-            if a.dtype.kind == "f":
+            if a.dtype.kind in "fmM":
                 # NULL-safe: Arrow->pandas turns nullable-numeric NULLs
-                # into NaN, and NaN != NaN is True — without masking,
-                # every consecutive null-keyed pair became a group
-                # boundary and the recurrence silently restarted per
-                # row. Two NaN keys are the SAME group (object-dtype
-                # keys already behave that way: None != None is False).
-                both_nan = np.isnan(a[1:].astype("float64")) & np.isnan(
-                    a[:-1].astype("float64")
-                )
-                neq = neq & ~both_nan
+                # into NaN and date/time NULLs into NaT, and NaN != NaN
+                # (NaT != NaT) is True — without masking, every
+                # consecutive null-keyed pair became a group boundary
+                # and the recurrence silently restarted per row. Two
+                # NaN/NaT keys are the SAME group (object-dtype keys
+                # already behave that way: None != None is False).
+                both_na = pd.isna(a[1:]) & pd.isna(a[:-1])
+                neq = neq & ~both_na
             change |= neq
         bounds = np.flatnonzero(change) + 1
         starts = np.concatenate(([0], bounds))
@@ -270,6 +272,10 @@ def recurrences(
             resolved[out_col] = k
         else:
             kind, _, num = k.partition(":")
+            if kind not in ("ema", "atr"):
+                # falling through to a default kernel would silently
+                # compute ATR under a misspelled name
+                raise ValueError(f"recurrences: unknown kernel spec {k!r}")
             n = int(num)
             resolved[out_col] = _ema_kernel(n) if kind == "ema" else _atr_kernel(n)
     return _recurrence_apply(df, partition_by, val_col, resolved, order_col)
@@ -282,13 +288,19 @@ def recurrences(
 # non-context-free ops single-threaded, imcs.c:1886-1908).
 #
 # Every scheme here runs TWO actions over the same bucketed frame (a
-# tiny carry/count/tail pass, then the apply pass). The bucket id is a
+# carry/count/tail pass, then the apply pass). The bucket id is a
 # deterministic pure function of pos (series.range_bucket_expr: literal
 # range bounds probed once, balanced CASE tree), so both actions agree
 # on bucketing with NOTHING persisted — the prior design froze a
 # repartitionByRange via persist(), which leaked a corpus-scale cache
 # entry per call and could not work where the series exceeds the
-# storage pool. _range_by_pos centralizes that.
+# storage pool. _range_by_pos centralizes that. For cum/moving the
+# first action aggregates pruned input columns only (tiny); for the
+# EWM/ATR split the carry pass needs each partition's LAST LOCAL
+# recurrence value, so the Arrow recurrence itself runs twice — the
+# deliberate trade of the no-persist rule (callers that will consume
+# the result repeatedly can persist the OUTPUT under their own
+# lifecycle).
 # ---------------------------------------------------------------------------
 def _range_by_pos(df: DataFrame, pos_col: str, num_partitions: int | None) -> DataFrame:
     """Tag the series frame with a deterministic range-bucket id
@@ -350,10 +362,27 @@ def cum_agg_global(
     _integral = isinstance(
         _vdt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
+    _numeric = _integral or isinstance(_vdt, (T.FloatType, T.DoubleType))
+    if agg in ("sum", "avg", "var", "dev") and not _numeric:
+        # DecimalType would silently round-trip through float (digits
+        # past 2^53 corrupt — the exact failure the integral branch
+        # exists to prevent); other non-numeric types would TypeError
+        # deep in the carry fold. Fail at the API instead.
+        raise ValueError(
+            f"cum_agg_global: agg {agg!r} needs an integral or float "
+            f"value column, got {_vdt.simpleString()} — cast explicitly "
+            "(Decimal callers choose their precision trade) or use "
+            "cum_agg"
+        )
     _vt = "long" if _integral else "double"
     _num = (lambda x: None if x is None else int(x)) if _integral else (
         lambda x: None if x is None else float(x)
     )
+    # min/max carries travel in the VALUE's own type, passed through
+    # verbatim: float() on a timestamp/string/decimal carry either
+    # crashes or silently corrupts, and Python min()/max() + Spark
+    # least()/greatest() order all of these natively
+    _mm_t = _vdt.simpleString()
     pid = _range_by_pos(df, pos_col, num_partitions)
     w = Window.partitionBy("_pid").orderBy(pos_col).rowsBetween(
         Window.unboundedPreceding, 0
@@ -386,6 +415,10 @@ def cum_agg_global(
     totals = pid.groupBy("_pid").agg(*tot_aggs).orderBy("_pid").collect()
     s_zero = 0 if _integral else 0.0
     carry_rows, s_acc, s2_acc, n_acc, mn_acc, mx_acc = [], s_zero, 0.0, 0, None, None
+
+    def _usable(x):
+        return x is not None and not (isinstance(x, float) and x != x)
+
     for r in totals:
         d = r.asDict()
         carry_rows.append((r["_pid"], s_acc, s2_acc, n_acc, mn_acc, mx_acc))
@@ -393,18 +426,30 @@ def cum_agg_global(
         s2_acc += d.get("_s2") or 0
         n_acc += d.get("_n") or 0
         # a partition whose values are all NULL reports _mn/_mx = None —
-        # skip it (min(float, None) would throw), and keep the carry
-        # None until the first non-NULL partition
-        if d.get("_mn") is not None:
+        # skip it (min(float, None) would throw). NaN needs Spark's
+        # ordering (NaN sorts LARGEST), which Python min/max get wrong
+        # order-dependently (min(nan, 5.0) is nan but min(5.0, nan) is
+        # 5.0): window MIN therefore SKIPS NaN whenever a real value
+        # exists — drop NaN partition minima from the fold — while
+        # window MAX PROPAGATES it — a NaN partition maximum makes the
+        # carry sticky-NaN
+        if _usable(d.get("_mn")):
             mn_acc = d["_mn"] if mn_acc is None else min(mn_acc, d["_mn"])
-        if d.get("_mx") is not None:
-            mx_acc = d["_mx"] if mx_acc is None else max(mx_acc, d["_mx"])
+        _mx = d.get("_mx")
+        if _mx is not None:
+            if not _usable(_mx):
+                mx_acc = _mx  # NaN: the largest value Spark knows
+            elif mx_acc is None:
+                mx_acc = _mx
+            elif _usable(mx_acc):
+                mx_acc = max(mx_acc, _mx)
+            # else: mx_acc is already sticky-NaN
     carries = spark.createDataFrame(
         [
-            (p, _num(s), float(s2), n, _num(mn), _num(mx))
+            (p, _num(s), float(s2), n, mn, mx)
             for p, s, s2, n, mn, mx in carry_rows
         ],
-        f"_pid int, _cs {_vt}, _cs2 double, _cn long, _cmn {_vt}, _cmx {_vt}",
+        f"_pid int, _cs {_vt}, _cs2 double, _cn long, _cmn {_mm_t}, _cmx {_mm_t}",
     )
     joined = local.join(F.broadcast(carries), "_pid")
     # coalesce the LOCAL running sums to 0: a within-partition prefix of
@@ -651,24 +696,44 @@ def _ewm_global(
 
     pid = _range_by_pos(df, pos_col, num_partitions)
     local = _recurrence_apply(
-        # pre_partitioned=False: _pid is now a logical column (literal
-        # range buckets), not a physical layout — the recurrence pass
-        # must hash-shuffle by it; this is the path's ONE data shuffle
-        # (the old design's range shuffle moved the same volume)
+        # _pid is a logical column (literal range buckets), not a
+        # physical layout — the recurrence pass hash-shuffles by it;
+        # this is the path's ONE data shuffle (the old design's range
+        # shuffle moved the same volume)
         pid, ["_pid"], val_col, {"_l": kernel}, pos_col
     )
     w = Window.partitionBy("_pid").orderBy(pos_col)
     local = local.withColumn("_k", F.row_number().over(w) - 1)
+    from pyspark.sql import types as T
+
+    _is_fp = isinstance(df.schema[val_col].dataType, (T.FloatType, T.DoubleType))
+    _c = F.col(val_col)
+    _bad = _c.isNull() | (F.isnan(_c) if _is_fp else F.lit(False))
     stats = (
         local.groupBy("_pid")
         .agg(
             F.min_by(val_col, pos_col).alias("_xf"),
             F.max_by("_l", pos_col).alias("_ll"),
             F.count(F.lit(1)).alias("_len"),
+            F.sum(_bad.cast("long")).alias("_nbad"),
         )
         .orderBy("_pid")
         .collect()
     )
+    if any(r["_nbad"] for r in stats):
+        # The a^(k+1) linear-splitting correction assumes the PURE
+        # recurrence; pandas ewm(adjust=False) renormalizes its weights
+        # around NaN gaps, and that semantics does not split across
+        # partitions — silently diverging from the per-series ema()/
+        # atr() twins (and a partition-first NULL breaks the carry fold
+        # outright). The reference's series are dense non-null arrays;
+        # require the same here rather than return wrong numbers.
+        raise ValueError(
+            "ema_global/atr_global require a dense series: the value "
+            "column contains NULL/NaN rows — fill or drop them first "
+            "(the per-series ema()/atr() NaN semantics is pandas ewm "
+            "renormalization, which cannot be split across partitions)"
+        )
     carries, carry = [], carry0
     for r in stats:
         # ship each partition's first value with its carry: it is

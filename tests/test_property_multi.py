@@ -554,3 +554,112 @@ def test_global_carries_with_random_nulls(spark):
                 assert ref[p] == got[p], ("mov", agg, p, ref[p], got[p])
             else:
                 assert got[p] == pytest.approx(ref[p], rel=1e-9), ("mov", agg, p)
+
+
+def test_global_windows_edge_review_fixes(spark):
+    """Round-10 review fixes for the global/recurrence paths, pinned:
+
+    - cum_agg_global min/max: an all-NaN leading partition must not
+      poison later carries (Spark's window min skips NaN when a real
+      value exists; Python min() propagates it order-dependently);
+    - cum_agg_global min/max carries travel in the VALUE's own type —
+      timestamps work instead of TypeError-ing in float();
+    - sum-family over a non-float-convertible/Decimal column fails at
+      the API instead of corrupting digits through float();
+    - recurrences() rejects unknown kernel specs instead of silently
+      computing ATR under a misspelled name;
+    - a recurrence out_col that collides with an existing column
+      REPLACES it (withColumn semantics), and colliding with the
+      value/order column raises;
+    - ema_global on a NULL-bearing series fails loudly (the linear
+      split cannot reproduce pandas' NaN renormalization);
+    - NaT partition keys group together instead of restarting the
+      recurrence per row (NaT != NaT is True, like NaN)."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from imcs_spark.operators import windows
+
+    nan = float("nan")
+    # partition 0 (pos 0-9, 6 buckets -> first bucket) is all-NaN
+    vals = [nan] * 10 + [5.0, 9.0, nan, 2.0] + [7.0] * 26
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "pos long, val double"
+    )
+    wcum = Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    for agg, fn in (("min", F.min), ("max", F.max)):
+        ref = {r.pos: r.ref for r in df.withColumn("ref", fn("val").over(wcum)).collect()}
+        got = {
+            r.pos: r[f"cum_{agg}"]
+            for r in windows.cum_agg_global(df, agg, num_partitions=6).collect()
+        }
+        for p, rv in ref.items():
+            gv = got[p]
+            same = (
+                rv == gv
+                or (rv is None and gv is None)
+                or (
+                    isinstance(rv, float) and isinstance(gv, float)
+                    and math.isnan(rv) and math.isnan(gv)
+                )
+            )
+            assert same, (agg, p, rv, gv)
+
+    # timestamp cum_min via the global path
+    t0 = dt.datetime(2021, 3, 1)
+    ts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=h)) for i, h in enumerate([5, 3, 8, 1, 9])],
+        "pos long, val timestamp",
+    )
+    ref = {r.pos: r.ref for r in ts.withColumn("ref", F.min("val").over(wcum)).collect()}
+    got = {
+        r.pos: r["cum_min"]
+        for r in windows.cum_agg_global(ts, "min", num_partitions=3).collect()
+    }
+    assert got == ref
+
+    from decimal import Decimal
+
+    dec = spark.createDataFrame(
+        [(0, Decimal("1.23"))], "pos long, val decimal(19,2)"
+    )
+    with pytest.raises(ValueError, match="integral or float"):
+        windows.cum_agg_global(dec, "sum")
+
+    with pytest.raises(ValueError, match="unknown kernel"):
+        windows.recurrences(df, {"x": "emma:12"})
+
+    # out_col collision: replace like withColumn; reserved cols raise
+    two = df.withColumn("ema", F.lit(0.0))
+    out = windows.ema(two, 5, val_col="val", order_col="pos").collect()
+    assert any(r["ema"] != 0.0 for r in out)
+    with pytest.raises(ValueError, match="collide"):
+        windows.ema(df, 5, val_col="val", out_col="val", order_col="pos")
+
+    withnull = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 2.0)], "pos long, val double"
+    )
+    with pytest.raises(Exception, match="dense series"):
+        windows.ema_global(withnull, 5, val_col="val", pos_col="pos",
+                           num_partitions=2).collect()
+
+    # NaT keys: both NULL-keyed rows are ONE series
+    kdf = spark.createDataFrame(
+        [(None, 0, 10.0), (None, 1, 20.0), (t0, 0, 1.0), (t0, 1, 2.0)],
+        "k timestamp, pos long, val double",
+    )
+    out = windows.ema(
+        kdf, 1, val_col="val", partition_by=["k"], order_col="pos"
+    ).collect()
+    by = {(r["k"], r["pos"]): r["ema"] for r in out}
+    # n=1 -> alpha=1 -> ema == val; the BUG would restart nothing here,
+    # so use n=3 to expose restarts: second NULL-keyed row must blend
+    out = windows.ema(
+        kdf, 3, val_col="val", partition_by=["k"], order_col="pos"
+    ).collect()
+    by = {(r["k"], r["pos"]): r["ema"] for r in out}
+    assert by[(None, 1)] == pytest.approx(10.0 + 0.5 * (20.0 - 10.0))
+    assert by[(t0, 1)] == pytest.approx(1.0 + 0.5 * (2.0 - 1.0))
