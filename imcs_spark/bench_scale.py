@@ -708,8 +708,18 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
     """10x-reference-scale (60M rows) throughput variant: same schema
     and queries, 22000 symbols x 2728 days. At this size the fixed
     ~60-150 ms job floor (task scheduling + py4j round-trip) stops
-    dominating and the numbers measure scan/aggregate throughput."""
-    global N_SYMBOLS, QUOTE_ROWS
+    dominating and the numbers measure scan/aggregate throughput.
+
+    Since round 11 this is the RECORDED gate scale for all seven
+    BASELINE.md headline rows (bench.py emits them as "gate_60m" next
+    to the 6M gate): at 6M, five of the seven rows sit at or below the
+    ~22-26 ms local job floor, so the 6M ratios measure Spark's fixed
+    submission cost, not the engine — at 60M the data term dominates
+    and the comparison is throughput vs throughput. Every row carries
+    its own round-robin interleaved floor, same discipline as the 6M
+    gate. The dbitem row gets a 60M twin table through the identical
+    dictionary-encode + packed-int-key load path as the 6M gate row."""
+    global N_SYMBOLS, QUOTE_ROWS, DBITEM_ROWS
     path = os.path.join(data_dir, "quotes_60m.parquet")
     saved = (N_SYMBOLS, QUOTE_ROWS)
     N_SYMBOLS, QUOTE_ROWS = 22000, 22000 * N_DAYS
@@ -717,8 +727,16 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
         _ensure(spark, path, gen_quotes)
     finally:
         N_SYMBOLS, QUOTE_ROWS = saved
+    dpath = os.path.join(data_dir, "dbitem_60m.parquet")
+    dsaved = DBITEM_ROWS
+    DBITEM_ROWS = 60_000_000
+    try:
+        _ensure(spark, dpath, gen_dbitem)
+    finally:
+        DBITEM_ROWS = dsaved
 
     out: dict[str, float] = {}
+    out["floor_60m_exec"], _t32 = _floor_probe(spark)
     t0 = time.time()
     q = spark.read.parquet(path).persist()
     out["rows_quote_60m"] = q.count()
@@ -730,6 +748,7 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
             (F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v")
         ),
         runs,
+        floor_df=_t32,
     )
     _time_row(
         out,
@@ -738,8 +757,12 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
             F.count(F.lit(1)).alias("n")
         ),
         runs,
+        floor_df=_t32,
     )
-    _time_row(out, "sum_close_60m", lambda: q.agg(F.sum("close").alias("s")), runs)
+    _time_row(
+        out, "sum_close_60m", lambda: q.agg(F.sum("close").alias("s")), runs,
+        floor_df=_t32,
+    )
     _time_row(
         out,
         "filter_project_60m",
@@ -749,6 +772,7 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
             & (F.col("close") > F.col("open") * 1.01)
         ).select("day", "close"),
         runs,
+        floor_df=_t32,
     )
     _time_row(
         out,
@@ -758,8 +782,55 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
             & F.col("day").between("2010-01-01", "2012-12-31")
         ).agg((F.sum(F.col("close") * F.col("volume")) / F.sum("volume")).alias("v")),
         runs,
+        floor_df=_t32,
     )
     q.unpersist()
+
+    # 60M dbitem: the same load shape as the 6M gate row — broadcast
+    # dictionary encode of the three varchar keys, arithmetic pack into
+    # one int gkey, cache co-located on it (zero-exchange agg)
+    d_raw = spark.read.parquet(dpath)
+    dict_vals: dict[str, list] = {}
+    enc = d_raw
+    for c in ("trader", "desk", "office"):
+        vals = [r[0] for r in d_raw.select(c).distinct().orderBy(c).collect()]
+        dict_vals[c] = vals
+        dc = spark.createDataFrame(
+            [(v, i) for i, v in enumerate(vals)], f"{c} string, {c}_code int"
+        )
+        enc = enc.join(F.broadcast(dc), c).drop(c)
+    n_desk, n_office = len(dict_vals["desk"]), len(dict_vals["office"])
+    enc = enc.withColumn(
+        "gkey",
+        (
+            (F.col("trader_code") * n_desk + F.col("desk_code")) * n_office
+            + F.col("office_code")
+        ).cast("int"),
+    ).drop("trader_code", "desk_code", "office_code")
+    t0 = time.time()
+    d = enc.repartition(32, "gkey").persist()
+    out["rows_dbitem_60m"] = d.count()
+    out["load_dbitem_60m"] = round(time.time() - t0, 4)
+
+    def _dbq():
+        r = d.groupBy("gkey").agg(
+            F.sum(F.col("price") * F.col("volume")).alias("_pv"),
+            F.sum("volume").alias("_v"),
+        )
+        codes = {
+            "trader": F.floor(F.col("gkey") / (n_desk * n_office)),
+            "desk": F.floor(F.col("gkey") / n_office) % n_desk,
+            "office": F.col("gkey") % n_office,
+        }
+        for c in ("trader", "desk", "office"):
+            arr = F.array(*[F.lit(s) for s in dict_vals[c]])
+            r = r.withColumn(c, F.element_at(arr, (codes[c] + 1).cast("int")))
+        return r.select(
+            "trader", "desk", "office", (F.col("_pv") / F.col("_v")).alias("wavg")
+        )
+
+    _time_row(out, "dbitem_hash_agg_60m", _dbq, runs, floor_df=_t32)
+    d.unpersist()
     return out
 
 
@@ -1214,11 +1285,16 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     # members only by noise alignment — cosine gaps ~0.02, the same
     # order as the m=16x256 quantization error (numpy probe: mean
     # |adc-cos| 0.027) — so recall@10 scales with the ADC candidate
-    # budget: top-100 → 0.26, top-500 → 0.60, top-1000 (factor 100) is
-    # the recorded config. Coarser codes (m=8 x 64, 8 B/vec) measured 0.10 at
-    # top-80. A corpus whose neighbors are separated by more than the
-    # quantization error (near-dup retrieval: the planted source sits
-    # ~0.05 above rank 2) ranks fine at small budgets.
+    # budget: top-100 → 0.26, top-500 → 0.60, top-1000 → 0.78,
+    # top-3000 (factor 300, the recorded config since round 11) →
+    # 0.996, top-5000 → 1.0. The larger budget became affordable once
+    # the serve path stopped paying per-candidate interpreted costs
+    # (partition-level candidate pooling in pq_topk's scan + a
+    # vectorized exact-cosine rerank). Coarser codes (m=8 x 64,
+    # 8 B/vec) measured 0.10 at top-80. A corpus whose neighbors are
+    # separated by more than the quantization error (near-dup
+    # retrieval: the planted source sits ~0.05 above rank 2) ranks
+    # fine at small budgets.
     t0 = time.time()
     books = S.train_pq_codebooks(
         corpus, m=16, n_codes=256, iters=3, kernel="column"
@@ -1253,7 +1329,7 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
         _sh.rmtree(_pq_dir, ignore_errors=True)
     t0 = time.time()
     pq = S.pq_topk(
-        enc, queries, books, k=10, rerank=corpus, rerank_factor=100,
+        enc, queries, books, k=10, rerank=corpus, rerank_factor=300,
         kernel="matrix",
     ).persist()
     pq.count()

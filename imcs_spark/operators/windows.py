@@ -1,9 +1,12 @@
 """Moving-window, cumulative aggregates and recurrences (EMA/ATR).
 
 Reference: IMCS_WINDOW_AGG_DEF func.c:1632-1790 (window_sum/avg/min/
-max/var/dev over the last N elements, first N-1 computed over partial
-windows), EMA recurrence func.c:1764-1778, ATR func.c:1779-1790,
-IMCS_CUMULATIVE_AGG_DEF func.c:1791-1897 (cum_sum/avg/min/max/prd/var/dev).
+max/var/dev over the last N elements; the first N-1 outputs read a
+ZERO-INITIALIZED circular history — avg divides by N from the first
+element, min/max see the padding zeros; see moving_agg's `warmup`
+modes and expected/windowagg.out), EMA recurrence func.c:1764-1778,
+ATR func.c:1779-1790, IMCS_CUMULATIVE_AGG_DEF func.c:1791-1897
+(cum_sum/avg/min/max/prd/var/dev).
 
 Spark mapping:
 - moving aggs → Window.rowsBetween(-(N-1), 0): JVM-side, streaming
@@ -57,13 +60,47 @@ def moving_agg(
     partition_by: Sequence[str] | None = None,
     out_col: str | None = None,
     order_col: str = POS,
+    warmup: str = "partial",
 ) -> DataFrame:
     """cs_window_{sum,avg,max,min,var,dev}: sliding window of the last
-    n elements; output length = input length; first n-1 values use
-    partial windows (reference semantics, func.c:1632-1704)."""
+    n elements; output length = input length.
+
+    warmup controls the first n-1 values of each series:
+    - 'partial' (default, Spark-native): aggregate over however many
+      elements exist so far — SQL window-frame semantics.
+    - 'reference': bit-parity with the C engine's zero-initialized
+      circular history (IMCS_WINDOW_AGG_DEF func.c:1632-1763): the
+      window is ALWAYS n elements, the missing ones are zeros. So
+      avg divides by n even during warm-up, min/max see the padding
+      zeros (expected/windowagg.out:{7-11,19-23}), and var/dev use
+      (Σx² − (Σx)²/n)/n with n = interval. Assumes non-null values,
+      like the reference (series have no NULLs). sum is identical in
+      both modes (zeros add nothing).
+    """
+    if warmup not in ("partial", "reference"):
+        raise ValueError(f"moving_agg: unknown warmup mode {warmup!r}")
+    out_name = out_col or f"window_{agg}"
     w = _frame(partition_by, order_col).rowsBetween(-(n - 1), 0)
     fn = _MOVING[agg]
-    return df.withColumn(out_col or f"window_{agg}", fn(F.col(val_col)).over(w))
+    if warmup == "partial" or agg in ("sum", "count"):
+        return df.withColumn(out_name, fn(F.col(val_col)).over(w))
+    c = F.col(val_col)
+    rows_in = F.count(F.lit(1)).over(w)  # < n only during warm-up
+    if agg in ("min", "max"):
+        # zero in the ELEMENT type: reference min/max keep elem type
+        zero = F.lit(0).cast(df.schema[val_col].dataType)
+        partial = fn(c).over(w)
+        pad = F.least(partial, zero) if agg == "min" else F.greatest(partial, zero)
+        expr = F.when(rows_in < n, pad).otherwise(partial)
+    elif agg == "avg":
+        expr = F.sum(c.cast("double")).over(w) / F.lit(float(n))
+    else:  # var / dev — raw-moment form, unclamped like the C code
+        s = F.sum(c.cast("double")).over(w)
+        s2 = F.sum(c.cast("double") * c.cast("double")).over(w)
+        expr = (s2 - s * s / n) / n
+        if agg == "dev":
+            expr = F.sqrt(expr)
+    return df.withColumn(out_name, expr)
 
 
 def cum_agg(
@@ -120,6 +157,10 @@ def _recurrence_apply(
             "computation reads (value/order/partition)"
         )
     clash = [c for c in kernels if c in df.columns]
+    # withColumn semantics: a replaced column keeps its ORIGINAL
+    # position; brand-new kernel columns append at the end. The pandas
+    # pass emits replaced columns last, so reorder on the way out.
+    out_order = df.columns + [c for c in kernels if c not in df.columns]
     if clash:
         df = df.drop(*clash)
     schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -140,6 +181,7 @@ def _recurrence_apply(
             df.groupBy("_g")
             .applyInPandas(apply_fn, schema="_g int, " + schema)
             .drop("_g")
+            .select(*out_order)
         )
 
     # Keyed path: mapInPandas over hash-partitioned, (keys, order)-sorted
@@ -198,7 +240,7 @@ def _recurrence_apply(
             pdf[out_col] = out
         yield pdf
 
-    return part.mapInPandas(gen, schema=schema)
+    return part.mapInPandas(gen, schema=schema).select(*out_order)
 
 
 def ema(
@@ -434,7 +476,19 @@ def cum_agg_global(
         # window MAX PROPAGATES it — a NaN partition maximum makes the
         # carry sticky-NaN
         if _usable(d.get("_mn")):
-            mn_acc = d["_mn"] if mn_acc is None else min(mn_acc, d["_mn"])
+            # a NaN mn_acc is displaced by any real value (Spark sorts
+            # NaN largest; Python min(NaN, x) would sticky-NaN instead)
+            mn_acc = (
+                d["_mn"] if (mn_acc is None or not _usable(mn_acc))
+                else min(mn_acc, d["_mn"])
+            )
+        elif d.get("_mn") is not None and mn_acc is None:
+            # a partition whose only values are NaN must still be
+            # REMEMBERED: F.min returns NaN (not NULL) when only NaNs
+            # exist, so a later row whose local prefix is all-NULL has
+            # to see NaN, not NULL. NaN is displaced by any later real
+            # value because least() treats NaN as largest.
+            mn_acc = d["_mn"]
         _mx = d.get("_mx")
         if _mx is not None:
             if not _usable(_mx):
@@ -566,6 +620,7 @@ def moving_agg_global(
     out_col: str | None = None,
     pos_col: str = POS,
     num_partitions: int | None = None,
+    warmup: str = "partial",
 ) -> DataFrame:
     """Moving-window aggregate over ONE giant series without a global
     window: range-partition by pos; interior rows use a per-physical-
@@ -583,9 +638,18 @@ def moving_agg_global(
     through doubles, and the output column is double — use the plain
     per-series moving_agg when exact wider-than-53-bit long windows
     matter (cum_agg_global, by contrast, carries integral types
-    exactly)."""
+    exactly).
+
+    warmup='reference' reproduces the C engine's zero-padded history
+    for the first n-1 rows of the WHOLE series (see moving_agg) —
+    only the head-row recombination changes: an assembled window
+    shorter than n is padded with zeros. Interior rows always have
+    full n-row windows, where both modes coincide (avg over n rows is
+    sum/n; var_pop is the same raw-moment formula)."""
     if agg not in ("sum", "avg", "min", "max", "count", "var", "dev"):
         raise ValueError(f"moving_agg_global: unsupported agg {agg!r}")
+    if warmup not in ("partial", "reference"):
+        raise ValueError(f"moving_agg_global: unknown warmup mode {warmup!r}")
     out_name = out_col or f"window_{agg}"
     spark = df.sparkSession
     pid = _range_by_pos(df, pos_col, num_partitions)
@@ -655,15 +719,32 @@ def moving_agg_global(
     _null_d = F.lit(None).cast("double")
     _var = F.greatest(_sum2 / _cnt - (_sum / _cnt) * (_sum / _cnt), F.lit(0.0))
     _empty = _cnt == 0  # all-NULL window -> NULL, like F.sum(...).over
-    combined = {
-        "sum": F.when(_empty, _null_d).otherwise(_sum),
-        "count": _cnt.cast("long"),
-        "min": F.array_min(vals),
-        "max": F.array_max(vals),
-        "avg": F.when(_empty, _null_d).otherwise(_sum / _cnt),
-        "var": F.when(_empty, _null_d).otherwise(_var),
-        "dev": F.when(_empty, _null_d).otherwise(F.sqrt(_var)),
-    }[agg]
+    if warmup == "reference":
+        # zero-padded history: the divisor is always n and a window
+        # shorter than n contains zeros (func.c:1632-1763). _win size
+        # (not the null-filtered count) detects underfull windows —
+        # reference series carry no NULLs.
+        _under = F.size(F.col("_win")) < n
+        _rvar = (_sum2 - _sum * _sum / n) / n
+        combined = {
+            "sum": F.when(_empty, _null_d).otherwise(_sum),
+            "count": _cnt.cast("long"),
+            "min": F.when(_under, F.least(F.array_min(vals), F.lit(0.0))).otherwise(F.array_min(vals)),
+            "max": F.when(_under, F.greatest(F.array_max(vals), F.lit(0.0))).otherwise(F.array_max(vals)),
+            "avg": F.when(_empty, _null_d).otherwise(_sum / n),
+            "var": F.when(_empty, _null_d).otherwise(_rvar),
+            "dev": F.when(_empty, _null_d).otherwise(F.sqrt(_rvar)),
+        }[agg]
+    else:
+        combined = {
+            "sum": F.when(_empty, _null_d).otherwise(_sum),
+            "count": _cnt.cast("long"),
+            "min": F.array_min(vals),
+            "max": F.array_max(vals),
+            "avg": F.when(_empty, _null_d).otherwise(_sum / _cnt),
+            "var": F.when(_empty, _null_d).otherwise(_var),
+            "dev": F.when(_empty, _null_d).otherwise(F.sqrt(_var)),
+        }[agg]
     head_fixed = head.withColumn("_local", combined).drop("_tail", "_win")
     interior = local.filter(F.col("_lrn") >= n - 1)
     out = interior.unionByName(head_fixed).withColumnRenamed("_local", out_name)

@@ -850,73 +850,110 @@ def train_pq_codebooks(
         raise ValueError(f"train_pq_codebooks: unknown kernel {kernel!r}")
     import pandas as pd
 
-    unit = (
-        corpus.select(id_col, F.col(vec_col).alias("_v"))
-        .withColumn("_u", _unit("_v"))
-        .persist()
+    # Read the RAW vector column straight off the corpus and normalize
+    # inside the numpy kernel: the previous shape cached a frame with a
+    # Catalyst-HOF `_unit` column and re-deserialized 1M array<double>
+    # rows from the block store every Lloyd pass — measured ~3x the
+    # cost of the parquet scan + numpy normalization the encode pass
+    # uses (r10/r11 probes: ~20 s vs ~6 s per pass at 1M x 64).
+    src = corpus.select(id_col, F.col(vec_col).alias("_v"))
+    init_rows = (
+        src.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_codes)
+        .select("_v")
+        .collect()
     )
-    try:
-        init = (
-            unit.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
-            .limit(n_codes)
-            .select("_u")
+    if not init_rows:
+        raise ValueError("train_pq_codebooks: empty corpus")
+
+    def _unit_np(X: "np.ndarray") -> "np.ndarray":
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0] = 1.0
+        return X / nrm[:, None]
+
+    init = _unit_np(
+        np.stack([np.asarray(r["_v"], dtype=np.float64) for r in init_rows])
+    )
+    dim = init.shape[1]
+    slices = _pq_slices(dim, m)
+    books = [
+        [list(u[lo : lo + sd]) for u in init] for lo, sd in slices
+    ]
+    for _ in range(iters):
+        CBs = [np.asarray(b) for b in books]
+
+        def partials(batches):
+            # ONE scatter-add per (batch, subspace) — the previous
+            # per-cell boolean-mask loop rescanned the batch
+            # n_codes times per subspace (256 x 16 = 4096 mask
+            # passes per batch at the bench shape) and built the
+            # partial rows through Python-float extends; both were
+            # the measured build wall (r10: 65.5 s at 1M x 64).
+            # Accumulate across the partition's batches and emit
+            # ONCE: m*n_codes*dim partial rows per PARTITION, not
+            # per Arrow batch.
+            S_acc = [np.zeros((n_codes, sd_)) for _, sd_ in slices]
+            n_acc = np.zeros((len(slices), n_codes), dtype=np.int64)
+            seen_any = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen_any = True
+                X = _unit_np(
+                    np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                    )
+                )
+                for si, (lo, sd_) in enumerate(slices):
+                    Xs = X[:, lo : lo + sd_]
+                    # squared L2 to each code; argmin ties -> lowest
+                    d2 = (
+                        (Xs * Xs).sum(axis=1)[:, None]
+                        - 2.0 * (Xs @ CBs[si].T)
+                        + (CBs[si] * CBs[si]).sum(axis=1)[None, :]
+                    )
+                    cells = np.argmin(d2, axis=1)
+                    np.add.at(S_acc[si], cells, Xs)
+                    n_acc[si] += np.bincount(cells, minlength=n_codes)
+            if not seen_any:
+                return
+            frames = []
+            for si, (lo, sd_) in enumerate(slices):
+                nz = np.flatnonzero(n_acc[si])
+                if not nz.size:
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_m": np.full(nz.size * sd_, si, dtype=np.int32),
+                            "_c": np.repeat(nz, sd_).astype(np.int32),
+                            "_d": np.tile(np.arange(sd_, dtype=np.int32), nz.size),
+                            "_s": S_acc[si][nz].ravel(),
+                            "_n": np.repeat(n_acc[si][nz], sd_),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+        sums = (
+            src.select("_v")
+            .mapInPandas(partials, "_m int, _c int, _d int, _s double, _n long")
+            .groupBy("_m", "_c", "_d")
+            .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
             .collect()
         )
-        if not init:
-            raise ValueError("train_pq_codebooks: empty corpus")
-        dim = len(init[0]["_u"])
-        slices = _pq_slices(dim, m)
-        books = [
-            [list(r["_u"])[lo : lo + sd] for r in init] for lo, sd in slices
-        ]
-        for _ in range(iters):
-            CBs = [np.asarray(b) for b in books]
-
-            def partials(batches):
-                for pdf in batches:
-                    if not len(pdf):
-                        continue
-                    X = np.stack(pdf["_u"].to_numpy())
-                    out = {"_m": [], "_c": [], "_d": [], "_s": [], "_n": []}
-                    for si, (lo, sd) in enumerate(slices):
-                        Xs = X[:, lo : lo + sd]
-                        # squared L2 to each code; argmin ties -> lowest
-                        d2 = (
-                            (Xs * Xs).sum(axis=1)[:, None]
-                            - 2.0 * (Xs @ CBs[si].T)
-                            + (CBs[si] * CBs[si]).sum(axis=1)[None, :]
-                        )
-                        cells = np.argmin(d2, axis=1)
-                        for cell in np.unique(cells):
-                            sel = Xs[cells == cell]
-                            s = sel.sum(axis=0)
-                            out["_m"].extend([si] * sd)
-                            out["_c"].extend([int(cell)] * sd)
-                            out["_d"].extend(range(sd))
-                            out["_s"].extend(float(x) for x in s)
-                            out["_n"].extend([len(sel)] * sd)
-                    yield pd.DataFrame(out)
-
-            sums = (
-                unit.select("_u")
-                .mapInPandas(partials, "_m int, _c int, _d int, _s double, _n long")
-                .groupBy("_m", "_c", "_d")
-                .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
-                .collect()
-            )
-            acc: dict[tuple[int, int], np.ndarray] = {}
-            for r in sums:
-                acc.setdefault((r["_m"], r["_c"]), np.zeros(slices[r["_m"]][1]))[
-                    r["_d"]
-                ] = r["_s"] / r["_n"]
-            for si in range(m):
-                books[si] = [
-                    acc[(si, ci)].tolist() if (si, ci) in acc else books[si][ci]
-                    for ci in range(n_codes)
-                ]
-        return books
-    finally:
-        unit.unpersist()
+        acc: dict[tuple[int, int], np.ndarray] = {}
+        for r in sums:
+            acc.setdefault((r["_m"], r["_c"]), np.zeros(slices[r["_m"]][1]))[
+                r["_d"]
+            ] = r["_s"] / r["_n"]
+        for si in range(m):
+            books[si] = [
+                acc[(si, ci)].tolist() if (si, ci) in acc else books[si][ci]
+                for ci in range(n_codes)
+            ]
+    return books
 
 
 def _train_pq_sequential(
@@ -1146,6 +1183,15 @@ def pq_topk(
         schema = f"{query_id_col} {qid_t}, {id_col} {cid_t}, score double"
 
         def gen(batches):
+            # running top-n_cand per query across the PARTITION's
+            # batches, emitted once: the old per-batch emission shipped
+            # n_q*n_cand rows per Arrow batch into the global window
+            # (candidate budget x batch count rows through the
+            # shuffle), which made large rerank budgets — the recall
+            # lever — pay a linear wall tax. The pruning order is the
+            # same (score desc, id asc) total order the final window
+            # applies, so the global result set is IDENTICAL.
+            pool_ids = pool_S = None
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -1164,17 +1210,24 @@ def pq_topk(
                 S = np.zeros((n_q, len(ids)))
                 for s in range(m):
                     S += LUT[:, s, codes[:, s]]
+                bid = np.broadcast_to(ids, (n_q, len(ids)))
+                if pool_S is not None:
+                    S = np.concatenate([pool_S, S], axis=1)
+                    bid = np.concatenate([pool_ids, bid], axis=1)
                 kb = min(n_cand, S.shape[1])
-                order = np.lexsort((ids[None, :].repeat(n_q, 0), -S), axis=1)[
-                    :, :kb
-                ]
-                yield pd.DataFrame(
-                    {
-                        query_id_col: np.repeat(q_ids, kb),
-                        id_col: ids[order.ravel()],
-                        "score": np.take_along_axis(S, order, axis=1).ravel(),
-                    }
-                )
+                order = np.lexsort((bid, -S), axis=1)[:, :kb]
+                pool_S = np.take_along_axis(S, order, axis=1)
+                pool_ids = np.take_along_axis(bid, order, axis=1)
+            if pool_S is None:
+                return
+            kb = pool_S.shape[1]
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(q_ids, kb),
+                    id_col: pool_ids.ravel(),
+                    "score": pool_S.ravel(),
+                }
+            )
 
         partial = encoded.select(id_col, "codes").mapInPandas(gen, schema)
         w = Window.partitionBy(query_id_col).orderBy(
@@ -1267,12 +1320,32 @@ def pq_topk(
     # interpreted HOF, and computing it corpus-wide just to fetch a
     # few thousand candidates was the serve wall at 1M (the join
     # itself probes only the raw id column)
-    cand = (
-        rerank.select(id_col, F.col(vec_col).alias("_cv"))
-        .join(F.broadcast(top.select(query_id_col, id_col, "_qu")), id_col)
-        .withColumn("_cu", _unit("_cv"))
+    cand = rerank.select(id_col, F.col(vec_col).alias("_cv")).join(
+        F.broadcast(top.select(query_id_col, id_col, "_qu")), id_col
     )
-    rr = cand.withColumn("cosine", _dot("_cu", "_qu"))
+    if kernel == "matrix":
+        # vectorized exact cosine in ONE Arrow pass: the interpreted
+        # per-row _unit HOF + fold made the rerank scale linearly with
+        # the candidate budget (r11 probe: +4.5 s going 3000 -> 5000
+        # candidates at 1M), which defeated the budget-as-recall-lever.
+        # ~1 ULP from the fold — inside this kernel's documented slack.
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _cosine(cv: pd.Series, qu: pd.Series) -> pd.Series:
+            if not len(cv):
+                return pd.Series([], dtype="float64")
+            C = np.stack([np.asarray(v, dtype=np.float64) for v in cv])
+            Q = np.stack([np.asarray(v, dtype=np.float64) for v in qu])
+            nrm = np.linalg.norm(C, axis=1)
+            nrm[nrm == 0] = 1.0
+            return pd.Series((C * Q).sum(axis=1) / nrm)
+
+        rr = cand.withColumn("cosine", _cosine("_cv", "_qu"))
+    else:
+        rr = cand.withColumn("_cu", _unit("_cv")).withColumn(
+            "cosine", _dot("_cu", "_qu")
+        )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )

@@ -401,21 +401,38 @@ def _events_posed(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id, CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos,
        ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS w_avg,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS w_sum,
-       ROUND(MIN(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS w_min
+       ROUND(MIN(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS w_min,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 5, 6) AS w_avg_ref,
+       ROUND(CASE WHEN COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) < 5
+                  THEN LEAST(MIN(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 0)
+                  ELSE MIN(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) END, 6) AS w_min_ref
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 """,
 )
 def window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-window (Spark-native default) AND reference zero-padded
+    warm-up (func.c:1632-1763) legs of cs_window_* in one query — the
+    *_ref columns cross-check moving_agg(warmup='reference') against a
+    DuckDB formulation of the C engine's circular-history semantics
+    (avg divides by n always; min sees the padding zeros)."""
     from .operators import windows
 
     posed = _events_posed(spark, sf_dir)
     out = windows.moving_agg(posed, "avg", 5, "value", ["user_id"], "w_avg")
     out = windows.moving_agg(out, "sum", 5, "value", ["user_id"], "w_sum")
     out = windows.moving_agg(out, "min", 5, "value", ["user_id"], "w_min")
+    out = windows.moving_agg(
+        out, "avg", 5, "value", ["user_id"], "w_avg_ref", warmup="reference"
+    )
+    out = windows.moving_agg(
+        out, "min", 5, "value", ["user_id"], "w_min_ref", warmup="reference"
+    )
     return out.select(
         "user_id", "pos", _r6(F.col("w_avg")).alias("w_avg"),
         _r6(F.col("w_sum")).alias("w_sum"), _r6(F.col("w_min")).alias("w_min"),
+        _r6(F.col("w_avg_ref")).alias("w_avg_ref"),
+        _r6(F.col("w_min_ref")).alias("w_min_ref"),
     )
 
 
@@ -3717,7 +3734,8 @@ SELECT * FROM (VALUES
   ('xor3_sum', 21.0), ('and1_sum', 4.0), ('or8_sum', 58.0), ('not_sum', -31.0),
   ('ffp', 4.0), ('roundtrip_wsum', 58.0), ('call_sum', 57.0),
   ('const_sum', 15.0), ('str2code_sum', 4.0),
-  ('fmt_wsum', 58.0), ('money_fmt', 4.75), ('money_rt', 100000012.26)
+  ('fmt_wsum', 58.0), ('money_fmt', 4.75), ('money_rt', 100000012.26),
+  ('cut_pack', 406.0)
 ) AS t(op, val)
 UNION ALL
 SELECT 'cat_len_sum' AS op, CAST(SUM(LENGTH(a || b || '!')) AS DOUBLE) AS val
@@ -3821,6 +3839,19 @@ def _series_ops_build(spark: SparkSession) -> DataFrame:
             S.parse(
                 spark, S.format_series(S.parse(spark, "money:{-1.00,2.50,3.25}"))
             ).agg(F.sum("val").alias("val")),
+        ),
+        # cs_cut / cs_as packing shims (imcs.c:4813-5181, round 11):
+        # two int4s packed into one little-endian binary key — the
+        # reference's `(a)||(b)` compound-key convention — and
+        # decomposed back; Σ(f0*100 + f1) pins both field ORDER and
+        # byte layout ((1,2),(3,4) → 102+304 = 406)
+        lambda: one(
+            "cut_pack",
+            spark.createDataFrame([(1, 2), (3, 4)], "a int, b int")
+            .select(S.cut(S.pack(("i4", "a"), ("i4", "b")), "i4i4").alias("k"))
+            .agg(
+                F.sum(F.col("k.f0") * 100 + F.col("k.f1")).alias("val")
+            ),
         ),
         # money cents<->Decimal through the REGISTERED SQL functions
         # (sqlsurface.py cs_money2cents/cs_cents2money), pure spark.sql

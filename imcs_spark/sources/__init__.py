@@ -259,3 +259,170 @@ def format_series(
     body = ",".join(parts)
     tail = ",...}" if truncated else "}"
     return f"{head}{{{body}{tail}"
+
+
+# --- cs_cut / cs_as / cs_as_array compat shims (imcs.c:4813-5181) -----------
+# The reference packs compound group keys by byte-concatenating fixed-
+# width little-endian values (`(Day%2)||(Volume%10)` in sql/hashagg.sql)
+# and decomposes the packed key after aggregation with cs_cut (format
+# string), cs_as (registered composite type) or cs_as_array. Spark
+# groups by multiple columns natively — these shims exist so reference
+# SQL ports one-to-one. They run as Arrow-batched pandas UDFs over
+# aggregation OUTPUTS (group keys — cardinality = number of groups, not
+# corpus rows), which is why a Python struct codec is acceptable here
+# and nowhere near a corpus scan.
+
+_CUT_TOKEN_RE = re.compile(r"([iIfFcCdDtTmM])(\d+)")
+
+_PG_EPOCH = pd.Timestamp("2000-01-01")
+
+
+def _cut_fields(fmt: str) -> list[tuple[str, int, str, str]]:
+    """Parse a cs_cut format string into (letter, size, struct_code,
+    spark_type) — the same letters/sizes imcs.c:4830-4904 accepts."""
+    out, pos = [], 0
+    for m in _CUT_TOKEN_RE.finditer(fmt):
+        if m.start() != pos:
+            raise ValueError(f"cut: failed to parse format string {fmt!r}")
+        pos = m.end()
+        letter, size = m.group(1), int(m.group(2))
+        if letter in "iI":
+            code, typ = {1: ("b", "tinyint"), 2: ("h", "smallint"),
+                         4: ("i", "int"), 8: ("q", "bigint")}.get(size, (None, None))
+            if code is None:
+                raise ValueError(f"cut: invalid int size {size}")
+        elif letter in "fF":
+            code, typ = {4: ("f", "float"), 8: ("d", "double")}.get(size, (None, None))
+            if code is None:
+                raise ValueError(f"cut: invalid float size {size}")
+        elif letter in "cC":
+            if size <= 0:
+                raise ValueError(f"cut: invalid char size {size}")
+            code, typ = f"{size}s", "string"
+        elif letter in "dD":
+            if size != 4:
+                raise ValueError(f"cut: invalid date size {size}")
+            code, typ = "i", "date"  # int32 days since 2000-01-01 (PG)
+        elif letter == "t":
+            if size != 8:
+                raise ValueError(f"cut: invalid time size {size}")
+            code, typ = "q", "bigint"  # micros within day
+        elif letter == "T":
+            if size != 8:
+                raise ValueError(f"cut: invalid timestamp size {size}")
+            code, typ = "q", "timestamp"  # micros since 2000-01-01 (PG)
+        else:  # m / M
+            if size != 8:
+                raise ValueError(f"cut: invalid money size {size}")
+            code, typ = "q", "decimal(19,2)"  # int64 cents
+        out.append((letter, size, code, typ))
+    if pos != len(fmt):
+        raise ValueError(f"cut: failed to parse format string {fmt!r}")
+    if not out:
+        raise ValueError("cut: empty format string")
+    return out
+
+
+def _decode_field(raw: pd.Series, letter: str, typ: str):
+    if typ == "string":
+        return raw.map(lambda b: b.split(b"\x00", 1)[0].decode("utf-8"))
+    if typ == "date":
+        return (_PG_EPOCH + pd.to_timedelta(raw, unit="D")).dt.date
+    if typ == "timestamp":
+        return _PG_EPOCH + pd.to_timedelta(raw, unit="us")
+    if typ == "decimal(19,2)":
+        from decimal import Decimal
+
+        return raw.map(lambda c: Decimal(int(c)).scaleb(-2))
+    return raw
+
+
+def cut(col, fmt: str, names: list[str] | None = None) -> Column:
+    """cs_cut(bytes, fmt) (imcs.c:4813-4977): unpack a packed
+    little-endian compound key into a typed STRUCT column. Field names
+    default to f0..fn-1 (the reference returns an anonymous record);
+    pass ``names`` for the cs_as composite-type behavior."""
+    fields = _cut_fields(fmt)
+    names = names or [f"f{i}" for i in range(len(fields))]
+    if len(names) != len(fields):
+        raise ValueError(
+            f"cut: {len(names)} names for {len(fields)} format fields"
+        )
+    # struct.Struct is not cloudpickle-able — ship the format STRING and
+    # compile inside the UDF
+    st_fmt = "<" + "".join(c for _, _, c, _ in fields)
+    schema = ", ".join(f"{n} {t}" for n, (_, _, _, t) in zip(names, fields))
+
+    @pandas_udf(schema)
+    def _cut(b: pd.Series) -> pd.DataFrame:
+        import struct
+
+        st = struct.Struct(st_fmt)
+
+        def unpack(v):
+            if v is None:
+                return (None,) * len(fields)
+            if len(v) != st.size:
+                raise ValueError(
+                    f"cut: packed key is {len(v)} bytes, format {fmt!r} "
+                    f"needs {st.size}"
+                )
+            return st.unpack(v)
+
+        tuples = b.map(unpack)
+        cols = {}
+        for i, (n, (letter, _, _, typ)) in enumerate(zip(names, fields)):
+            cols[n] = _decode_field(tuples.map(lambda t: t[i]), letter, typ)
+        return pd.DataFrame(cols)
+
+    return _cut(F.col(col) if isinstance(col, str) else col)
+
+
+def as_struct(col, fields: list[tuple[str, str]]) -> Column:
+    """cs_as(bytes, 'TypeName') (imcs.c:4965-5028): the composite type
+    is supplied as [(field_name, fmt_token)] — e.g. PairOfInt =
+    [('first', 'i4'), ('second', 'i4')]."""
+    return cut(col, "".join(t for _, t in fields), [n for n, _ in fields])
+
+
+def as_array(col, fmt_token: str, n: int) -> Column:
+    """cs_as_array(bytes, elem_type) (imcs.c:5030-5181): unpack n
+    equal-typed packed values into an array column."""
+    s = cut(col, fmt_token * n)
+    return F.array(*[s.getField(f"f{i}") for i in range(n)])
+
+
+def pack(*parts: tuple) -> Column:
+    """The `||` packing side (cs_cat on fixed-width series,
+    func.c:366-412): pack(('i4', colA), ('i4', colB)) → binary column
+    of little-endian bytes that cut/as_struct decompose. NULL in any
+    part → NULL key (Spark concat semantics)."""
+    fields = [_cut_fields(t)[0] for t, _ in parts]
+    st_fmt = "<" + "".join(c for _, _, c, _ in fields)
+    cols = [F.col(c) if isinstance(c, str) else c for _, c in parts]
+
+    @pandas_udf("binary")
+    def _pack(*series: pd.Series) -> pd.Series:
+        import struct
+
+        st = struct.Struct(st_fmt)
+
+        def enc(row):
+            if any(v is None or v != v for v in row):
+                return None
+            vals = []
+            for v, (letter, size, code, typ) in zip(row, fields):
+                if typ == "string":
+                    b = str(v).encode("utf-8")
+                    vals.append(b[:size].ljust(size, b"\x00"))
+                elif letter in "iI" or letter in "tT":
+                    vals.append(int(v))
+                elif letter in "fF":
+                    vals.append(float(v))
+                else:
+                    vals.append(int(v))
+            return st.pack(*vals)
+
+        return pd.Series(map(enc, zip(*series)), dtype=object)
+
+    return _pack(*cols)

@@ -268,7 +268,12 @@ def register_sql(spark: SparkSession) -> None:
 
         try:
             return math.fsum(a)
-        except OverflowError:  # |partial| > DBL_MAX: IEEE answer is ±inf
+        except (OverflowError, ValueError):
+            # OverflowError: |partial| > DBL_MAX — IEEE answer is ±inf.
+            # ValueError: fsum("-inf + inf") on mixed infinities (a zero
+            # value with positive weight alongside an inf term in
+            # wsum/wgeomean products) — IEEE answer is nan; np.sum
+            # yields both.
             import numpy as np
 
             return float(np.sum(a))

@@ -146,24 +146,48 @@ def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
     split on the fly: its sigs carry `bands` duplicate rows per hub —
     harmless on the read path (every consumer applies distinct on the
     drop set) and deduped at the next compaction, which the returned
-    `legacy` flag triggers."""
-    cells, sigs, legacy = None, None, False
+    `legacy` flag triggers.
+
+    All v2 versions are read as ONE multi-path ``spark.read.parquet``
+    per sub-table (round 11): the previous per-version read planned a
+    separate scan per dir — with compact_every=8 that is up to 16
+    listings + footer samples of per-batch driver latency on EVERY
+    micro-batch, a fixed re-planning tax the r10 soak measured at
+    seconds/batch. A file written before the eviction column reads its
+    ``_v`` as NULL under the unified schema → coalesced to -1
+    ("unknown origin, never evict" — the conservative direction,
+    keeping old state drops MORE duplicates, matching the no-TTL
+    semantics those files were written under). Only when the sampled
+    schema itself predates ``_v`` (upgrade replay over a pre-eviction
+    base) does the read fall back to the per-version union."""
+    v2, v1 = [], []
     for p in paths:
         fs, _, jvm = _hfs(spark, p)
         if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{p}/cells")):
-            c = spark.read.parquet(f"{p}/cells")
-            s = spark.read.parquet(f"{p}/sigs")
-        else:  # v1 flat layout
-            flat = spark.read.parquet(p)
-            c = flat.select("band", "bucket", "hub_id")
-            s = flat.drop("band", "bucket")
-            legacy = True
-        if "_v" not in c.columns:
-            # pre-eviction layouts carry no origin version; -1 means
-            # "unknown, never evict" — the conservative direction
-            # (keeping old state drops MORE duplicates, matching the
-            # no-TTL semantics those files were written under)
-            c = c.withColumn("_v", F.lit(-1))
+            v2.append(p)
+        else:
+            v1.append(p)
+    cells, sigs, legacy = None, None, bool(v1)
+    if v2:
+        c = spark.read.parquet(*[f"{p}/cells" for p in v2])
+        s = spark.read.parquet(*[f"{p}/sigs" for p in v2])
+        if "_v" in c.columns:
+            cells = c.withColumn("_v", F.coalesce(F.col("_v"), F.lit(-1)))
+            sigs = s
+        else:
+            # sampled file predates _v but a sibling delta may carry it:
+            # per-version reads keep each dir's own schema exact
+            for p in v2:
+                c = spark.read.parquet(f"{p}/cells")
+                s = spark.read.parquet(f"{p}/sigs")
+                if "_v" not in c.columns:
+                    c = c.withColumn("_v", F.lit(-1))
+                cells = c if cells is None else cells.unionByName(c)
+                sigs = s if sigs is None else sigs.unionByName(s)
+    for p in v1:  # v1 flat layout
+        flat = spark.read.parquet(p)
+        c = flat.select("band", "bucket", "hub_id").withColumn("_v", F.lit(-1))
+        s = flat.drop("band", "bucket")
         cells = c if cells is None else cells.unionByName(c)
         sigs = s if sigs is None else sigs.unionByName(s)
     return cells, sigs, legacy
@@ -864,6 +888,7 @@ def near_dedup_stream(
         # scoped — with a cross-stream lock — to the one
         # materialization that needs it; see the trickle branch.)
         sigs = bb = prev = None
+        state_cached = []
         try:
             full_batch = batch
             batch = batch.select(id_col, text_col)
@@ -931,6 +956,16 @@ def near_dedup_stream(
             # drop set share the single state scan.
             if seen is not None:
                 cells_s, sigs_s, legacy = seen
+                # a compaction batch consumes the corpus state TWICE
+                # (collision probe + snapshot rewrite; sigs: hub fetch +
+                # sig_all union): persist the decoded frames for the one
+                # batch that pays a corpus write anyway, released in the
+                # finally. Ordinary delta batches scan the state once —
+                # caching there would only evict hotter blocks.
+                if not usable or len(deltas) + 1 >= compact_every:
+                    cells_s = cells_s.persist()
+                    sigs_s = sigs_s.persist()
+                    state_cached += [cells_s, sigs_s]
                 if evict_after is not None:
                     # TTL horizon: cells older than K batches stop gating.
                     # _v < 0 = unknown origin (pre-eviction layouts) ->
@@ -1122,7 +1157,7 @@ def near_dedup_stream(
             _gc_versions(spark, side_path, versions, keep, batch_id)
             _gc_deltas(spark, side_path, base, batch_id)
         finally:
-            for _df in (sigs, bb, prev):
+            for _df in (sigs, bb, prev, *state_cached):
                 if _df is not None:
                     _df.unpersist()
 

@@ -230,6 +230,29 @@ def test_query_registry_within_driver_window():
     assert set(ORACLES) == set(QUERIES)
 
 
+def test_coverage_query_citations_are_registered():
+    """Every COVERAGE.md citation of the form ``query `name``` must
+    name a LIVE registry entry — a future fold-out (like the round-8
+    silent 50-slot overflow) must not leave a dangling coverage claim
+    pointing at a query the driver no longer checks."""
+    import os
+    import re
+
+    from imcs_spark.queries import QUERIES
+
+    text = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    cited = set(re.findall(r"quer(?:y|ies)\s+`([a-z0-9_]+)`", text))
+    # composite-leg citations like "query `series_ops` ('prd' leg)"
+    # resolve to the composite name itself, so plain name matching works
+    stale = sorted(c for c in cited if c not in QUERIES)
+    assert not stale, (
+        f"COVERAGE.md cites unregistered queries: {stale} — the claim "
+        f"is dangling (registered: {sorted(QUERIES)})"
+    )
+
+
 def _duckdb_views(sf_dir, *tables):
     import duckdb
 

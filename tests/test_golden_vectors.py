@@ -483,6 +483,35 @@ def test_cum_agg_global_int_and_null_partitions(spark):
     out = {r.pos: r.cum_min for r in windows.cum_agg_global(df, "min", num_partitions=3).collect()}
     assert out == {0: None, 1: None, 2: None, 3: 4.0, 4: 2.0, 5: 2.0}
 
+    # r11 (round-10 ADVICE): a leading partition whose only values are
+    # NaN must be REMEMBERED by the min carry — a later row whose own
+    # local prefix is all-NULL sees NaN (Spark's single-window F.min
+    # returns NaN when only NaNs exist), and any later REAL value
+    # displaces the NaN (least() sorts NaN largest). Dropping the NaN
+    # partition minimum returned NULL; Python min() made it sticky.
+    import math
+
+    nan = float("nan")
+    rows = [(0, nan), (1, nan), (2, None), (3, None), (4, 2.0), (5, 8.0)]
+    df = spark.createDataFrame(rows, "pos long, val double")
+    want = {
+        r.pos: r.m
+        for r in df.selectExpr(
+            "pos",
+            "min(val) OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING"
+            " AND CURRENT ROW) AS m",
+        ).collect()
+    }
+    got = {r.pos: r.cum_min for r in windows.cum_agg_global(df, "min", num_partitions=3).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, (k, got[k])
+        elif math.isnan(want[k]):
+            assert got[k] is not None and math.isnan(got[k]), (k, got[k])
+        else:
+            assert got[k] == want[k], (k, got[k], want[k])
+
 
 def test_div_null_propagation(spark):
     """NULL inputs must stay NULL — not become ±inf/NaN through the
@@ -575,3 +604,22 @@ def test_approxdc_hll128_ignores_nulls(spark):
     df = spark.createDataFrame([(1,), (2,), (None,), (None,)], "v int")
     n = A.approxdc_hll128(df, "v").collect()[0]["approxdc"]
     assert n == 2, n
+
+
+def test_recurrence_replaced_column_keeps_position(spark):
+    """_recurrence_apply replaces an existing out_col IN PLACE
+    (withColumn semantics — round-10 ADVICE: it used to re-append the
+    column at the end, so positional consumers saw a reordered
+    schema), on both the keyed and the global path."""
+    from imcs_spark.operators import windows
+
+    rows = [(0, 0.0, 1.0, "a"), (1, 0.0, 2.0, "a"), (0, 0.0, 3.0, "b")]
+    df = spark.createDataFrame(rows, "pos long, ema double, val double, sid string")
+    out = windows.ema(df, 3, "val", partition_by=["sid"], out_col="ema")
+    assert out.columns == df.columns
+    assert [r.ema for r in out.filter("sid = 'a'").orderBy("pos").collect()] == [
+        1.0, 1.5
+    ]
+    gdf = df.filter("sid = 'a'").drop("sid")
+    gout = windows.ema(gdf, 3, "val", out_col="ema")
+    assert gout.columns == gdf.columns

@@ -84,16 +84,59 @@ def values_close(a, b):
     return a == b
 
 
+LEG_COLS = ("op", "leg", "metric", "kind")
+
+
+def _leg_index(sorted_cols):
+    low = [c.lower() for c in sorted_cols]
+    for cand in LEG_COLS:
+        if cand in low:
+            return low.index(cand)
+    return None
+
+
+def _rows_equal(ra, rb):
+    return all(values_close(va, vb) for va, vb in zip(ra, rb))
+
+
+def leg_breakdown(a, b, sorted_cols):
+    """Localize a composite-query failure: group the (already sorted-
+    column) row multisets by their leg-label column (op/leg/metric/
+    kind) and name every leg whose row group diverges. Returns [] when
+    no leg column exists. A 9-leg composite like series_ops otherwise
+    fails as ONE opaque hash mismatch."""
+    li = _leg_index(sorted_cols)
+    if li is None:
+        return []
+    ga, gb = {}, {}
+    for r in a:
+        ga.setdefault(r[li], []).append(r)
+    for r in b:
+        gb.setdefault(r[li], []).append(r)
+    divergent = []
+    for leg in sorted(set(ga) | set(gb), key=str):
+        ra, rb = ga.get(leg, []), gb.get(leg, [])
+        if len(ra) != len(rb):
+            divergent.append(f"{leg} (rows {len(ra)} vs {len(rb)})")
+        elif not all(_rows_equal(x, y) for x, y in zip(ra, rb)):
+            divergent.append(str(leg))
+    return divergent
+
+
 def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     problems = []
     if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
         problems.append(f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
         return problems
-    if len(spark_rows) != len(duck_rows):
-        problems.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
-        return problems
+    sorted_cols = sorted(spark_cols, key=lambda c: c)
     a = rows_to_multiset(spark_rows, spark_cols)
     b = rows_to_multiset(duck_rows, duck_cols)
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
+        legs = leg_breakdown(a, b, sorted_cols)
+        if legs:
+            problems.append(f"divergent leg(s): {', '.join(legs)}")
+        return problems
     bad = 0
     for ra, rb in zip(a, b):
         for va, vb in zip(ra, rb):
@@ -104,6 +147,10 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
                 break
     if bad > 3:
         problems.append(f"... {bad} mismatched rows total")
+    if bad:
+        legs = leg_breakdown(a, b, sorted_cols)
+        if legs:
+            problems.append(f"divergent leg(s): {', '.join(legs)}")
     return problems
 
 
