@@ -729,7 +729,10 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
         N_SYMBOLS, QUOTE_ROWS = saved
     dpath = os.path.join(data_dir, "dbitem_60m.parquet")
     dsaved = DBITEM_ROWS
-    DBITEM_ROWS = 60_000_000
+    # 6x the gate table (10M -> 60M at bench size) rather than a
+    # hardcoded 60M: the toy-size contract test monkeypatches
+    # DBITEM_ROWS and must not generate a 60M table in CI
+    DBITEM_ROWS = dsaved * 6
     try:
         _ensure(spark, dpath, gen_dbitem)
     finally:

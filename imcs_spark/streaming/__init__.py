@@ -121,21 +121,39 @@ def _write_state(
     # row-group span 0.25, max ~1.0 of the range under band-major vs
     # ~1/n_groups under bucket-major). The collision probe is a hash
     # join — layout-agnostic — so bucket-major costs nothing else.
+    # Compression is asymmetric by READ frequency (round 11): the
+    # snapshot (sort=True, corpus-scale) is DECODED by every subsequent
+    # micro-batch's collision probe + hub fetch — zstd decode there was
+    # the r10 soak's measured ~2-3 s/batch CPU regression — so
+    # snapshots take snappy (fast decode, read O(compact_every) times
+    # before the next compaction supersedes them). Deltas are the
+    # per-batch WRITE cost the O(batch) protocol optimizes (the
+    # recorded nd2m_delta_bytes metric) and are read at most
+    # compact_every times while small: they keep zstd.
+    codec = "snappy" if sort else "zstd"
     c = cells.repartitionByRange(
         max(cells.sparkSession.sparkContext.defaultParallelism, 8),
         "bucket", "band",
     ) if sort else cells
     if n_files is not None:
-        c = c.coalesce(n_files)
+        # repartition, not coalesce: n_files is only passed for BATCH-
+        # bounded writes (deltas, tiny pre-snapshots), where the
+        # round-robin exchange is trivial but coalesce would collapse
+        # the whole upstream narrow stage (the fresh-cells anti-join)
+        # to n_files tasks
+        c = c.repartition(n_files)
     c = c.sortWithinPartitions("bucket", "band")
-    c.write.mode("overwrite").option("compression", "zstd").parquet(
+    c.write.mode("overwrite").option("compression", codec).parquet(
         f"{path}/cells"
     )
-    s = sigs if n_files is None else sigs.coalesce(n_files)
-    s.write.mode("overwrite").option("compression", "zstd").parquet(
+    s = sigs if n_files is None else sigs.repartition(n_files)
+    s.write.mode("overwrite").option("compression", codec).parquet(
         f"{path}/sigs"
     )
     fs.create(P(f"{path}/_COMMITTED"), True).close()
+
+
+_STATE_SCHEMA_CACHE: dict[str, tuple] = {}
 
 
 def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
@@ -159,7 +177,16 @@ def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
     keeping old state drops MORE duplicates, matching the no-TTL
     semantics those files were written under). Only when the sampled
     schema itself predates ``_v`` (upgrade replay over a pre-eviction
-    base) does the read fall back to the per-version union."""
+    base) does the read fall back to the per-version union.
+
+    The (cells, sigs) schema is CACHED per side table after the first
+    read and passed explicitly from then on: a stream's state schema is
+    fixed (same id type, same num_hashes for its lifetime), and the
+    explicit schema skips parquet's per-batch footer-sampling job —
+    ~0.3-0.6 s of fixed driver latency per micro-batch at the 2M soak
+    (phase-timed). The cache is keyed by the side-table dir and only
+    populated by a sampled schema that already carries ``_v``, so the
+    upgrade fallback still sees real schemas."""
     v2, v1 = [], []
     for p in paths:
         fs, _, jvm = _hfs(spark, p)
@@ -169,8 +196,16 @@ def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
             v1.append(p)
     cells, sigs, legacy = None, None, bool(v1)
     if v2:
-        c = spark.read.parquet(*[f"{p}/cells" for p in v2])
-        s = spark.read.parquet(*[f"{p}/sigs" for p in v2])
+        parent = v2[0].rsplit("/", 1)[0]
+        cached = _STATE_SCHEMA_CACHE.get(parent)
+        if cached is not None:
+            c = spark.read.schema(cached[0]).parquet(*[f"{p}/cells" for p in v2])
+            s = spark.read.schema(cached[1]).parquet(*[f"{p}/sigs" for p in v2])
+        else:
+            c = spark.read.parquet(*[f"{p}/cells" for p in v2])
+            s = spark.read.parquet(*[f"{p}/sigs" for p in v2])
+            if "_v" in c.columns:
+                _STATE_SCHEMA_CACHE[parent] = (c.schema, s.schema)
         if "_v" in c.columns:
             cells = c.withColumn("_v", F.coalesce(F.col("_v"), F.lit(-1)))
             sigs = s
@@ -329,7 +364,12 @@ def _idempotent_append(
     part files differently, the same name set is replaced wholesale."""
     target = target_path.rstrip("/")
     scratch = f"{target}_staging/{prefix.rstrip('-')}"
-    df.coalesce(n_files).write.mode("overwrite").parquet(scratch)
+    # repartition, NOT coalesce: coalesce(8) collapses the whole final
+    # narrow stage — the kept anti-join and the batch scan included —
+    # to 8 tasks (measured ~1 s/batch on the 2M soak's append phase);
+    # the round-robin exchange on a batch-bounded frame is far cheaper
+    # than quartering the upstream parallelism.
+    df.repartition(n_files).write.mode("overwrite").parquet(scratch)
     fs, htgt, jvm = _hfs(spark, target)
     P = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(htgt):
@@ -881,6 +921,26 @@ def near_dedup_stream(
 
     def handle_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # Optional phase timing to stderr (IMCS_ND_TIMING=1): the
+        # per-batch wall is fixed-cost-dominated at small batches and
+        # this is the only way to attribute it without a profiler.
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _dbg = _os.environ.get("IMCS_ND_TIMING") == "1"
+        _tprev = _time.time()
+
+        def _mark(phase: str) -> None:
+            nonlocal _tprev
+            if _dbg:
+                now = _time.time()
+                print(
+                    f"[nd-timing] b{batch_id} {phase}: {now - _tprev:.3f}s",
+                    file=_sys.stderr,
+                )
+                _tprev = now
+
         # Persisted per-batch frames are released in the finally: an
         # exception mid-batch must not leak sigs/bb/prev cache blocks
         # into a long-lived stream's storage pool. (The trickle-path
@@ -888,7 +948,7 @@ def near_dedup_stream(
         # scoped — with a cross-stream lock — to the one
         # materialization that needs it; see the trickle branch.)
         sigs = bb = prev = None
-        state_cached = []
+        state_tmp: list = []
         try:
             full_batch = batch
             batch = batch.select(id_col, text_col)
@@ -910,6 +970,7 @@ def near_dedup_stream(
                     [f"{side_path}/v{usable[-1]}"]
                     + [f"{side_path}/d{d}" for d in deltas],
                 )
+                _mark("state_read_plan")
             elif _snapshot_ok(spark, pre_path):
                 seen = _read_state(spark, [pre_path])
             elif _data_exists(spark, target_path):
@@ -929,6 +990,7 @@ def near_dedup_stream(
                     sort=True,
                 )
                 seen = _read_state(spark, [pre_path])
+                _mark("derive_pre_state")
             else:
                 # fresh target: persist an EMPTY pre snapshot before the
                 # append (same reasoning as append_stream — without it, a
@@ -956,16 +1018,6 @@ def near_dedup_stream(
             # drop set share the single state scan.
             if seen is not None:
                 cells_s, sigs_s, legacy = seen
-                # a compaction batch consumes the corpus state TWICE
-                # (collision probe + snapshot rewrite; sigs: hub fetch +
-                # sig_all union): persist the decoded frames for the one
-                # batch that pays a corpus write anyway, released in the
-                # finally. Ordinary delta batches scan the state once —
-                # caching there would only evict hotter blocks.
-                if not usable or len(deltas) + 1 >= compact_every:
-                    cells_s = cells_s.persist()
-                    sigs_s = sigs_s.persist()
-                    state_cached += [cells_s, sigs_s]
                 if evict_after is not None:
                     # TTL horizon: cells older than K batches stop gating.
                     # _v < 0 = unknown origin (pre-eviction layouts) ->
@@ -994,6 +1046,7 @@ def near_dedup_stream(
                     ).alias("idb"),
                     F.count_distinct("bucket").alias("nb"),
                 ).collect()[0]
+                _mark("minhash_srow")
                 est_bytes = srow["n"] * 32 + (srow["idb"] or 0)
                 hint = F.broadcast if est_bytes <= (128 << 20) else (lambda d: d)
                 probe = cells_s
@@ -1056,6 +1109,7 @@ def near_dedup_stream(
                 else:
                     gated = prev
                 drop_prev = gated.select(id_col).distinct()
+                _mark("probe_built")
             else:
                 prev = None
                 collided = None
@@ -1089,6 +1143,7 @@ def near_dedup_stream(
             if keep_all_columns:
                 kept = full_batch.join(kept.select(id_col), id_col, "left_semi")
             _idempotent_append(spark, kept, target_path, f"batch-{token}-{batch_id}-")
+            _mark("append")
 
             # post-batch state: earlier occupants win their cells; new
             # cells take this batch's min-id occupant. O(batch) path:
@@ -1110,9 +1165,12 @@ def near_dedup_stream(
                 # anti-join runs against the tiny collided set, not the
                 # corpus-scale state (see rule (a) note); fresh sigs are
                 # the fresh hubs' rows of the batch's per-doc signatures
+                # persisted: batch-bounded, and the cells write + the
+                # sigs semi-join below each materialize it otherwise
                 fresh = batch_cells.join(
                     hint(collided), ["band", "bucket"], "left_anti"
-                )
+                ).persist()
+                state_tmp.append(fresh)
                 fresh_sigs = sigs.withColumnRenamed(id_col, "hub_id").join(
                     fresh.select("hub_id"), "hub_id", "left_semi"
                 )
@@ -1154,10 +1212,12 @@ def near_dedup_stream(
                     )
                     keep = {batch_id} | ({usable[-1]} if usable else set())
                     base = usable[-1] if usable else None
+            _mark("state_write")
             _gc_versions(spark, side_path, versions, keep, batch_id)
             _gc_deltas(spark, side_path, base, batch_id)
+            _mark("gc")
         finally:
-            for _df in (sigs, bb, prev, *state_cached):
+            for _df in (sigs, bb, prev, *state_tmp):
                 if _df is not None:
                     _df.unpersist()
 

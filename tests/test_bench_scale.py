@@ -118,6 +118,19 @@ def test_run_scale_contract(spark, tiny):
         "dbitem_hash_agg_shuffle_exec_floor",
     ):
         assert k in out and out[k] >= 0
+    # 60M gate twins (round 11): every headline row measured at the
+    # big scale with its own interleaved floor, dbitem included via
+    # the packed-key load (at toy size the "60M" twin is 6x the toy
+    # dbitem — the multiplier is relative so CI never generates 60M)
+    for k in (
+        "floor_60m_exec", "load_quotes_60m", "load_dbitem_60m",
+        "vwap_one_60m_exec", "vwap_all_60m_exec",
+        "filter_project_60m_exec", "filtered_count_60m_exec",
+        "sum_close_60m_exec", "dbitem_hash_agg_60m_exec",
+        "vwap_one_60m_exec_floor", "dbitem_hash_agg_60m_exec_floor",
+    ):
+        assert k in out and out[k] >= 0
+    assert out["rows_dbitem_60m"] == 6 * out["rows_dbitem"]
     # TTL soak: exact horizon invariants hold at toy size too — near
     # dups (inside the horizon) drop in both runs, far dups drop only
     # in the unbounded run, and eviction can only KEEP more (superset)
