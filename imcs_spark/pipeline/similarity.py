@@ -408,54 +408,82 @@ def train_ivf_centroids(
     if kernel != "column":
         raise ValueError(f"train_ivf_centroids: unknown kernel {kernel!r}")
 
-    unit = corpus.select(id_col, F.col(vec_col).alias("_v")).withColumn(
-        "_u", _unit("_v")
-    )
-    # each Lloyd step + init re-reads the normalized corpus: materialize
-    # it once (spill-backed) for the duration of training
-    unit = unit.persist()
-    init = (
-        unit.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    # Raw vector column read straight off the corpus, normalized inside
+    # the numpy kernel (round 11, same change as train_pq_codebooks):
+    # the previous shape cached a Catalyst-HOF `_unit` column and
+    # re-deserialized the corpus from the block store every Lloyd pass
+    # — measured ~3x the parquet-scan + numpy-normalize cost at 1M x 64.
+    src = corpus.select(id_col, F.col(vec_col).alias("_v"))
+    init_rows = (
+        src.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(n_centroids)
-        .select("_u")
+        .select("_v")
         .collect()
     )
-    centroids = [list(r["_u"]) for r in init]
-    if not centroids:
+    if not init_rows:
         raise ValueError(
             "train_ivf_centroids: empty corpus — cannot initialize"
             " centroids (same condition lsh_index reports)"
         )
+
+    def _unit_np(X: "np.ndarray") -> "np.ndarray":
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0] = 1.0
+        return X / nrm[:, None]
+
+    centroids = [
+        list(u)
+        for u in _unit_np(
+            np.stack([np.asarray(r["_v"], dtype=np.float64) for r in init_rows])
+        )
+    ]
     dim = len(centroids[0])
     for _ in range(iters):
         # assignment + partial update in one Arrow pass: argmax(X·Cᵀ)
-        # and per-cell (Σx, n) via numpy — only K×dim partial rows per
-        # partition leave the executors. A Column-expression argmax with
-        # K×dim inlined literals works but bloats whole-stage codegen
-        # (seconds of janino compile per Lloyd step); this is the
-        # documented Pandas-UDF escape hatch for exactly that case.
+        # and per-cell (Σx, n) via ONE bincount/scatter-add per batch
+        # (the old per-cell boolean-mask loop rescanned each batch
+        # n_centroids times and built partials through Python-float
+        # extends), partials emitted once per PARTITION. A Column-
+        # expression argmax with K×dim inlined literals works but
+        # bloats whole-stage codegen (seconds of janino compile per
+        # Lloyd step); this is the documented Pandas-UDF escape hatch
+        # for exactly that case.
         C = np.asarray(centroids)
 
         def partials(batches):
             import pandas as pd
 
+            S_acc = np.zeros((n_centroids, dim))
+            n_acc = np.zeros(n_centroids, dtype=np.int64)
+            seen_any = False
             for pdf in batches:
                 if not len(pdf):
                     continue
-                X = np.stack(pdf["_u"].to_numpy())
+                seen_any = True
+                X = _unit_np(
+                    np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                    )
+                )
                 cells = np.argmax(X @ C.T, axis=1)
-                out = {"_c": [], "_d": [], "_s": [], "_n": []}
-                for cell in np.unique(cells):
-                    sel = X[cells == cell]
-                    s = sel.sum(axis=0)
-                    out["_c"].extend([int(cell)] * dim)
-                    out["_d"].extend(range(dim))
-                    out["_s"].extend(float(x) for x in s)
-                    out["_n"].extend([len(sel)] * dim)
-                yield pd.DataFrame(out)
+                np.add.at(S_acc, cells, X)
+                n_acc += np.bincount(cells, minlength=n_centroids)
+            if not seen_any:
+                return
+            nz = np.flatnonzero(n_acc)
+            if not nz.size:
+                return
+            yield pd.DataFrame(
+                {
+                    "_c": np.repeat(nz, dim).astype(np.int32),
+                    "_d": np.tile(np.arange(dim, dtype=np.int32), nz.size),
+                    "_s": S_acc[nz].ravel(),
+                    "_n": np.repeat(n_acc[nz], dim),
+                }
+            )
 
         sums = (
-            unit.select("_u")
+            src.select("_v")
             .mapInPandas(partials, "_c int, _d int, _s double, _n long")
             .groupBy("_c", "_d")
             .agg(F.sum("_s").alias("_s"), F.sum("_n").alias("_n"))
@@ -473,7 +501,6 @@ def train_ivf_centroids(
             else:  # empty cluster: keep previous centroid
                 new.append(centroids[ci])
         centroids = new
-    unit.unpersist()
     return centroids
 
 
