@@ -157,10 +157,27 @@ AGGREGATE_BUILTINS: dict[str, str] = {
 # (route those through the operators' range-bucketed global paths,
 # operators/windows.py:309,516).
 SERIES_SQL_RECIPES: dict[str, str] = {
-    # --- §2.5 moving-window aggregates (cs_window_*, func.c IMCS_WINDOW_AGG:
-    #     partial windows at the head, like the reference)
+    # --- §2.5 moving-window aggregates (cs_window_*). The default
+    #     recipe is the Spark-native partial-frame reading; the C
+    #     engine's warm-up is a ZERO-INITIALIZED circular history
+    #     (func.c:1632-1763: avg divides by n from the first element,
+    #     min/max see the padding zeros) — use the *_ref recipes for
+    #     bit-parity with expected/windowagg.out, or
+    #     moving_agg(warmup='reference') in the DataFrame API.
     "cs_window_<agg>":
         "<agg>({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW)",
+    "cs_window_avg_ref":
+        "SUM({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) / {n}",
+    "cs_window_min_ref":
+        "CASE WHEN COUNT(*) OVER (w) < {n} THEN LEAST(MIN({v}) OVER (w), 0) "
+        "ELSE MIN({v}) OVER (w) END  -- w = {P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW",
+    "cs_window_max_ref":
+        "CASE WHEN COUNT(*) OVER (w) < {n} THEN GREATEST(MAX({v}) OVER (w), 0) "
+        "ELSE MAX({v}) OVER (w) END",
+    "cs_window_var_ref":
+        "(SUM({v}*{v}) OVER (w) - SUM({v}) OVER (w) * SUM({v}) OVER (w) / {n}) / {n}",
+    "cs_window_dev_ref":
+        "SQRT((SUM({v}*{v}) OVER (w) - SUM({v}) OVER (w) * SUM({v}) OVER (w) / {n}) / {n})",
     # EMA/ATR are full-prefix recurrences (e_0=x_0; e_i depends on
     # e_{i-1}, func.c:1764-1800): expressible as a fold over the
     # prefix via the AGGREGATE HOF — O(n²) in SQL, so use this form

@@ -339,6 +339,29 @@ def test_series_sql_recipes(spark):
     expr = R["cs_cum_<agg>"].replace("<agg>", "SUM").format(v="val", p="pos", P=P)
     assert approx(sql_col(expr), op_col(windows.cum_agg(df, "sum", partition_by=["sid"]), "cum_sum"))
 
+    # cs_window_avg_ref / cs_window_min_ref: the reference zero-padded
+    # warm-up recipes (round 11) vs moving_agg(warmup='reference') —
+    # min_ref's documented named-window `w` expanded inline
+    expr = R["cs_window_avg_ref"].format(v="val", p="pos", n=5, P=P)
+    assert approx(
+        sql_col(expr),
+        op_col(
+            windows.moving_agg(df, "avg", 5, partition_by=["sid"], warmup="reference"),
+            "window_avg",
+        ),
+    )
+    w_frame = f"{P} ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
+    expr = R["cs_window_min_ref"].split("  --")[0].replace("(w)", f"({w_frame})").format(
+        v="val", p="pos", n=5, P=P
+    )
+    assert approx(
+        sql_col(expr),
+        op_col(
+            windows.moving_agg(df, "min", 5, partition_by=["sid"], warmup="reference"),
+            "window_min",
+        ),
+    )
+
     # cs_window_ema: the O(n²) AGGREGATE-fold form vs the linear
     # applyInPandas recurrence
     expr = R["cs_window_ema"].format(v="val", p="pos", n=4, P=P)
