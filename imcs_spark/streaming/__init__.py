@@ -186,7 +186,13 @@ def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
     ~0.3-0.6 s of fixed driver latency per micro-batch at the 2M soak
     (phase-timed). The cache is keyed by the side-table dir and only
     populated by a sampled schema that already carries ``_v``, so the
-    upgrade fallback still sees real schemas."""
+    upgrade fallback still sees real schemas. Caveat (documented, not
+    guarded): DELETING a side table and recreating it at the SAME path
+    with a different id type or num_hashes within one driver process
+    serves the stale schema — a changed column SET fails loudly at the
+    first sig_cols selection, but a changed id TYPE would read nulls;
+    clear ``_STATE_SCHEMA_CACHE`` (or use a fresh path) when reshaping
+    a stream's state."""
     v2, v1 = [], []
     for p in paths:
         fs, _, jvm = _hfs(spark, p)
