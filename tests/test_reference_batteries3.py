@@ -345,3 +345,54 @@ def test_cut_pack_round_trip_types(spark):
     with pytest.raises(Exception, match="bytes"):
         # packed key is 12 bytes (i4 + m8); 'i4i4' needs 8 -> loud error
         df2.select(S.cut("key", "i4i4").alias("k")).collect()
+
+
+def test_reference_warmup_randomized_model(spark):
+    # randomized cross-check of warmup='reference' against a direct
+    # numpy zero-padded-history model (func.c:1632-1763), per-series
+    # AND global paths, negative values included (they exercise the
+    # max-side zero padding the battery's positive fixture cannot)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = np.round(rng.uniform(-50, 50, 40), 3)
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "pos long, val double"
+    )
+
+    def model(agg, n):
+        out = []
+        hist = np.zeros(n)
+        for i, v in enumerate(vals):
+            hist[i % n] = v
+            if agg == "min":
+                out.append(hist.min())
+            elif agg == "max":
+                out.append(hist.max())
+            elif agg == "sum":
+                out.append(hist.sum())
+            elif agg == "avg":
+                out.append(hist.sum() / n)
+            elif agg == "var":
+                out.append((np.square(hist).sum() - hist.sum() ** 2 / n) / n)
+            else:  # dev
+                out.append(
+                    np.sqrt((np.square(hist).sum() - hist.sum() ** 2 / n) / n)
+                )
+        return out
+
+    for n in (1, 2, 5, 7):
+        for agg in ("min", "max", "sum", "avg", "var", "dev"):
+            want = model(agg, n)
+            got = _vals(
+                windows.moving_agg(df, agg, n, "val", warmup="reference"),
+                f"window_{agg}",
+            )
+            _approx(got, want, rel=1e-9)
+            got_g = _vals(
+                windows.moving_agg_global(
+                    df, agg, n, "val", num_partitions=4, warmup="reference"
+                ),
+                f"window_{agg}",
+            )
+            _approx(got_g, want, rel=1e-9)
