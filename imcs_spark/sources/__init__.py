@@ -396,29 +396,76 @@ def pack(*parts: tuple) -> Column:
     """The `||` packing side (cs_cat on fixed-width series,
     func.c:366-412): pack(('i4', colA), ('i4', colB)) → binary column
     of little-endian bytes that cut/as_struct decompose. NULL in any
-    part → NULL key (Spark concat semantics)."""
-    fields = [_cut_fields(t)[0] for t, _ in parts]
+    part → NULL key (Spark concat semantics). A genuine float NaN is a
+    PAYLOAD, not a missing value — the reference concatenation packs
+    the NaN bytes, so pack does too (round-12 ADVICE fix); only
+    pandas-missing values (None, NaT, NaN in a non-float field) yield
+    a NULL key. date/time/timestamp objects are encoded to the same
+    PG-epoch integers cut() decodes (d4 = days since 2000-01-01, t8 =
+    micros within day, T8 = micros since 2000-01-01, m/M8 = cents),
+    keeping pack/cut round-trip symmetric for every token."""
+    fields = []
+    for t, _ in parts:
+        fs = _cut_fields(t)
+        if len(fs) != 1:
+            raise ValueError(
+                f"pack: each part takes ONE format token, got {t!r} "
+                f"({len(fs)} fields) — pass one (token, col) pair per field"
+            )
+        fields.append(fs[0])
     st_fmt = "<" + "".join(c for _, _, c, _ in fields)
     cols = [F.col(c) if isinstance(c, str) else c for _, c in parts]
 
     @pandas_udf("binary")
     def _pack(*series: pd.Series) -> pd.Series:
+        import datetime
         import struct
+        from decimal import Decimal
 
         st = struct.Struct(st_fmt)
+        epoch_date = datetime.date(2000, 1, 1)
+        epoch_ts = datetime.datetime(2000, 1, 1)
 
         def enc(row):
-            if any(v is None or v != v for v in row):
-                return None
             vals = []
             for v, (letter, size, code, typ) in zip(row, fields):
+                if v is None:
+                    return None
+                if v != v and letter not in "fF":
+                    # NaN/NaT outside a float field = pandas-missing
+                    return None
                 if typ == "string":
                     b = str(v).encode("utf-8")
                     vals.append(b[:size].ljust(size, b"\x00"))
-                elif letter in "iI" or letter in "tT":
-                    vals.append(int(v))
                 elif letter in "fF":
-                    vals.append(float(v))
+                    vals.append(float(v))  # NaN packs as NaN bytes
+                elif letter in "dD":
+                    if isinstance(v, pd.Timestamp):
+                        v = v.date()
+                    if isinstance(v, datetime.datetime):
+                        v = v.date()
+                    if isinstance(v, datetime.date):
+                        v = (v - epoch_date).days
+                    vals.append(int(v))
+                elif letter == "t":
+                    if isinstance(v, datetime.time):
+                        v = (
+                            (v.hour * 60 + v.minute) * 60 + v.second
+                        ) * 1_000_000 + v.microsecond
+                    vals.append(int(v))
+                elif letter == "T":
+                    if isinstance(v, pd.Timestamp):
+                        v = v.to_pydatetime()
+                    if isinstance(v, datetime.datetime):
+                        delta = v - epoch_ts
+                        v = (
+                            delta.days * 86_400 + delta.seconds
+                        ) * 1_000_000 + delta.microseconds
+                    vals.append(int(v))
+                elif letter in "mM":
+                    if isinstance(v, Decimal):
+                        v = int(v.scaleb(2))  # dollars.cc -> cents
+                    vals.append(int(v))
                 else:
                     vals.append(int(v))
             return st.pack(*vals)

@@ -168,16 +168,25 @@ SERIES_SQL_RECIPES: dict[str, str] = {
         "<agg>({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW)",
     "cs_window_avg_ref":
         "SUM({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) / {n}",
+    # each *_ref recipe is SELF-CONTAINED like every other entry (the
+    # frame is inlined, not a named window): any consumer rendering
+    # recipes uniformly gets valid SQL (round-12 ADVICE fix)
     "cs_window_min_ref":
-        "CASE WHEN COUNT(*) OVER (w) < {n} THEN LEAST(MIN({v}) OVER (w), 0) "
-        "ELSE MIN({v}) OVER (w) END  -- w = {P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW",
+        "CASE WHEN COUNT(*) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) < {n} "
+        "THEN LEAST(MIN({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW), 0) "
+        "ELSE MIN({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) END",
     "cs_window_max_ref":
-        "CASE WHEN COUNT(*) OVER (w) < {n} THEN GREATEST(MAX({v}) OVER (w), 0) "
-        "ELSE MAX({v}) OVER (w) END",
+        "CASE WHEN COUNT(*) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) < {n} "
+        "THEN GREATEST(MAX({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW), 0) "
+        "ELSE MAX({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) END",
     "cs_window_var_ref":
-        "(SUM({v}*{v}) OVER (w) - SUM({v}) OVER (w) * SUM({v}) OVER (w) / {n}) / {n}",
+        "(SUM({v}*{v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) "
+        "- SUM({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) "
+        "* SUM({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) / {n}) / {n}",
     "cs_window_dev_ref":
-        "SQRT((SUM({v}*{v}) OVER (w) - SUM({v}) OVER (w) * SUM({v}) OVER (w) / {n}) / {n})",
+        "SQRT((SUM({v}*{v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) "
+        "- SUM({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) "
+        "* SUM({v}) OVER ({P} ORDER BY {p} ROWS BETWEEN {n}-1 PRECEDING AND CURRENT ROW) / {n}) / {n})",
     # EMA/ATR are full-prefix recurrences (e_0=x_0; e_i depends on
     # e_{i-1}, func.c:1764-1800): expressible as a fold over the
     # prefix via the AGGREGATE HOF — O(n²) in SQL, so use this form

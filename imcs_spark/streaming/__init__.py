@@ -156,6 +156,22 @@ def _write_state(
 _STATE_SCHEMA_CACHE: dict[str, tuple] = {}
 
 
+def clear_state_schema_cache(path: str | None = None) -> None:
+    """Drop the per-side-table (cells, sigs) schema cache — all entries,
+    or just ``path``'s. Call when RESHAPING a stream's state in-process:
+    deleting a side table and recreating it at the same path with a
+    different id type would otherwise be served the stale schema and
+    read NULL ids (round-12 ADVICE fix). The near_dedup_stream batch
+    handler also invalidates automatically whenever it creates state at
+    a path fresh (no usable versions), so the delete-and-recreate case
+    self-heals without this helper; it remains for external tooling
+    that rewrites state files directly."""
+    if path is None:
+        _STATE_SCHEMA_CACHE.clear()
+    else:
+        _STATE_SCHEMA_CACHE.pop(path.rstrip("/"), None)
+
+
 def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
     """Union the (cells, sigs) pair across state version paths,
     reading v2 split layouts and v1 flat layouts side by side (a
@@ -186,13 +202,14 @@ def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
     ~0.3-0.6 s of fixed driver latency per micro-batch at the 2M soak
     (phase-timed). The cache is keyed by the side-table dir and only
     populated by a sampled schema that already carries ``_v``, so the
-    upgrade fallback still sees real schemas. Caveat (documented, not
-    guarded): DELETING a side table and recreating it at the SAME path
-    with a different id type or num_hashes within one driver process
-    serves the stale schema — a changed column SET fails loudly at the
-    first sig_cols selection, but a changed id TYPE would read nulls;
-    clear ``_STATE_SCHEMA_CACHE`` (or use a fresh path) when reshaping
-    a stream's state."""
+    upgrade fallback still sees real schemas. Reshape guard (round-12
+    ADVICE fix): near_dedup_stream invalidates this cache whenever it
+    creates state at a path FRESH (no usable versions), so deleting a
+    side table and recreating it at the same path with a different id
+    type or num_hashes within one driver process re-samples real
+    footers instead of silently reading NULL ids through the stale
+    schema; :func:`clear_state_schema_cache` covers external tooling
+    that rewrites state files directly."""
     v2, v1 = [], []
     for p in paths:
         fs, _, jvm = _hfs(spark, p)
@@ -981,7 +998,13 @@ def near_dedup_stream(
                 seen = _read_state(spark, [pre_path])
             elif _data_exists(spark, target_path):
                 # first batch over a pre-existing table: derive its bucket
-                # state once and persist BEFORE appending (replay safety)
+                # state once and persist BEFORE appending (replay safety).
+                # State is being CREATED fresh at side_path — drop any
+                # stale schema cached by a previous stream that lived at
+                # this path in the same driver process (a recreated
+                # stream with a different id type would otherwise read
+                # NULL ids through the stale schema; round-12 ADVICE fix)
+                _STATE_SCHEMA_CACHE.pop(side_path.rstrip("/"), None)
                 existing = spark.read.parquet(target_path).select(id_col, text_col)
                 esigs = D.minhash_signatures(
                     existing, text_col=text_col, id_col=id_col, num_hashes=num_hashes
@@ -1005,6 +1028,9 @@ def near_dedup_stream(
                 # every replayed doc as a self-collision, and the
                 # idempotent replace would wipe the first batch from the
                 # dedup table)
+                # fresh state lineage at side_path: same stale-schema
+                # invalidation as the derive-pre branch above
+                _STATE_SCHEMA_CACHE.pop(side_path.rstrip("/"), None)
                 ec, es = _cells_sigs(bb, sigs)
                 _write_state(
                     spark, ec.withColumn("_v", F.lit(batch_id)).limit(0),

@@ -47,3 +47,20 @@ def test_no_leg_column_stays_silent():
     # queries without an op column keep the old behavior
     problems = compare([(1.0,)], ["v"], [(2.0,)], ["v"])
     assert problems and not any(p.startswith("divergent leg(s)") for p in problems)
+
+
+def test_cross_engine_casing_keeps_leg_alignment():
+    # round-12 ADVICE fix: the two sides may report different identifier
+    # casings (DuckDB preserves quoted/derived case differently than
+    # Spark), and ASCII uppercase sorts BEFORE lowercase — with spark
+    # columns (op, V) a case-sensitive sort orders them (V, op) while
+    # the duck side's (op, v) stays (op, v), so the leg index built
+    # from the spark casing reads the VALUE column on the duck side.
+    # The sort must be casing-independent on both sides.
+    good = {"a": [1.0], "b": [2.0]}
+    bad = dict(good, b=[9.0])
+    problems = compare(
+        _mk_rows(bad), ["op", "V"], _mk_rows(good), ["op", "v"]
+    )
+    named = [p for p in problems if p.startswith("divergent leg(s):")]
+    assert named and "b" in named[0] and "a" not in named[0], problems

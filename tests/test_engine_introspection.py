@@ -339,28 +339,26 @@ def test_series_sql_recipes(spark):
     expr = R["cs_cum_<agg>"].replace("<agg>", "SUM").format(v="val", p="pos", P=P)
     assert approx(sql_col(expr), op_col(windows.cum_agg(df, "sum", partition_by=["sid"]), "cum_sum"))
 
-    # cs_window_avg_ref / cs_window_min_ref: the reference zero-padded
-    # warm-up recipes (round 11) vs moving_agg(warmup='reference') —
-    # min_ref's documented named-window `w` expanded inline
-    expr = R["cs_window_avg_ref"].format(v="val", p="pos", n=5, P=P)
-    assert approx(
-        sql_col(expr),
-        op_col(
-            windows.moving_agg(df, "avg", 5, partition_by=["sid"], warmup="reference"),
-            "window_avg",
-        ),
-    )
-    w_frame = f"{P} ORDER BY pos ROWS BETWEEN 4 PRECEDING AND CURRENT ROW"
-    expr = R["cs_window_min_ref"].split("  --")[0].replace("(w)", f"({w_frame})").format(
-        v="val", p="pos", n=5, P=P
-    )
-    assert approx(
-        sql_col(expr),
-        op_col(
-            windows.moving_agg(df, "min", 5, partition_by=["sid"], warmup="reference"),
-            "window_min",
-        ),
-    )
+    # cs_window_*_ref: the reference zero-padded warm-up recipes
+    # (round 11) vs moving_agg(warmup='reference'). Every recipe is
+    # rendered VERBATIM — self-contained SQL, no hand-stripping or
+    # named-window expansion (round-12 ADVICE: a uniform consumer must
+    # get valid SQL from each entry).
+    for ref_key, agg, col in (
+        ("cs_window_avg_ref", "avg", "window_avg"),
+        ("cs_window_min_ref", "min", "window_min"),
+        ("cs_window_max_ref", "max", "window_max"),
+        ("cs_window_var_ref", "var", "window_var"),
+        ("cs_window_dev_ref", "dev", "window_dev"),
+    ):
+        expr = R[ref_key].format(v="val", p="pos", n=5, P=P)
+        assert approx(
+            sql_col(expr),
+            op_col(
+                windows.moving_agg(df, agg, 5, partition_by=["sid"], warmup="reference"),
+                col,
+            ),
+        ), ref_key
 
     # cs_window_ema: the O(n²) AGGREGATE-fold form vs the linear
     # applyInPandas recurrence

@@ -347,6 +347,53 @@ def test_cut_pack_round_trip_types(spark):
         df2.select(S.cut("key", "i4i4").alias("k")).collect()
 
 
+def test_pack_nan_payload_objects_and_multitoken(spark):
+    # round-12 ADVICE fixes on the pack() side of the shims:
+    # (1) a genuine float NaN is a PAYLOAD — the reference's ``||``
+    #     concatenation packs the NaN bytes (func.c:366-412), so the
+    #     packed key is non-NULL and cut() round-trips the NaN;
+    # (2) date/timestamp/Decimal OBJECTS encode to the same PG-epoch
+    #     ints cut() decodes (pack/cut symmetry for d4/T8/m8 tokens);
+    # (3) a multi-token format in one pack() part is a loud error, not
+    #     a silent first-token mis-pack.
+    import datetime
+    import math
+    from decimal import Decimal
+
+    from imcs_spark import sources as S
+
+    # (1) NaN payload in f8 -> non-NULL key holding the packed NaN
+    #     bytes (asserted on the raw bytes: Arrow's pandas bridge reads
+    #     a NaN FLOAT back as null on the decode side, so the byte-
+    #     level check is the one that pins the pack semantics)
+    import struct
+
+    df = spark.createDataFrame(
+        [(1, float("nan"), 7), (2, 2.5, None)], "pos long, x double, k int"
+    )
+    out = df.withColumn("key", S.pack(("f8", "x"), ("i4", "k")))
+    rows = {r["pos"]: r for r in out.collect()}
+    assert rows[1]["key"] == struct.pack("<di", float("nan"), 7)
+    assert math.isnan(struct.unpack("<di", bytes(rows[1]["key"]))[0])
+    assert rows[2]["key"] is None  # None in any part -> NULL key
+
+    # (2) typed objects pack to what cut() decodes back
+    d = datetime.date(2013, 11, 1)  # PG day 5053
+    ts = datetime.datetime(2001, 2, 3, 4, 5, 6, 789000)
+    df2 = spark.createDataFrame(
+        [(d, ts, Decimal("1.25"))],
+        "d date, ts timestamp, m decimal(19,2)",
+    ).withColumn("key", S.pack(("d4", "d"), ("T8", "ts"), ("m8", "m")))
+    r = df2.select(S.cut("key", "d4T8m8").alias("c")).collect()[0]["c"]
+    assert r["f0"] == d
+    assert r["f1"] == ts
+    assert r["f2"] == Decimal("1.25")
+
+    # (3) multi-token part rejected loudly
+    with pytest.raises(ValueError, match="ONE format token"):
+        S.pack(("i4i4", "d"))
+
+
 def test_reference_warmup_randomized_model(spark):
     # randomized cross-check of warmup='reference' against a direct
     # numpy zero-padded-history model (func.c:1632-1763), per-series

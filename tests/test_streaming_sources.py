@@ -705,6 +705,74 @@ def test_streaming_near_dedup(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_near_dedup_state_reshape_same_path(spark):
+    """Round-12 ADVICE (medium) regression test: DELETE a stream's
+    target+state+checkpoint and recreate it at the SAME paths with a
+    DIFFERENT id type in the same driver process. The per-path state
+    schema cache must be invalidated when state is created fresh —
+    before the fix it served the old long-id schema and the recreated
+    stream read every hub id as NULL, silently corrupting dedup state
+    instead of gating cross-run near-duplicates."""
+    from imcs_spark.streaming import near_dedup_stream
+
+    words = [f"tok{i}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(words[:35] + ["mutA", *words[36:]])
+
+    tmp = tempfile.mkdtemp(prefix="imcs_reshape_")
+    target = os.path.join(tmp, "kept")
+    chk = os.path.join(tmp, "chk")
+    src = os.path.join(tmp, "incoming")
+
+    def run_stream(schema):
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = near_dedup_stream(stream, target, checkpoint=chk, bands=16)
+        q.awaitTermination(120)
+
+    try:
+        # lifecycle 1: LONG ids, two runs so the second run's state
+        # read populates the schema cache for this side-table path
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(0, base)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(src, mode="append")
+        run_stream("doc_id long, text string")
+        spark.createDataFrame(
+            [(1, near)], "doc_id long, text string"
+        ).coalesce(1).write.parquet(src, mode="append")
+        run_stream("doc_id long, text string")
+        assert {r["doc_id"] for r in spark.read.parquet(target).collect()} == {0}
+
+        # reshape: wipe EVERYTHING and recreate at the same paths with
+        # STRING ids in the same driver process
+        shutil.rmtree(tmp)
+        os.makedirs(src)
+        spark.createDataFrame(
+            [("a0", base)], "doc_id string, text string"
+        ).coalesce(1).write.parquet(src, mode="append")
+        run_stream("doc_id string, text string")
+        spark.createDataFrame(
+            [("a1", near)], "doc_id string, text string"
+        ).coalesce(1).write.parquet(src, mode="append")
+        run_stream("doc_id string, text string")
+
+        # the cross-run near-dup must be gated — which requires the
+        # second run to have read REAL string hub ids from state, not
+        # the NULLs a stale long-id schema would produce
+        kept = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+        assert kept == {"a0"}
+        state_dir = target + "_buckets"
+        vdirs = [d for d in os.listdir(state_dir) if d.startswith("v")]
+        cells = spark.read.parquet(
+            *[os.path.join(state_dir, d, "cells") for d in vdirs
+              if os.path.isdir(os.path.join(state_dir, d, "cells"))]
+        )
+        n_null = cells.filter(F.col("hub_id").isNull()).count()
+        assert n_null == 0 and cells.count() > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_idempotent_append_replaces_batch_output(spark):
     """The streaming data append writes each batch under deterministic
     file names: re-running the same (prefix, batch) REPLACES the prior

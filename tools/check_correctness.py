@@ -57,7 +57,11 @@ def rows_to_multiset(rows, colnames):
     # ratios, per-row values) round at 6dp while sums of magnitude
     # >=1e7 round at >=100x their noise (2dp at 1e7, integers at 1e8+,
     # tens at 1e10+). Keep that convention when adding queries.
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    # lowercased sort key: both sides' multisets must order columns
+    # identically even when Spark and DuckDB report different casings
+    # (round-12 ADVICE fix — a casing-dependent sort made leg_breakdown
+    # read the wrong column on one side)
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i].lower())
     out = []
     for r in rows:
         out.append(tuple(norm_cell(r[i]) for i in order))
@@ -128,7 +132,7 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
     if sorted(c.lower() for c in spark_cols) != sorted(c.lower() for c in duck_cols):
         problems.append(f"schema mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
         return problems
-    sorted_cols = sorted(spark_cols, key=lambda c: c)
+    sorted_cols = sorted(spark_cols, key=lambda c: c.lower())
     a = rows_to_multiset(spark_rows, spark_cols)
     b = rows_to_multiset(duck_rows, duck_cols)
     if len(spark_rows) != len(duck_rows):
