@@ -501,3 +501,27 @@ def test_udaf_ieee_edge_semantics(spark):
     assert rows["z"]["wavg"] is None
     assert math.isinf(rows["p"]["prd"]) and rows["p"]["prd"] > 0
     assert math.isinf(rows["o"]["wsum"]) and rows["o"]["wsum"] > 0
+
+
+def test_readme_warmup_porting_note():
+    """VERDICT r11 item 7: the compat surface must say LOUDLY that
+    moving_agg defaults to Spark partial-frame semantics and reference
+    parity needs warmup='reference' — one README section naming the
+    default difference, plus every _ref recipe it points to existing."""
+    import os
+
+    from imcs_spark.sqlsurface import SERIES_SQL_RECIPES
+
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md")
+    ).read()
+    assert "warmup='partial'" in readme
+    assert 'warmup="reference"' in readme
+    assert "zero-initialized circular history" in readme
+    # the recipes the note points at exist and are self-contained
+    # (formattable with the documented placeholders alone)
+    for agg in ("avg", "min", "max", "var", "dev"):
+        key = f"cs_window_{agg}_ref"
+        assert key in readme or f"cs_window_{{avg,min,max,var,dev}}_ref" in readme
+        sql = SERIES_SQL_RECIPES[key].format(v="v", p="p", n=5, P="")
+        assert "{" not in sql and "--" not in sql, key

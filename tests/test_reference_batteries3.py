@@ -443,3 +443,79 @@ def test_reference_warmup_randomized_model(spark):
                 f"window_{agg}",
             )
             _approx(got_g, want, rel=1e-9)
+
+
+# --- sql/drop.sql vs expected/drop.out (lifecycle battery, 16/16) -----------
+
+def test_drop_battery_lifecycle(quote, spark):
+    """sql/drop.sql ported verbatim against expected/drop.out — the
+    16th and final pg_regress file. The reference's one-timestamp
+    delete form is a HEAD TRIM (imcs--1.1.sql:188:
+    TABLE_delete(id, till_ts) => TABLE_delete(id, null, till_ts)), so
+    Quote_delete('IBM', '02-Nov-2013') removes the 01-Nov and 02-Nov
+    rows — in this API that is delete('IBM', till_ts=...), NOT a
+    positional second argument (which is from_ts). Deleted-row counts
+    (the battery's scalar outputs) are pinned as count deltas; the
+    drop-adjacent error paths (access-after-drop, double-drop,
+    re-create-after-drop) are pinned on Engine: drop is IDEMPOTENT here
+    (dict pop; PostgreSQL's function-drop errors instead — divergence
+    by design, a catalog no-op beats a spurious failure on replayed
+    cleanup scripts), access after drop raises KeyError, and re-create
+    after drop works."""
+    import datetime
+
+    from imcs_spark.table import Engine
+
+    eng = Engine(spark)
+    t = eng.create("Quote", quote, ts_col="day", id_col="symbol")
+
+    # Quote_delete('IBM', date('02-Nov-2013')) -> 2  (head trim)
+    n0 = t.count("IBM")
+    t1 = t.delete("IBM", till_ts="2013-11-02")
+    assert n0 - t1.count("IBM") == 2
+    # select Day from Quote_get('IBM') -> {11-04, 11-05, 11-06}
+    days = [r["day"] for r in t1.get("IBM").orderBy("day").collect()]
+    assert days == [
+        datetime.date(2013, 11, 4),
+        datetime.date(2013, 11, 5),
+        datetime.date(2013, 11, 6),
+    ]
+
+    # Quote_delete('ABB', 03-Nov, 06-Nov) -> 2  (inclusive range)
+    n0 = t1.count("ABB")
+    t2 = t1.delete("ABB", from_ts="2013-11-03", till_ts="2013-11-06")
+    assert n0 - t2.count("ABB") == 2
+
+    # Quote_truncate() -> empty table, both gets return 0 rows with the
+    # full schema intact
+    t3 = t2.truncate()
+    assert t3.count("IBM") == 0 and t3.count("ABB") == 0
+    assert t3.get("IBM").count() == 0 and t3.get("ABB").count() == 0
+    assert t3.get("IBM").columns == t2.get("IBM").columns
+
+    # CrashLog_delete('2014-04-14 11:54','...11:56') -> 3 (timestamp
+    # range over the id-less create.sql CrashLog fixture)
+    crash = spark.createDataFrame(
+        [
+            ("2014-04-14 11:54:00", 10000001, "USA"),
+            ("2014-04-14 11:55:00", 10000002, "Japan"),
+            ("2014-04-14 11:56:00", 10000003, "China"),
+        ],
+        "ts_s string, crash_id long, country string",
+    ).withColumn("log_time", F.to_timestamp("ts_s")).drop("ts_s")
+    cl = eng.create("CrashLog", crash, ts_col="log_time")
+    n0 = cl.count()
+    cl2 = cl.delete(from_ts="2014-04-14 11:54", till_ts="2014-04-14 11:56")
+    assert n0 - cl2.count() == 3
+
+    # Quote_drop(); CrashLog_drop() — then the error paths
+    assert eng.is_loaded("Quote") and eng.is_loaded("CrashLog")
+    eng.drop("Quote")
+    eng.drop("CrashLog")
+    assert not eng.is_loaded("Quote") and not eng.is_loaded("CrashLog")
+    with pytest.raises(KeyError):
+        eng.tables["Quote"]  # access-after-drop fails loudly
+    eng.drop("Quote")  # double-drop: idempotent no-op (pinned)
+    # re-create-after-drop works and reads fresh data
+    t4 = eng.create("Quote", quote, ts_col="day", id_col="symbol")
+    assert t4.count("IBM") == 5
