@@ -143,13 +143,30 @@ def _write_state(
         # to n_files tasks
         c = c.repartition(n_files)
     c = c.sortWithinPartitions("bucket", "band")
-    c.write.mode("overwrite").option("compression", codec).parquet(
-        f"{path}/cells"
-    )
     s = sigs if n_files is None else sigs.repartition(n_files)
-    s.write.mode("overwrite").option("compression", codec).parquet(
-        f"{path}/sigs"
-    )
+
+    # The two sub-table writes are INDEPENDENT jobs — run them on two
+    # threads so their fixed job-submission + task-commit cost overlaps
+    # (round 12: ~0.5-1 s/batch off the state_write phase at the 2M
+    # soak, where each delta write is a small 1-4-file job whose wall
+    # is mostly commit machinery). The _COMMITTED marker still lands
+    # only after BOTH complete, so crash atomicity is unchanged.
+    errs: list[BaseException] = []
+
+    def _wr(df, sub):
+        try:
+            df.write.mode("overwrite").option("compression", codec).parquet(
+                f"{path}/{sub}"
+            )
+        except BaseException as e:  # noqa: BLE001 - re-raised below
+            errs.append(e)
+
+    tc = threading.Thread(target=_wr, args=(c, "cells"))
+    ts = threading.Thread(target=_wr, args=(s, "sigs"))
+    tc.start(); ts.start()
+    tc.join(); ts.join()
+    if errs:
+        raise errs[0]
     fs.create(P(f"{path}/_COMMITTED"), True).close()
 
 
@@ -912,6 +929,15 @@ def near_dedup_stream(
     new batch's hub (the old occupant aged out, so the newcomer IS the
     first live occupant). Already-kept documents are never retracted —
     eviction changes only future gating decisions.
+
+    Negative result, recorded so it is not retried (round 12): an
+    in-process block-store cache of the state (persisted read-backs of
+    the committed version dirs, stamped by the (base, deltas) listing)
+    was built and A/B-measured at the 2M soak — cached columnar scans
+    LOST to the page-cache-hot snappy parquet read by ~+3 s/batch
+    (310 s no-cache vs 443 s cached on the same box), and the fixed
+    listing/plan cost did not move. The versioned parquet protocol IS
+    the fast path; per-batch reads stay on it.
     """
     from ..pipeline import dedup as D
 
@@ -970,11 +996,21 @@ def near_dedup_stream(
         # conf guard that used to wrap the whole batch here is now
         # scoped — with a cross-stream lock — to the one
         # materialization that needs it; see the trickle branch.)
-        sigs = bb = prev = None
+        sigs = bb = prev = app_t = None
         state_tmp: list = []
         try:
             full_batch = batch
-            batch = batch.select(id_col, text_col)
+            # spread BEFORE the shingle/minhash chain (round 12): a
+            # micro-batch often arrives as one or two source files whose
+            # scan yields only a handful of partitions, serializing the
+            # tokenize+hash work — the soak's dominant per-batch phase —
+            # through a fraction of the cores (measured: 5.2 s -> 1.4 s
+            # on a 100k-doc single-file batch at local[32]). One
+            # round-robin exchange of the raw batch-bounded rows buys
+            # full parallelism for everything downstream; no-op when the
+            # source already scans wide (the 100 TB shape).
+            batch = D.spread(batch.select(id_col, text_col)).persist()
+            state_tmp.append(batch)
             sigs = D.minhash_signatures(
                 batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes
             ).persist()
@@ -1171,11 +1207,35 @@ def near_dedup_stream(
             drop_in = inb.select(id_col).distinct()
             drops = drop_in if drop_prev is None else drop_prev.unionByName(drop_in).distinct()
 
-            kept = batch.join(drops, id_col, "left_anti")
-            if keep_all_columns:
-                kept = full_batch.join(kept.select(id_col), id_col, "left_semi")
-            _idempotent_append(spark, kept, target_path, f"batch-{token}-{batch_id}-")
-            _mark("append")
+            # The kept-rows append and the state maintenance below are
+            # INDEPENDENT pipelines over the same cached per-batch
+            # frames (both hang off the single persisted state scan in
+            # `prev`), so the append runs on its own thread and joins
+            # before GC (round 12): the two walls overlap instead of
+            # adding. Crash semantics are unchanged — the append is
+            # idempotent-replace, the delta write is overwrite-mode,
+            # and a replay redoes whichever half (or both) landed.
+            def _do_append():
+                kept = batch.join(drops, id_col, "left_anti")
+                if keep_all_columns:
+                    kept = full_batch.join(
+                        kept.select(id_col), id_col, "left_semi"
+                    )
+                _idempotent_append(
+                    spark, kept, target_path, f"batch-{token}-{batch_id}-"
+                )
+
+            app_errs: list = []
+
+            def _append_worker():
+                try:
+                    _do_append()
+                except BaseException as e:  # noqa: BLE001 - re-raised on join
+                    app_errs.append(e)
+
+            app_t = threading.Thread(target=_append_worker)
+            app_t.start()
+            _mark("append_launch")
 
             # post-batch state: earlier occupants win their cells; new
             # cells take this batch's min-id occupant. O(batch) path:
@@ -1198,18 +1258,24 @@ def near_dedup_stream(
                 # corpus-scale state (see rule (a) note); fresh sigs are
                 # the fresh hubs' rows of the batch's per-doc signatures
                 # persisted: batch-bounded, and the cells write + the
-                # sigs semi-join below each materialize it otherwise
+                # sigs semi-join below each materialize it otherwise.
+                # Partition count sized to the batch's estimated cell
+                # bytes (round 12): a 20 MB delta in 8 files paid 8 task
+                # commits + 8 footers on every later read for no
+                # parallelism it could use
+                nf = int(min(8, max(1, est_bytes // (16 << 20) + 1)))
                 fresh = batch_cells.join(
                     hint(collided), ["band", "bucket"], "left_anti"
-                ).persist()
+                ).repartition(nf).persist()
                 state_tmp.append(fresh)
                 fresh_sigs = sigs.withColumnRenamed(id_col, "hub_id").join(
                     fresh.select("hub_id"), "hub_id", "left_semi"
-                )
+                ).repartition(nf).persist()
+                state_tmp.append(fresh_sigs)
                 if usable and len(deltas) + 1 < compact_every:
                     _write_state(
                         spark, fresh, fresh_sigs, f"{side_path}/d{batch_id}",
-                        n_files=8,
+                        n_files=None,
                     )
                     keep = {usable[-1]}
                     base = usable[-1]
@@ -1245,10 +1311,18 @@ def near_dedup_stream(
                     keep = {batch_id} | ({usable[-1]} if usable else set())
                     base = usable[-1] if usable else None
             _mark("state_write")
+            app_t.join()
+            if app_errs:
+                raise app_errs[0]
+            _mark("append_join")
             _gc_versions(spark, side_path, versions, keep, batch_id)
             _gc_deltas(spark, side_path, base, batch_id)
             _mark("gc")
         finally:
+            if app_t is not None and app_t.is_alive():
+                # an exception on the state-write path must not yank
+                # cached blocks out from under the still-running append
+                app_t.join(300)
             for _df in (sigs, bb, prev, *state_tmp):
                 if _df is not None:
                     _df.unpersist()
