@@ -286,6 +286,12 @@ def main():
             "cur2m_split_frac_ok", "cur2m_pack_budget_ok",
             "lsh_mega_cc_equal", "ndttl_kept_superset",
             "ndttl_far_kept_frac_ttl",
+            # round 12: 10M ANN gates and the as-of/stretch 60M
+            # slice-equality pins + linear-scale ratios
+            "ann10m_ivf_recall10", "ann10m_pq_recall10",
+            "ann10m_ivf_speedup", "ann10m_pq_speedup",
+            "asof60m_slice_equal", "stretch60m_slice_equal",
+            "asof60m_linear_ratio", "stretch60m_linear_ratio",
         )
         print(
             json.dumps(
@@ -310,6 +316,23 @@ def main():
             )
         )
         sys.stdout.flush()
+    # Drift-control line (round 12, VERDICT item 2): compare this run's
+    # gate rows and headline against the PREVIOUS round's recorded
+    # BENCH_r{N}.json, both raw and normalized by the frozen floor
+    # probes' own cross-round ratio — so a reader classifies any delta
+    # as code vs environment without the manual forensics rounds 9-11
+    # each needed.
+    try:
+        line = build_drift_line(
+            payload, scale, os.path.dirname(os.path.abspath(__file__))
+        )
+        if line is not None:
+            print(json.dumps(line))
+            sys.stdout.flush()
+    except Exception as e:  # pragma: no cover - the drift line must
+        # never break the bench contract
+        print(f"[bench] drift line skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -321,6 +344,104 @@ def main():
             }
         )
     )
+
+
+
+def build_drift_line(payload: dict, scale: dict, here: str) -> dict | None:
+    """The drift comparison as data: gate rows and headline vs the
+    newest parseable BENCH_r{N}.json, each as
+    [now_ms, prev_ms, raw_ratio, norm_ratio] where norm_ratio divides
+    out drift_factor = geomean over the shared frozen floor probes of
+    (now/prev). A row with raw 1.3x but norm ~1.0x moved with the box,
+    not the code. Returns None when no prior round parses.
+
+    The driver's BENCH_r{N}.json keeps only a TRUNCATED tail of the
+    bench stdout — the full payload line is usually cut, but the
+    compact gate line ({"gate": ..., "floors_ms": ...}) and the summary
+    line ({"metric": ..., "value": ...}) survive by design, so the
+    comparison reads THOSE."""
+    import glob
+    import math
+    import re
+
+    prevs = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    prev_gate = prev_head = None
+    prev_n = None
+    for p in reversed(prevs):
+        try:
+            with open(p) as fh:
+                doc = json.load(fh)
+            lines = []
+            if isinstance(doc, dict) and "tail" in doc:
+                lines = str(doc["tail"]).splitlines()
+            g = h = None
+            for ln in lines:
+                ln = ln.strip()
+                if not ln.startswith("{"):
+                    continue
+                try:
+                    d2 = json.loads(ln)
+                except ValueError:
+                    continue
+                if "gate" in d2 and "floors_ms" in d2:
+                    g = d2
+                elif "value" in d2 and "metric" in d2:
+                    h = d2
+            if isinstance(doc, dict) and h is None and isinstance(
+                doc.get("parsed"), dict
+            ):
+                h = doc["parsed"]
+            if g is not None:
+                prev_gate, prev_head = g, h
+                prev_n = int(re.search(r"_r(\d+)", p).group(1))
+                break
+        except (OSError, ValueError):
+            continue
+    if prev_gate is None or not isinstance(scale, dict) or not scale:
+        return None
+    # floors: now from scale (sec), prev from the compact line (ms)
+    floor_map = {
+        "select1": "floor_select1_exec",
+        "1task_agg": "floor_1task_agg_exec",
+        "32task_agg": "floor_32task_agg_exec",
+        "shuffle_agg": "floor_shuffle_agg_exec",
+    }
+    pf = prev_gate.get("floors_ms", {})
+    ratios, floors_cmp = [], {}
+    for short, full in floor_map.items():
+        if scale.get(full) and pf.get(short):
+            now_ms = scale[full] * 1000
+            ratios.append(now_ms / pf[short])
+            floors_cmp[short] = [round(now_ms, 1), pf[short]]
+    drift_factor = (
+        math.exp(sum(math.log(r) for r in ratios) / len(ratios))
+        if ratios else None
+    )
+    rows = {}
+    for key, vals in prev_gate.get("gate", {}).items():
+        if scale.get(key) and vals:
+            now_ms = scale[key] * 1000
+            raw = now_ms / vals[0]
+            rows[key] = [round(now_ms, 1), vals[0], round(raw, 3)] + (
+                [round(raw / drift_factor, 3)] if drift_factor else []
+            )
+    head = None
+    if payload.get("value") and prev_head and prev_head.get("value"):
+        raw = payload["value"] / prev_head["value"]
+        head = [
+            payload["value"], prev_head["value"], round(raw, 3),
+        ] + ([round(raw / drift_factor, 3)] if drift_factor else [])
+    return {
+        "drift_vs_round": prev_n,
+        "drift_factor": round(drift_factor, 3) if drift_factor else None,
+        "floors_now_vs_prev_ms": floors_cmp,
+        "gate_vs_prev": rows,
+        "headline_vs_prev": head,
+        "compact": True,
+    }
 
 
 if __name__ == "__main__":

@@ -41,7 +41,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_SYMBOLS = 2200
@@ -310,6 +310,18 @@ def _run_scale_inner(
     # stay comparable (round-10 review: an inline copy here could
     # drift from _floor_probe)
     out["floor_32task_agg_exec"], _t32 = _floor_probe(spark, 7)
+    # 4th drift probe (round 12, VERDICT item 2): a frozen SHUFFLE agg —
+    # the other fixed-cost regime the 3 narrow probes miss (exchange
+    # write/fetch machinery). Together the four let any cross-round
+    # gate/headline delta self-classify as code vs environment drift
+    # (bench.py emits the normalized comparison line).
+    _shf = (
+        spark.range(0, 1_000_000, 1, 32)
+        .groupBy((F.col("id") % 32).alias("k"))
+        .count()
+    )
+    _shf.collect()
+    out["floor_shuffle_agg_exec"] = _best(lambda: _shf.collect(), 7)
 
     # Pre-touch the parquet bytes into the OS page cache: the
     # reference's published Quote_load reads a PostgreSQL heap table
@@ -570,6 +582,20 @@ def _run_rest_sections(
     recorded per-section with its ROOT cause line (the py4j wrapper
     line alone is useless)."""
 
+    # drift stamp at the head of the soak half (round 12): the gate
+    # half recorded its four floor probes before the registry queries
+    # heated the box; this trio re-times two of them here so a
+    # soak-section delta can be classified against the box state the
+    # SOAKS actually ran under, not the gate's cooler snapshot
+    out["drift_rest_32task_exec"], _ = _floor_probe(spark)
+    _shf = (
+        spark.range(0, 1_000_000, 1, 32)
+        .groupBy((F.col("id") % 32).alias("k"))
+        .count()
+    )
+    _shf.collect()
+    out["drift_rest_shuffle_exec"] = _best(lambda: _shf.collect(), 5)
+
     def _section(flag, key, fn):
         if os.environ.get(flag, "1") != "1":
             return
@@ -590,6 +616,11 @@ def _run_rest_sections(
     )
     _section("SPARK_GRAFT_SCALE_ANN", "ann", lambda: _run_ann_soak(spark, data_dir))
     _section(
+        "SPARK_GRAFT_SCALE_ANN_BIG",
+        "ann_big",
+        lambda: _run_ann_big_soak(spark, data_dir),
+    )
+    _section(
         "SPARK_GRAFT_SCALE_NDSTREAM",
         "ndstream",
         lambda: _run_near_dedup_soak(spark, data_dir),
@@ -598,6 +629,16 @@ def _run_rest_sections(
         "SPARK_GRAFT_SCALE_NDTTL",
         "ndttl",
         lambda: _run_near_dedup_ttl_soak(spark),
+    )
+    _section(
+        "SPARK_GRAFT_SCALE_JOINS",
+        "joins",
+        lambda: _run_join_soak(spark, data_dir, runs),
+    )
+    _section(
+        "SPARK_GRAFT_SCALE_NDTRICKLE",
+        "ndtrickle",
+        lambda: _run_ndtrickle(spark, data_dir),
     )
 
 
@@ -834,6 +875,254 @@ def _run_big(spark: SparkSession, data_dir: str, runs: int) -> dict:
 
     _time_row(out, "dbitem_hash_agg_60m", _dbq, runs, floor_df=_t32)
     d.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# As-of/stretch join soak (round 12, VERDICT item 3): the one operator
+# family whose scale behavior was claimed (union+window one-pass) but
+# never measured at size. asof_join_multi (backward+nearest) and
+# stretch over the 60M-row quotes against a 1M-row probe whose symbol
+# is Zipf-skewed (20% on one hot key — the sort/rank skew discipline),
+# with a 6M twin so the 60M walls can be read against a linear
+# right-side extrapolation (x10), per-row interleaved floors, and a
+# brute-force slice equality check pinning the 60M output to the
+# oracle-checked sf0.1 semantics.
+# ---------------------------------------------------------------------------
+def _time_built_row(out: dict, name: str, build, runs: int, floor_df) -> None:
+    """min-of-runs over FRESH builds (plan + execute), with the floor
+    probe interleaved round-robin like _time_row. The prepared-plan
+    _exec convention is meaningless for these shuffle-heavy rows: a
+    re-collect of the same DataFrame reuses the materialized shuffle
+    map outputs inside the JVM and measures ~0 ms of real work, so the
+    build-per-trial statement form is the honest number here (Catalyst
+    compile is ~0.1 s against multi-second rows — negligible, unlike
+    the sub-100 ms gate rows where the _exec split exists)."""
+    best = fbest = None
+    for _ in range(max(runs, 2)):
+        t0 = time.time()
+        build().collect()
+        el = time.time() - t0
+        best = el if best is None else min(best, el)
+        t0 = time.time()
+        floor_df.collect()
+        fl = time.time() - t0
+        fbest = fl if fbest is None else min(fbest, fl)
+    out[name] = round(best, 4)
+    out[name + "_floor"] = round(fbest, 4)
+
+
+def _join_hot_sid(n_symbols: int) -> int:
+    """Rank 100 = the gate's hot symbol S0100 at bench sizes; falls
+    back to the middle rank when the (CI toy) symbol count is smaller."""
+    return 100 if n_symbols > 100 else n_symbols // 2
+
+
+def _probe_frame(spark: SparkSession, n_rows: int, n_symbols: int, seed: int):
+    """Deterministic 20%-hot Zipf probe timeline: one hot symbol rank
+    owns a fifth of the probe (rank 100 = the gate's hot symbol S0100),
+    the rest is log-uniform over ranks 1..n_symbols-1; probe days are
+    uniform over the quotes' 2003-2013 calendar span, so most fall
+    BETWEEN trading days and exercise the backward/nearest fill."""
+    u1, u2, u3 = _u("id", seed), _u("id", seed + 1), _u("id", seed + 2)
+    sid = (
+        F.when(u1 < 0.2, F.lit(_join_hot_sid(n_symbols)))
+        .otherwise(F.floor(F.pow(F.lit(float(n_symbols)), u2)))
+        .cast("long")
+    )
+    return spark.range(0, n_rows, 1, 32).select(
+        F.col("id").alias("probe_id"),
+        F.format_string("S%04d", sid).alias("symbol"),
+        F.date_add(
+            F.lit("2003-01-01").cast("date"), F.floor(u3 * 4016).cast("int")
+        ).alias("day"),
+    )
+
+
+def _run_join_soak(spark: SparkSession, data_dir: str, runs: int) -> dict:
+    from imcs_spark.operators import joins
+
+    out: dict[str, float] = {}
+    out["joins_floor_sec"], _t32 = _floor_probe(spark)
+
+    q60_path = os.path.join(data_dir, "quotes_60m.parquet")
+    global N_SYMBOLS, QUOTE_ROWS
+    saved = (N_SYMBOLS, QUOTE_ROWS)
+    N_SYMBOLS, QUOTE_ROWS = 22000, 22000 * N_DAYS
+    try:
+        _ensure(spark, q60_path, gen_quotes)
+    finally:
+        N_SYMBOLS, QUOTE_ROWS = saved
+    q6_path = os.path.join(data_dir, "quotes_6m.parquet")
+    _ensure(spark, q6_path, gen_quotes)
+
+    n_probe = QUOTE_ROWS // 6  # 1M at bench size; scales down in CI
+    results: dict[str, dict] = {}
+    # the 60m table is always generated with 22000 symbols (same
+    # hard-set as _run_big, shared on-disk table)
+    for tag, path, nsym in (
+        ("6m", q6_path, N_SYMBOLS),
+        ("60m", q60_path, 22000),
+    ):
+        quotes = (
+            spark.read.parquet(path).select("symbol", "day", "close").persist()
+        )
+        out[f"asof{tag}_right_rows"] = quotes.count()
+        probe = _probe_frame(spark, n_probe, nsym, seed=77).persist()
+        out[f"asof{tag}_probe_rows"] = probe.count()
+
+        # --- as-of: backward + nearest in ONE union+window pass,
+        # checksum-aggregated (collecting 1M joined rows would time the
+        # driver transfer, not the operator)
+        def _asof():
+            j = joins.asof_join_multi(
+                probe, quotes, on="day", by=["symbol"],
+                right_cols=["close"], directions=("backward", "nearest"),
+            )
+            return j.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("close_backward").alias("sb"),
+                F.sum("close_nearest").alias("sn"),
+            )
+
+        _time_built_row(out, f"asof_{tag}", _asof, runs, _t32)
+
+        # --- stretch: series frames (symbol, pos, val); prep (the
+        # row_number spine over the right side) is one-time input
+        # shaping, built outside the timed region like every gate
+        # row's load
+        w = Window.partitionBy("symbol").orderBy("day")
+        ts2 = (
+            quotes.withColumn("pos", F.row_number().over(w) - 1)
+            .select("symbol", "pos", F.datediff("day", F.lit("2000-01-01")).alias("val"))
+            .persist()
+        )
+        vals = (
+            quotes.withColumn("pos", F.row_number().over(w) - 1)
+            .select("symbol", "pos", F.col("close").cast("double").alias("val"))
+            .persist()
+        )
+        wp = Window.partitionBy("symbol").orderBy("day", "probe_id")
+        ts1 = (
+            probe.withColumn("pos", F.row_number().over(wp) - 1)
+            .select("symbol", "pos", F.datediff("day", F.lit("2000-01-01")).alias("val"))
+            .persist()
+        )
+        t0 = time.time()
+        ts2.count(); vals.count(); ts1.count()
+        out[f"stretch{tag}_prep_sec"] = round(time.time() - t0, 4)
+
+        def _stretch():
+            s = joins.stretch(
+                ts1, ts2, vals, filler=-1.0, val_col="val",
+                partition_by=["symbol"],
+            )
+            return s.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("val").alias("sv")
+            )
+
+        _time_built_row(out, f"stretch_{tag}", _stretch, runs, _t32)
+        results[tag] = {
+            "quotes": quotes, "probe": probe, "ts1": ts1, "ts2": ts2,
+            "vals": vals,
+        }
+        if tag == "6m":
+            for fdf in (quotes, probe, ts1, ts2, vals):
+                fdf.unpersist()
+
+    # linear-extrapolation guard: right side grew x10, probe constant —
+    # a healthy one-pass plan stays well under 2x the linear scale-up
+    for op in ("asof", "stretch"):
+        t6, t60 = out[f"{op}_6m"], out[f"{op}_60m"]
+        out[f"{op}60m_linear_ratio"] = round(t60 / (t6 * 10), 4)
+
+    # --- slice equality: pin the 60M output to the oracle-checked
+    # semantics by brute force on a hot + a tail symbol (~1k probe
+    # rows x 2728 quotes each — exact, distributed, no window reuse)
+    r = results["60m"]
+    hot60 = _join_hot_sid(22000)
+    slice_syms = (f"S{hot60:04d}", "S0007")
+    slice_mod = max(1, n_probe // 1000)
+    ps = r["probe"].filter(
+        F.col("symbol").isin(*slice_syms)
+        & (F.col("probe_id") % slice_mod == 0)
+    )
+    qs = r["quotes"].filter(F.col("symbol").isin(*slice_syms))
+    j = joins.asof_join_multi(
+        ps, qs, on="day", by=["symbol"], right_cols=["close"],
+        directions=("backward", "nearest"),
+    ).select("probe_id", "close_backward", "close_nearest")
+    # brute force: every (probe, quote) pair of the symbol, then pick
+    # backward = max day <= d, nearest = min |diff| ties-to-earlier
+    pq = ps.join(qs.withColumnRenamed("day", "qday"), "symbol")
+    wb = Window.partitionBy("probe_id")
+    back = (
+        pq.filter(F.col("qday") <= F.col("day"))
+        .withColumn("_rk", F.row_number().over(wb.orderBy(F.col("qday").desc())))
+        .filter(F.col("_rk") == 1)
+        .select("probe_id", F.col("close").alias("bf_backward"))
+    )
+    near = (
+        pq.withColumn("_d", F.abs(F.datediff("qday", "day")))
+        .withColumn(
+            "_rk",
+            F.row_number().over(wb.orderBy(F.col("_d"), F.col("qday"))),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("probe_id", F.col("close").alias("bf_nearest"))
+    )
+    cmpdf = j.join(back, "probe_id", "left").join(near, "probe_id", "left")
+    bad = cmpdf.filter(
+        ~(
+            F.col("close_backward").eqNullSafe(F.col("bf_backward"))
+            & F.col("close_nearest").eqNullSafe(F.col("bf_nearest"))
+        )
+    ).count()
+    out["asof60m_slice_rows"] = cmpdf.count()
+    out["asof60m_slice_equal"] = int(bad == 0)
+
+    # stretch slice: first right timestamp strictly greater, filler -1.
+    # SAMPLED like the as-of slice: stretch is row-local in ts1 (each
+    # left row's output depends only on its own timestamp vs ts2), so
+    # running the operator on the sampled subset is exact — and the
+    # brute-force twin over the UNSAMPLED 200k-row hot symbol was a
+    # 1.1B-row join that dominated the whole section's wall
+    t0 = time.time()
+    t1s = r["ts1"].filter(
+        F.col("symbol").isin(*slice_syms) & (F.col("pos") % slice_mod == 0)
+    )
+    sj = joins.stretch(
+        t1s, r["ts2"].filter(F.col("symbol").isin(*slice_syms)),
+        r["vals"].filter(F.col("symbol").isin(*slice_syms)),
+        filler=-1.0, val_col="val", partition_by=["symbol"],
+    )
+    t2v = (
+        r["ts2"].filter(F.col("symbol").isin(*slice_syms))
+        .withColumnRenamed("val", "qval")
+        .join(
+            r["vals"].filter(F.col("symbol").isin(*slice_syms))
+            .withColumnRenamed("val", "sval"),
+            ["symbol", "pos"],
+        )
+        .select("symbol", "qval", "sval")  # ts1's pos must stay unambiguous
+    )
+    bp = t1s.join(t2v, "symbol").filter(F.col("qval") > F.col("val"))
+    wbp = Window.partitionBy("symbol", "pos")
+    bf = (
+        bp.withColumn("_rk", F.row_number().over(wbp.orderBy("qval")))
+        .filter(F.col("_rk") == 1)
+        .select("symbol", "pos", F.col("sval").alias("bf_val"))
+    )
+    scmp = sj.join(bf, ["symbol", "pos"], "left").withColumn(
+        "bf_val", F.coalesce(F.col("bf_val"), F.lit(-1.0))
+    )
+    sbad = scmp.filter(~F.col("val").eqNullSafe(F.col("bf_val"))).count()
+    out["stretch60m_slice_rows"] = scmp.count()
+    out["stretch60m_slice_equal"] = int(sbad == 0)
+    out["joins_slice_sec"] = round(time.time() - t0, 4)
+
+    for fdf in (r["quotes"], r["probe"], r["ts1"], r["ts2"], r["vals"]):
+        fdf.unpersist()
     return out
 
 
@@ -1345,6 +1634,202 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     enc.unpersist()
 
     for f in (truth, approx, index[1], queries, corpus):
+        f.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Trickle IN-pushdown, measured IN ITS REGIME (round 12, VERDICT item
+# 4): the near-dedup trickle fast path pushes a <=512-value bucket IN
+# set into the bucket-major-sorted state scan so row groups skip. At
+# the 2M soak's state size (16M cells, ~150 MB) the whole scan is
+# ~0.3 s and the skip is invisible under the job floor — the honest
+# r10/r11 note. This section synthesizes a 10x state (160M cells,
+# decode-bound even page-cache-hot) and records the SAME probe three
+# ways: pushed IN (threshold raised, the trickle path), degraded IN
+# (default threshold 10 -> min/max range, useless on uniform hash
+# buckets => full decode), and the broadcast hash join a NORMAL batch
+# pays. Done = the win the mechanism exists for, on the record.
+# ---------------------------------------------------------------------------
+NDTRICKLE_CELLS = 160_000_000
+
+
+def _run_ndtrickle(spark: SparkSession, data_dir: str) -> dict:
+    from .streaming import _write_state, _snapshot_ok
+
+    out: dict[str, float] = {}
+    out["ndtrickle_floor_sec"], _ = _floor_probe(spark)
+
+    state = os.path.join(data_dir, "ndtrickle_state", "v0")
+    if not _snapshot_ok(spark, state):
+        cells = spark.range(0, NDTRICKLE_CELLS, 1, 64).select(
+            (F.col("id") % 8).cast("int").alias("band"),
+            F.xxhash64("id").alias("bucket"),
+            F.col("id").alias("hub_id"),
+            F.lit(0).cast("int").alias("_v"),
+        )
+        sigs = spark.range(0).select(
+            F.col("id").alias("hub_id"),
+            *[F.col("id").alias(f"mh_{k}") for k in range(16)],
+        )
+        t0 = time.time()
+        _write_state(spark, cells, sigs, state, sort=True)
+        out["ndtrickle_gen_sec"] = round(time.time() - t0, 4)
+    cpath = f"{state}/cells"
+    schema = "band int, bucket bigint, hub_id bigint, _v int"
+    out["ndtrickle_state_rows"] = spark.read.schema(schema).parquet(cpath).count()
+    out["ndtrickle_state_bytes"] = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(cpath) for f in fs
+    )
+
+    # 256 bucket values actually present — a trickle batch's IN set
+    vals = [
+        r[0]
+        for r in spark.read.schema(schema).parquet(cpath)
+        .filter(F.col("hub_id") % (NDTRICKLE_CELLS // 256) == 7)
+        .select("bucket").limit(256).collect()
+    ]
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    prev = spark.conf.get(key, "10")
+
+    def _probe():
+        return (
+            spark.read.schema(schema).parquet(cpath)
+            .filter(F.col("bucket").isin(vals))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("hub_id").alias("s"))
+        )
+
+    try:
+        # (a) pushed IN — the trickle fast path's plan
+        spark.conf.set(key, "1024")
+        out["ndtrickle_pushed_rows"] = _probe().collect()[0]["n"]
+        out["ndtrickle_pushed_sec"] = _best(lambda: _probe().collect(), 3)
+        # (b) degraded IN — default threshold folds 256 values to a
+        # min/max range over uniform hashes: full decode
+        spark.conf.set(key, prev)
+        out["ndtrickle_fullscan_sec"] = _best(lambda: _probe().collect(), 3)
+    finally:
+        spark.conf.set(key, prev)
+
+    # (c) the normal-batch shape: broadcast the batch cells, scan once
+    batch = spark.createDataFrame(
+        [(v,) for v in vals], "bucket bigint"
+    )
+
+    def _join():
+        return (
+            spark.read.schema(schema).parquet(cpath)
+            .join(F.broadcast(batch), "bucket")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("hub_id").alias("s"))
+        )
+
+    out["ndtrickle_join_sec"] = _best(lambda: _join().collect(), 3)
+    out["ndtrickle_skip_ratio"] = round(
+        out["ndtrickle_fullscan_sec"] / max(out["ndtrickle_pushed_sec"], 1e-9), 2
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# 10M ANN soak (round 12, VERDICT item 6): at 1M the brute-force scan
+# ties the index (5.1 vs 5.6 s) and the corpus-fraction-scan thesis is
+# unproven; at 10M the data term dominates and the index either earns
+# its build cost or it doesn't. Scale discipline the 1M section does
+# not need: centroids AND codebooks train on a 1M SAMPLE (k-means
+# statistics converge on a sample; training cost stays constant as the
+# corpus grows — the standard IVF/PQ production recipe), then the FULL
+# corpus is assigned/encoded once. Recorded gates: recall@10 >= 0.95
+# and ivf/pq serve time <= brute/5.
+# ---------------------------------------------------------------------------
+def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
+    from .pipeline import similarity as S
+
+    global ANN_ROWS
+    rows10 = ANN_ROWS * 10
+    path = os.path.join(data_dir, "embeddings_10m.parquet")
+    saved = ANN_ROWS
+    ANN_ROWS = rows10
+    try:
+        _ensure(spark, path, gen_embeddings_1m)
+    finally:
+        ANN_ROWS = saved
+
+    out: dict[str, float] = {}
+    spark.catalog.clearCache()
+    out["ann10m_floor_sec"], _ = _floor_probe(spark)
+
+    t0 = time.time()
+    corpus = spark.read.parquet(path).persist()
+    out["ann10m_rows"] = corpus.count()
+    out["ann10m_load_sec"] = round(time.time() - t0, 4)
+
+    stride = rows10 // ANN_QUERIES
+    queries = (
+        corpus.filter(F.col("vec_id") % stride == 17)
+        .limit(ANN_QUERIES)
+        .selectExpr(
+            "vec_id AS query_id",
+            "transform(embedding, (x, d) -> x + cast(0.1 * "
+            "(shiftrightunsigned(xxhash64(vec_id, d + 31), 11) / 9007199254740992.0 - 0.5) AS float)) AS embedding",
+        )
+        .persist()
+    )
+    queries.count()
+
+    t0 = time.time()
+    truth = S.brute_force_topk_matrix(corpus, queries, k=10).persist()
+    n_truth = truth.count()
+    out["ann10m_brute_sec"] = round(time.time() - t0, 4)
+
+    # train on a 10% sample (1M at bench size), assign the full corpus
+    sample = corpus.filter(F.col("vec_id") % 10 == 3)
+    t0 = time.time()
+    cents = S.train_ivf_centroids(sample, n_centroids=64, iters=3)
+    index = S.ivf_index(corpus, centroids=cents, kernel="matrix")
+    index[1].count()
+    out["ann10m_ivf_build_sec"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    approx = S.ivf_topk(
+        corpus, queries, k=10, n_probe=8, index=index, kernel="matrix"
+    ).persist()
+    approx.count()
+    out["ann10m_ivf_query_sec"] = round(time.time() - t0, 4)
+    hits = truth.select("query_id", "vec_id").intersect(
+        approx.select("query_id", "vec_id")
+    ).count()
+    out["ann10m_ivf_recall10"] = round(hits / max(n_truth, 1), 4)
+
+    t0 = time.time()
+    books = S.train_pq_codebooks(
+        sample, m=16, n_codes=256, iters=3, kernel="column"
+    )
+    enc = S.pq_encode(corpus, books, kernel="matrix").persist()
+    enc.count()
+    out["ann10m_pq_build_sec"] = round(time.time() - t0, 4)
+
+    t0 = time.time()
+    pq = S.pq_topk(
+        enc, queries, books, k=10, rerank=corpus, rerank_factor=300,
+        kernel="matrix",
+    ).persist()
+    pq.count()
+    out["ann10m_pq_query_sec"] = round(time.time() - t0, 4)
+    hits = truth.select("query_id", "vec_id").intersect(
+        pq.select("query_id", "vec_id")
+    ).count()
+    out["ann10m_pq_recall10"] = round(hits / max(n_truth, 1), 4)
+
+    # the thesis, as recorded ratios (gate: serve <= brute/5)
+    out["ann10m_ivf_speedup"] = round(
+        out["ann10m_brute_sec"] / max(out["ann10m_ivf_query_sec"], 1e-9), 2
+    )
+    out["ann10m_pq_speedup"] = round(
+        out["ann10m_brute_sec"] / max(out["ann10m_pq_query_sec"], 1e-9), 2
+    )
+
+    for f in (pq, enc, truth, approx, index[1], queries, corpus):
         f.unpersist()
     return out
 

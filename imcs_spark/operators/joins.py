@@ -307,15 +307,28 @@ def _asof_fill(
             F.last("_rrow", ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
-        ).withColumn(
-            "_frowc",
-            F.first("_rrow", ignorenulls=True).over(
-                w.rowsBetween(0, Window.unboundedFollowing)
-            ),
-        )
+        ).withColumn("_frowc", _forward_carry(keys, order_cols))
     else:
         out = _global_asof_carry(out, order_cols, cache_out=cache_out)
     return out, keys, lmark, payload
+
+
+def _forward_carry(keys: Sequence[str], order_cols: Sequence[str]) -> F.Column:
+    """Nearest non-null right row AT-OR-AFTER the current row — as a
+    running ``last(ignorenulls)`` over the REVERSED total order, never
+    as ``first(ignorenulls)`` over a ``(0, unboundedFollowing)`` frame:
+    Spark evaluates an UnboundedFollowing frame by re-scanning from the
+    current row to the partition end for EVERY row, which is O(n²) per
+    window partition (round-12 measured: the 60M-row as-of soak never
+    finished — ~2×10¹¹ row visits across the per-symbol windows; the
+    reversed running frame is incremental O(n) and the same value,
+    because desc_nulls_last is the exact reversal of the asc_nulls_first
+    total order and the frame still includes the current row)."""
+    rev = [F.col(c).desc() for c in order_cols]
+    w = Window.partitionBy(*keys).orderBy(*rev) if keys else Window.orderBy(*rev)
+    return F.last("_rrow", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
 
 
 def _within_tolerance(mts, tolerance):
@@ -414,12 +427,7 @@ def _global_asof_carry(
             F.last("_rrow", ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
-        ).withColumn(
-            "_frowc",
-            F.first("_rrow", ignorenulls=True).over(
-                w.rowsBetween(0, Window.unboundedFollowing)
-            ),
-        )
+        ).withColumn("_frowc", _forward_carry([], order_cols))
     pid_expr, _n = range_bucket_expr(out, ["_ts", "_side"])
     part = out.withColumn("_pid", pid_expr)
     ordkey = F.when(F.col("_rrow").isNotNull(), F.struct(*ocols))
@@ -440,9 +448,10 @@ def _global_asof_carry(
     local_b = F.last("_rrow", ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
-    local_f = F.first("_rrow", ignorenulls=True).over(
-        w.rowsBetween(0, Window.unboundedFollowing)
-    )
+    # reversed running frame, NOT first() over unboundedFollowing —
+    # the _pid partitions are data-sized (millions of rows) and the
+    # following-frame evaluation is O(n²) per partition (_forward_carry)
+    local_f = _forward_carry(["_pid"], order_cols)
     return (
         part.join(F.broadcast(carries), "_pid", "left")
         .withColumn("_browc", F.coalesce(local_b, F.col("_carry_b")))

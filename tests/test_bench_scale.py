@@ -25,6 +25,7 @@ def tiny(monkeypatch, tmp_path):
     # 8 batches of 400 keeps the mod-10 dup mapping (step % 10 == 0)
     # and the horizon families non-empty
     monkeypatch.setattr(bs, "NDTTL_ROWS", 3200)
+    monkeypatch.setattr(bs, "NDTRICKLE_CELLS", 50_000)
     return str(tmp_path)
 
 
@@ -141,3 +142,94 @@ def test_run_scale_contract(spark, tiny):
     assert out["ndttl_far_kept_frac_ttl"] >= 0.9
     assert out["ndttl_kept"] >= out["ndttl_nottl_kept"]
     assert out["ndttl_state_bytes"] <= out["ndttl_nottl_state_bytes"]
+    # as-of/stretch join soak (round 12): timed rows at both scales
+    # with per-row floors, linear-extrapolation ratios, and the brute-
+    # force slice equality pins — the 60M semantics must equal the
+    # oracle-checked ones exactly even at toy size
+    for k in (
+        "joins_floor_sec", "asof_6m", "asof_60m",
+        "stretch_6m", "stretch_60m", "asof_60m_floor",
+        "stretch_60m_floor", "asof60m_linear_ratio",
+        "stretch60m_linear_ratio",
+    ):
+        assert k in out and out[k] >= 0, k
+    assert out["asof60m_slice_rows"] > 0
+    assert out["asof60m_slice_equal"] == 1
+    assert out["stretch60m_slice_rows"] > 0
+    assert out["stretch60m_slice_equal"] == 1
+    # 10M ANN soak (round 12): sample-trained IVF/PQ over the 10x
+    # corpus with recall + speedup gates recorded
+    for k in (
+        "ann10m_rows", "ann10m_brute_sec", "ann10m_ivf_build_sec",
+        "ann10m_ivf_query_sec", "ann10m_ivf_recall10",
+        "ann10m_pq_build_sec", "ann10m_pq_query_sec",
+        "ann10m_pq_recall10", "ann10m_ivf_speedup", "ann10m_pq_speedup",
+    ):
+        assert k in out, k
+    assert out["ann10m_rows"] == 10 * out["ann1m_rows"]
+    # trickle IN-pushdown regime section (round 12): three probe
+    # shapes recorded over the synthesized decode-bound state
+    for k in (
+        "ndtrickle_state_rows", "ndtrickle_pushed_sec",
+        "ndtrickle_fullscan_sec", "ndtrickle_join_sec",
+        "ndtrickle_skip_ratio",
+    ):
+        assert k in out and out[k] >= 0, k
+    assert out["ndtrickle_state_rows"] == bs.NDTRICKLE_CELLS
+    assert out["ndtrickle_pushed_rows"] >= 256
+
+
+def test_build_drift_line_normalizes_against_prev_round(tmp_path):
+    """Round-12 VERDICT item 2: the bench must self-classify cross-round
+    deltas. build_drift_line reads the newest BENCH_r{N}.json's compact
+    gate line and emits [now_ms, prev_ms, raw, norm] per gate row plus
+    the headline, normalized by the geomean floor-probe ratio — a row
+    that moved WITH the floors must show norm ~1.0 while raw shows the
+    drift."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "benchmod",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    # synthetic prev round in driver format: floors 2x today's, gate
+    # rows 2x today's — i.e. pure environment drift, zero code change
+    gate_line = json.dumps({
+        "gate": {"vwap_one_exec": [40.0, 10.0, 42.0],
+                 "sum_close_exec": [36.0, 76.2, 40.0]},
+        "gate_60m": {},
+        "floors_ms": {"select1": 60.0, "1task_agg": 60.0,
+                      "32task_agg": 64.0, "shuffle_agg": 180.0},
+        "invariants": {}, "compact": True,
+    })
+    summary = json.dumps({
+        "metric": "imcs_spark_headline_queries_total", "value": 60.0,
+        "unit": "sec", "sf": 0.1, "compact": True,
+    })
+    (tmp_path / "BENCH_r07.json").write_text(json.dumps(
+        {"n": 7, "tail": gate_line + "\n" + summary}
+    ))
+    # an older, unparseable round must be skipped, not crash the reader
+    (tmp_path / "BENCH_r03.json").write_text("{\"n\": 3, \"tail\": \"garbage")
+
+    scale = {
+        "floor_select1_exec": 0.030, "floor_1task_agg_exec": 0.030,
+        "floor_32task_agg_exec": 0.032, "floor_shuffle_agg_exec": 0.090,
+        "vwap_one_exec": 0.020, "sum_close_exec": 0.018,
+    }
+    line = m.build_drift_line({"value": 30.0}, scale, str(tmp_path))
+    assert line["drift_vs_round"] == 7
+    assert line["drift_factor"] == pytest.approx(0.5, abs=0.01)
+    raw = line["gate_vs_prev"]["vwap_one_exec"][2]
+    norm = line["gate_vs_prev"]["vwap_one_exec"][3]
+    assert raw == pytest.approx(0.5, abs=0.01)       # looks 2x faster...
+    assert norm == pytest.approx(1.0, abs=0.03)      # ...but it's drift
+    assert line["headline_vs_prev"][2] == pytest.approx(0.5, abs=0.01)
+    assert line["headline_vs_prev"][3] == pytest.approx(1.0, abs=0.03)
+    # no prior round anywhere -> None, never an exception
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert m.build_drift_line({"value": 1.0}, scale, str(empty)) is None
