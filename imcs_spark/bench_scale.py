@@ -1489,12 +1489,26 @@ def gen_embeddings_1m(spark: SparkSession, path: str, parallelism: int = 32) -> 
         f"  (shiftrightunsigned(xxhash64({cl}, d), 11) / 9007199254740992.0 - 0.5)"
         f"  + 0.35 * (shiftrightunsigned(xxhash64(id, d + 7), 11) / 9007199254740992.0 - 0.5))"
     )
-    raw = f"aggregate({comp}, cast(0.0 as double), (a, x) -> a + x * x)"
+    # STAGED projections (round 12): inlining the norm into the
+    # per-element lambda re-evaluated the whole 64-element aggregate —
+    # itself re-evaluating `comp` — once PER OUTPUT ELEMENT (~64x
+    # redundant interpreted-HOF work per row; the 10M gen ran 20+ min
+    # of full-CPU without finishing). Hoisting comp and the norm to
+    # their own projection stages computes each once per row; values
+    # are bit-identical (same arithmetic, same order).
+    # The norm rides in as array_repeat(...)'s CHILD, not as a column
+    # referenced inside the lambda: CollapseProject inlines a
+    # once-referenced alias into the lambda body, where it would be
+    # re-evaluated per element; as a child of array_repeat it is
+    # evaluated once per row no matter what the optimizer merges.
     df = (
         spark.range(0, ANN_ROWS, 1, parallelism)
+        .selectExpr("id AS vec_id", f"{comp} AS _c")
         .selectExpr(
-            "id AS vec_id",
-            f"transform({comp}, x -> cast(x / sqrt({raw}) AS float)) AS embedding",
+            "vec_id",
+            "zip_with(_c, array_repeat(sqrt(aggregate(_c, cast(0.0 as double), "
+            f"(a, x) -> a + x * x)), {ANN_DIM}), "
+            "(x, n) -> cast(x / n AS float)) AS embedding",
         )
     )
     df.write.mode("overwrite").parquet(path)
@@ -1801,6 +1815,25 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
     ).count()
     out["ann10m_ivf_recall10"] = round(hits / max(n_truth, 1), 4)
 
+    # single-query serve twin — the regime the corpus-fraction thesis
+    # lives in: a 50-query batch probes every one of the 64 cells
+    # (50x8 probes), so batch serve and brute are BOTH bound by
+    # decoding the whole corpus; a point query probes 8/64 = 12.5%,
+    # and with the index cached cell-clustered the unprobed batches
+    # never decode. Recorded as the *_q1 keys (gate: ivf_q1 <= brute/5).
+    q1 = queries.limit(1).persist()
+    q1.count()
+    t0 = time.time()
+    S.brute_force_topk_matrix(corpus, q1, k=10).count()
+    out["ann10m_brute_q1_sec"] = round(time.time() - t0, 4)
+    t0 = time.time()
+    S.ivf_topk(corpus, q1, k=10, n_probe=8, index=index, kernel="matrix").count()
+    out["ann10m_ivf_q1_sec"] = round(time.time() - t0, 4)
+    out["ann10m_ivf_q1_speedup"] = round(
+        out["ann10m_brute_q1_sec"] / max(out["ann10m_ivf_q1_sec"], 1e-9), 2
+    )
+    q1.unpersist()
+
     t0 = time.time()
     books = S.train_pq_codebooks(
         sample, m=16, n_codes=256, iters=3, kernel="column"
@@ -1809,13 +1842,22 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
     enc.count()
     out["ann10m_pq_build_sec"] = round(time.time() - t0, 4)
 
+    # rerank_factor scales with cluster density: the ADC noise floor
+    # (~0.027 mean |adc-cos| at m=16x256) is unchanged but each
+    # cluster now holds ~10x the members inside it, so the true top-10
+    # sit ~10x deeper in ADC rank than at 1M. Measured ladder at 10M:
+    # 300 -> 0.634, 1000 -> 0.912, 1500 -> 0.96, 3000 -> 1.0; 1500 is
+    # the recorded config (recall gate >= 0.95 at ~2.5x less wall than
+    # 3000 — the candidate window + vector-fetch join dominate the
+    # serve at big budgets)
     t0 = time.time()
     pq = S.pq_topk(
-        enc, queries, books, k=10, rerank=corpus, rerank_factor=300,
+        enc, queries, books, k=10, rerank=corpus, rerank_factor=1500,
         kernel="matrix",
     ).persist()
     pq.count()
     out["ann10m_pq_query_sec"] = round(time.time() - t0, 4)
+    out["ann10m_pq_rerank_factor"] = 1500
     hits = truth.select("query_id", "vec_id").intersect(
         pq.select("query_id", "vec_id")
     ).count()

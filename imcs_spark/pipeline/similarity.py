@@ -634,20 +634,38 @@ def ivf_index(
         # preserves it, so the matrix twin must too — string or int
         # ids work identically in both)
         id_t = corpus.schema[id_col].dataType.simpleString()
-        c = (
+        c = _cluster_by_cell(
             corpus.select(id_col, vec_col)
             .mapInPandas(assign, f"{id_col} {id_t}, _cu array<double>, cell int")
-            .persist()
         )
         return centroids, c
-    c = (
+    c = _cluster_by_cell(
         corpus.select(id_col, F.col(vec_col).alias("_cv"))
         .withColumn("_cu", _unit("_cv"))
         .withColumn("cell", _assign_expr("_cu", centroids))
         .drop("_cv")
-        .persist()
     )
     return centroids, c
+
+
+def _cluster_by_cell(assignment: DataFrame) -> DataFrame:
+    """Persist the IVF assignment CLUSTERED by cell (range-partitioned
+    + sorted within partitions): Spark's in-memory cache keeps min/max
+    stats per cached batch per column, so a serve-time
+    ``cell IN (probed)`` filter skips whole batches — including their
+    vector-column decode — exactly like parquet row-group pruning.
+    This is what makes the IVF 'scan n_probe/n_centroids of the
+    corpus' claim PHYSICAL for small query batches (the index-at-rest
+    layout any IVF store uses); one build-time shuffle, amortized over
+    every query batch served. Unclustered, a cached scan decoded all
+    10M x 64 doubles through Arrow regardless of probes — measured
+    serve-bound at the transfer, not the matmul (BENCH_SCALE round 12)."""
+    sc = assignment.sparkSession.sparkContext
+    return (
+        assignment.repartitionByRange(sc.defaultParallelism, "cell")
+        .sortWithinPartitions("cell")
+        .persist()
+    )
 
 
 def ivf_topk(
@@ -678,18 +696,106 @@ def ivf_topk(
     out of the join/rank stages' codegen.
 
     kernel='matrix' batches the index ASSIGNMENT when this call builds
-    the index (see ivf_index). Candidate SCORING stays the Column fold
-    under both kernels — deliberately: a per-pair Arrow scorer ships
-    both 64-double arrays per candidate through the Python worker
-    (6.4 GB for 6M candidates at 1M x probe 8/64 x 50 queries) and
-    measured SLOWER than the fold (8.0 s vs 5.8 s), while the fold is
-    also the oracle-pinned form."""
+    the index (see ivf_index) AND serves via a SCAN-ONCE masked matmul
+    (round 12): the assigned corpus is read exactly once; each Arrow
+    batch is grouped by cell, matmul'd against only the queries probing
+    that cell, and reduced to a per-(batch, query) top-k before
+    anything shuffles — so the exchange carries batches x queries x k
+    rows, never candidate PAIRS. The previous pair-join serve
+    (corpus ⋈ probes, then a fold per pair) materialized
+    corpus x n_probe/n_centroids x matching-query rows — 62M pairs at
+    10M x 50 queries — and measured 36.5 s where this form is
+    expected at ~brute/(n_centroids/n_probe); its earlier per-pair
+    Arrow-scorer objection (shipping both vectors per candidate) does
+    not apply here because each corpus vector crosses Arrow once.
+    kernel='column' keeps the pair-join + Column-fold form — the
+    SQL-auditable shape the driver oracles pin."""
     if index is None:
         index = ivf_index(
             corpus, n_centroids, iters, vec_col, id_col, seed, centroids,
             kernel=kernel,
         )
     centroids, c = index
+    if kernel == "matrix":
+        import numpy as np
+        import pandas as pd
+
+        qrows = queries.select(query_id_col, vec_col).collect()
+        if not qrows:
+            raise ValueError("ivf_topk: empty query batch")
+        q_ids = [r[0] for r in qrows]
+        Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+        qn = np.linalg.norm(Q, axis=1)
+        qn[qn == 0] = 1.0
+        Q = Q / qn[:, None]
+        C = np.asarray(centroids, dtype=np.float64)
+        sims = Q @ C.T
+        # same probe rule as _probe_cells_expr: n_probe highest-cosine
+        # cells, ties to the lowest cell id (lexsort: -sim, cell)
+        order = np.lexsort((np.arange(C.shape[0])[None, :].repeat(len(q_ids), 0), -sims), axis=1)
+        probe_sets = order[:, :n_probe]
+        cell_to_q: dict[int, list[int]] = {}
+        for qi, cells_row in enumerate(probe_sets):
+            for cell in cells_row:
+                cell_to_q.setdefault(int(cell), []).append(qi)
+
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        id_t = c.schema[id_col].dataType.simpleString()
+
+        def score(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                outs = []
+                for cell, g in pdf.groupby("cell"):
+                    qidx = cell_to_q.get(int(cell))
+                    if not qidx:
+                        continue
+                    X = np.stack(
+                        [np.asarray(v, dtype=np.float64) for v in g["_cu"]]
+                    )
+                    S = X @ Q[qidx].T  # m x g
+                    ids = g[id_col].to_numpy()
+                    kk = min(k, S.shape[0])
+                    for j, qi in enumerate(qidx):
+                        col = S[:, j]
+                        # partial top-k by the FINAL ordering
+                        # (cosine desc, id asc) so the global window
+                        # sees every possible top-k row
+                        idx = np.lexsort((ids, -col))[:kk]
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    query_id_col: [q_ids[qi]] * len(idx),
+                                    id_col: ids[idx],
+                                    "cosine": col[idx],
+                                }
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        # probed-cell filter BEFORE the scan: with the index cached
+        # cell-clustered (_cluster_by_cell), batch min/max stats skip
+        # unprobed cells' batches — vector decode included. A broad
+        # query batch covers every cell (no-op); a point query touches
+        # n_probe/n_centroids of the corpus physically.
+        probed = sorted(cell_to_q)
+        pooled = (
+            c.filter(F.col("cell").isin(probed))
+            .select("cell", id_col, "_cu")
+            .mapInPandas(
+                score, f"{query_id_col} {qid_t}, {id_col} {id_t}, cosine double"
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("cosine").desc(), F.col(id_col).asc()
+        )
+        return (
+            pooled.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(query_id_col, id_col, "cosine", F.col("_rn").alias("rank"))
+        )
     probes = (
         queries.select(query_id_col, F.col(vec_col).alias("_qv"))
         .withColumn("_qu", _unit("_qv"))
