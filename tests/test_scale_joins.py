@@ -472,3 +472,67 @@ def test_zip_deprecated_params_warn(spark):
         warnings.simplefilter("always")
         zip_with_global_pos_and_total(df, ["v"], persist=False)
         assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+def test_forward_carry_equals_following_frame(spark):
+    """Round-12 regression pin: the reversed-order running last() that
+    replaced first(ignorenulls) OVER (0, unboundedFollowing) — the
+    O(n^2)-per-partition frame that hung the 60M soak — must be VALUE-
+    identical to the quadratic form on adversarial small data: equal
+    timestamps on both sides, null payload values (the ignorenulls
+    trap), multi-key partitions, and leading/trailing right rows."""
+    import random
+
+    from pyspark.sql import Window
+
+    from imcs_spark.operators.joins import _forward_carry
+
+    rng = random.Random(31)
+    rows = []
+    for key in ("a", "b", "c"):
+        for i in range(120):
+            ts = rng.randint(0, 40)  # dense ties
+            side = rng.choice([0, 1])  # 0 = left-ish null row, 1 = right
+            payload = None if side == 0 or rng.random() < 0.3 else rng.randint(-5, 5)
+            rows.append((key, ts, side, payload))
+    df = spark.createDataFrame(rows, "k string, _ts int, _side int, _r_v int")
+    df = df.withColumn(
+        "_rrow",
+        F.when(
+            F.col("_side") == 1,
+            F.struct(F.col("_ts").alias("_rts"), F.col("_r_v").alias("v")),
+        ),
+    )
+    order_cols = ["_ts", "_side", "_r_v"]
+    keys = ["k"]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    quad = F.first("_rrow", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    out = (
+        df.withColumn("fast", _forward_carry(keys, order_cols))
+        .withColumn("quad", quad)
+        .withColumn("same", F.col("fast").eqNullSafe(F.col("quad")))
+    )
+    bad = out.filter(~F.col("same")).count()
+    assert bad == 0, out.filter(~F.col("same")).take(5)
+
+
+def test_ivf_matrix_serve_has_no_pair_join(spark, sf_dir):
+    """Round-12 plan pin: the kernel='matrix' IVF serve must be the
+    scan-once shape — a Filter on cell over the cached index feeding
+    mapInPandas — with NO join between the corpus-scale index and the
+    probe set (the pair join materialized corpus x probes candidate
+    rows and measured 36.5 s at 10M x 50 queries)."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = S.ivf_index(corpus, n_centroids=8, iters=2, kernel="matrix")
+    queries = corpus.limit(3).selectExpr("vec_id AS query_id", "embedding")
+    out = S.ivf_topk(corpus, queries, k=5, n_probe=3, index=idx, kernel="matrix")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pre_window = plan.split("Window")[-1]  # everything BELOW the final top-k window
+    assert "MapInPandas" in plan
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in pre_window, (node, pre_window[:1500])
+    idx[1].unpersist()
