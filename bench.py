@@ -305,6 +305,11 @@ def main():
                             "floor_select1_exec",
                             "floor_1task_agg_exec",
                             "floor_32task_agg_exec",
+                            # round-12 shuffle probe MUST ride the
+                            # compact line: build_drift_line reads the
+                            # PREVIOUS round's floors from here (the
+                            # full payload is truncated in BENCH files)
+                            "floor_shuffle_agg_exec",
                         )
                         if k in scale
                     },
@@ -364,9 +369,18 @@ def build_drift_line(payload: dict, scale: dict, here: str) -> dict | None:
     import math
     import re
 
+    # basename-anchored match: a stray BENCH_rerun.json must not crash
+    # the key function (suppressing the whole drift line via main()'s
+    # catch-all), and a path component containing '_r<digits>' must not
+    # shadow the file's own round number
+    def _round_no(p):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
     prevs = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+        (p for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+         if _round_no(p) is not None),
+        key=_round_no,
     )
     prev_gate = prev_head = None
     prev_n = None
@@ -396,7 +410,7 @@ def build_drift_line(payload: dict, scale: dict, here: str) -> dict | None:
                 h = doc["parsed"]
             if g is not None:
                 prev_gate, prev_head = g, h
-                prev_n = int(re.search(r"_r(\d+)", p).group(1))
+                prev_n = _round_no(p)
                 break
         except (OSError, ValueError):
             continue

@@ -687,10 +687,14 @@ def ivf_topk(
     (spherical k-means), each query probes its n_probe nearest cells,
     exact cosine re-rank inside. The join shuffles (cell, id, vec) —
     a 1/(n_centroids/n_probe) fraction of the corpus per query batch
-    instead of a cross product. Probe-cell assignment is a pure Column
-    expression (no driver collect), so the query side may itself be
-    unbounded — it is broadcast here on the assumption it is the small
-    side; swap the build side for huge query batches. Pass a prebuilt
+    instead of a cross product. Under kernel='column' probe-cell
+    assignment is a pure Column expression (no driver collect), so the
+    query side may itself be unbounded — it is broadcast here on the
+    assumption it is the small side; swap the build side for huge query
+    batches. kernel='matrix' COLLECTS the query batch to the driver
+    (same bounded-queries assumption as brute_force_topk_matrix /
+    pq_topk's matrix kernels) — use kernel='column' when the query
+    side is itself corpus-scale. Pass a prebuilt
     `index` (ivf_index) to serve against an existing materialized index
     — the persisted assignment also keeps the K×dim argmax expression
     out of the join/rank stages' codegen.

@@ -464,7 +464,15 @@ def pack(*parts: tuple) -> Column:
                     vals.append(int(v))
                 elif letter in "mM":
                     if isinstance(v, Decimal):
-                        v = int(v.scaleb(2))  # dollars.cc -> cents
+                        # dollars.cc -> cents; round half-even like the
+                        # cast, never truncate sub-cent digits
+                        v = int(v.scaleb(2).to_integral_value())
+                    elif isinstance(v, float):
+                        # a float money VALUE is dollars, same as
+                        # Decimal — int(12.34) would silently pack 12
+                        # cents (a 100x scale error); ints alone are
+                        # already-cents (the raw wire format cut emits)
+                        v = round(v * 100)
                     vals.append(int(v))
                 else:
                     vals.append(int(v))

@@ -393,6 +393,16 @@ def test_pack_nan_payload_objects_and_multitoken(spark):
     with pytest.raises(ValueError, match="ONE format token"):
         S.pack(("i4i4", "d"))
 
+    # (4) money tokens: a float money VALUE is dollars like Decimal —
+    # int(12.34) would pack 12 cents, a silent 100x scale error
+    # (round-12 review finding); sub-cent Decimals round, not truncate
+    df3 = spark.createDataFrame(
+        [(12.34, Decimal("0.005"))], "f double, d decimal(19,3)"
+    ).withColumn("key", S.pack(("m8", "f"), ("m8", "d")))
+    r3 = df3.select(S.cut("key", "m8m8").alias("c")).collect()[0]["c"]
+    assert r3["f0"] == Decimal("12.34")
+    assert r3["f1"] in (Decimal("0.00"), Decimal("0.01"))  # half-even
+
 
 def test_reference_warmup_randomized_model(spark):
     # randomized cross-check of warmup='reference' against a direct

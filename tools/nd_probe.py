@@ -6,7 +6,6 @@ the VERDICT asked for before cutting the per-batch fixed cost.
 Usage: python tools/nd_probe.py [n_docs] [n_batches]
 """
 import os
-import re
 import sys
 import tempfile
 import shutil
@@ -48,8 +47,14 @@ try:
         stream, target, num_hashes=16, bands=8, sim_threshold=0.5,
         checkpoint=chk,
     )
-    q.awaitTermination(1800)
+    finished = q.awaitTermination(1800)
     total = time.time() - t0
+    if not finished:
+        # stop the live query BEFORE the finally-block rmtree pulls its
+        # source/target/checkpoint away (same discipline as the soak)
+        q.stop()
+        print(f"TIMEOUT after {total:.1f}s", flush=True)
+        sys.exit(1)
     batch_secs = sorted(
         p["durationMs"]["triggerExecution"] / 1000.0
         for p in (q.recentProgress or [])
