@@ -396,11 +396,18 @@ def pack(*parts: tuple) -> Column:
     """The `||` packing side (cs_cat on fixed-width series,
     func.c:366-412): pack(('i4', colA), ('i4', colB)) → binary column
     of little-endian bytes that cut/as_struct decompose. NULL in any
-    part → NULL key (Spark concat semantics). A genuine float NaN is a
-    PAYLOAD, not a missing value — the reference concatenation packs
-    the NaN bytes, so pack does too (round-12 ADVICE fix); only
-    pandas-missing values (None, NaT, NaN in a non-float field) yield
-    a NULL key. date/time/timestamp objects are encoded to the same
+    part → NULL key (Spark concat semantics), with one carve-out: a
+    genuine float NaN is a PAYLOAD, not a missing value — the
+    reference concatenation packs the NaN bytes, so pack does too
+    (round-12 ADVICE fix); only pandas-missing values (None, NaT, NaN
+    in a non-float field) yield a NULL key. Consequence (round-13
+    ADVICE note): the Arrow/pandas bridge delivers SQL NULL doubles as
+    NaN too, so for ``f4``/``f8`` tokens SQL NULL and NaN are
+    INDISTINGUISHABLE here and both pack as NaN bytes — a
+    previously-NULL key becomes a real (joinable, groupable) NaN-byte
+    key. Callers needing NULL-propagation for float parts must
+    pre-filter with ``F.isnull(col)`` (or pack a separate validity
+    token). date/time/timestamp objects are encoded to the same
     PG-epoch integers cut() decodes (d4 = days since 2000-01-01, t8 =
     micros within day, T8 = micros since 2000-01-01, m/M8 = cents),
     keeping pack/cut round-trip symmetric for every token."""

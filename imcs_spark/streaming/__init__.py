@@ -247,7 +247,13 @@ def _read_state(spark, paths: list[str]) -> tuple[DataFrame, DataFrame, bool]:
             v1.append(p)
     cells, sigs, legacy = None, None, bool(v1)
     if v2:
-        parent = v2[0].rsplit("/", 1)[0]
+        # normalize ONCE at the keying site (round-13 ADVICE fix): a
+        # user-supplied state_path with a trailing slash produced
+        # version paths like ".../buckets//v3", whose rsplit parent
+        # keeps the slash — clear_state_schema_cache pops the
+        # rstripped key and would miss the stale entry it exists to
+        # clear. Both the get and the set below share this key.
+        parent = v2[0].rsplit("/", 1)[0].rstrip("/")
         cached = _STATE_SCHEMA_CACHE.get(parent)
         if cached is not None:
             c = spark.read.schema(cached[0]).parquet(*[f"{p}/cells" for p in v2])

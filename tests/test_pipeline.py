@@ -1868,3 +1868,41 @@ def test_pq_dim_mismatch_raises(spark):
         S.pq_topk(bad_codes, ok_q, books, k=1).collect()
     with pytest.raises(Exception, match="codes length"):
         S.pq_topk(bad_codes, ok_q, books, k=1, kernel="matrix").collect()
+
+
+def test_matrix_kernels_query_batch_cap(spark, sf_dir):
+    """Round-13 verdict item 4: the three matrix kernels COLLECT the
+    query batch to the driver under a documented bounded-queries
+    contract — the docstring used to be the only guard, and a
+    corpus-scale query side would OOM the driver instead of raising.
+    Now max_query_batch (default MAX_QUERY_BATCH) fails loudly, via
+    limit(cap+1) so the guard itself never collects the oversized
+    batch; <=0 disables the cap for callers owning the risk."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = corpus.limit(5).selectExpr("vec_id AS query_id", "embedding")
+    cents = [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62]
+    idx = S.ivf_index(corpus, centroids=cents, kernel="matrix")
+    books = [[[0.0] * 4, [1.0] * 4] for _ in range(16)]
+    enc = S.pq_encode(corpus, books, kernel="matrix")
+    try:
+        for call in (
+            lambda q, cap: S.brute_force_topk_matrix(
+                corpus, q, k=3, max_query_batch=cap
+            ),
+            lambda q, cap: S.ivf_topk(
+                corpus, q, k=3, n_probe=1, index=idx, kernel="matrix",
+                max_query_batch=cap,
+            ),
+            lambda q, cap: S.pq_topk(
+                enc, q, books, k=3, kernel="matrix", max_query_batch=cap
+            ),
+        ):
+            with pytest.raises(ValueError, match="max_query_batch=3"):
+                call(queries, 3)
+            # a cap at/above the batch passes; <=0 disables
+            assert call(queries, 5).count() > 0
+            assert call(queries, 0).count() > 0
+    finally:
+        idx[1].unpersist()

@@ -1668,3 +1668,39 @@ def test_near_dedup_random_arrival_greedy_model(spark):
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_state_schema_cache_key_normalized_trailing_slash(spark):
+    """Round-13 ADVICE (low) regression: a user-supplied side path with
+    a trailing slash ('.../buckets/') used to produce version paths
+    '.../buckets//vNNNN' whose rsplit parent KEPT the slash, so the
+    schema cache was written under a slashed key while
+    clear_state_schema_cache pops the rstripped key — the helper
+    missed exactly the stale entry it exists to clear. The key is now
+    normalized once at the _read_state keying site."""
+    from imcs_spark import streaming as stx
+
+    tmp = tempfile.mkdtemp(prefix="imcs_slashkey_")
+    side = os.path.join(tmp, "buckets")
+    try:
+        cells = spark.createDataFrame(
+            [(0, 1, 7, 0)], "band int, bucket long, hub_id long, _v int"
+        )
+        sigs = spark.createDataFrame(
+            [(7, 11, 12)], "hub_id long, mh_0 long, mh_1 long"
+        )
+        stx._write_state(spark, cells, sigs, f"{side}/v0000")
+
+        stx.clear_state_schema_cache()
+        # the slashed construction a trailing-slash state_path produces
+        c, s, legacy = stx._read_state(spark, [f"{side}//v0000"])
+        assert c.count() == 1 and s.count() == 1 and not legacy
+        assert side in stx._STATE_SCHEMA_CACHE, (
+            f"cache key not normalized: {list(stx._STATE_SCHEMA_CACHE)}"
+        )
+        # and the public helper (rstripped or slashed arg) clears it
+        stx.clear_state_schema_cache(side + "/")
+        assert side not in stx._STATE_SCHEMA_CACHE
+    finally:
+        stx.clear_state_schema_cache()
+        shutil.rmtree(tmp, ignore_errors=True)
