@@ -38,8 +38,11 @@ Divergences from the reference setup, documented rather than hidden:
 
 from __future__ import annotations
 
+import json
 import os
 import time
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -621,6 +624,11 @@ def _run_rest_sections(
         lambda: _run_ann_big_soak(spark, data_dir),
     )
     _section(
+        "SPARK_GRAFT_SCALE_ANN_COLD",
+        "ann_cold",
+        lambda: _run_ann_cold_soak(spark, data_dir),
+    )
+    _section(
         "SPARK_GRAFT_SCALE_NDSTREAM",
         "ndstream",
         lambda: _run_near_dedup_soak(spark, data_dir),
@@ -639,6 +647,11 @@ def _run_rest_sections(
         "SPARK_GRAFT_SCALE_NDTRICKLE",
         "ndtrickle",
         lambda: _run_ndtrickle(spark, data_dir),
+    )
+    _section(
+        "SPARK_GRAFT_SCALE_RECUR",
+        "recur",
+        lambda: _run_recurrence_soak(spark, data_dir),
     )
 
 
@@ -1573,9 +1586,14 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
     index[1].count()  # materialize the persisted assignment
     out["ann1m_ivf_build_sec"] = round(time.time() - t0, 4)
 
+    # brute_fallback_coverage=None: this section measures the INDEX
+    # machinery (masked serve + recall invariant); the round-13
+    # full-coverage fallback would otherwise serve this 50-query batch
+    # exact and recall would read 1.0 by construction
     t0 = time.time()
     approx = S.ivf_topk(
-        corpus, queries, k=10, n_probe=8, index=index, kernel="matrix"
+        corpus, queries, k=10, n_probe=8, index=index, kernel="matrix",
+        brute_fallback_coverage=None,
     ).persist()
     approx.count()
     out["ann1m_ivf_query_sec"] = round(time.time() - t0, 4)
@@ -1637,10 +1655,13 @@ def _run_ann_soak(spark: SparkSession, data_dir: str) -> dict:
         )
     finally:
         _sh.rmtree(_pq_dir, ignore_errors=True)
+    # brute_fallback=False: corpus is RAM-persisted here, so the
+    # round-13 'auto' default would serve exact brute — this key
+    # records the real ADC + rerank path the recall invariant pins
     t0 = time.time()
     pq = S.pq_topk(
         enc, queries, books, k=10, rerank=corpus, rerank_factor=300,
-        kernel="matrix",
+        kernel="matrix", brute_fallback=False,
     ).persist()
     pq.count()
     out["ann1m_pq_query_sec"] = round(time.time() - t0, 4)
@@ -1808,16 +1829,34 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
     index[1].count()
     out["ann10m_ivf_build_sec"] = round(time.time() - t0, 4)
 
+    # masked serve (brute_fallback_coverage=None): the real IVF index
+    # path, and the serve the recall invariant pins. Recorded
+    # separately from the DEFAULT serve below because this 50-query
+    # batch's union-of-probes covers all 64 cells — the regime where
+    # masked serve decodes the whole corpus like brute while paying
+    # per-cell grouping overhead (0.74x of brute recorded in r12).
     t0 = time.time()
     approx = S.ivf_topk(
-        corpus, queries, k=10, n_probe=8, index=index, kernel="matrix"
+        corpus, queries, k=10, n_probe=8, index=index, kernel="matrix",
+        brute_fallback_coverage=None,
     ).persist()
     approx.count()
-    out["ann10m_ivf_query_sec"] = round(time.time() - t0, 4)
+    out["ann10m_ivf_masked_sec"] = round(time.time() - t0, 4)
     hits = truth.select("query_id", "vec_id").intersect(
         approx.select("query_id", "vec_id")
     ).count()
     out["ann10m_ivf_recall10"] = round(hits / max(n_truth, 1), 4)
+
+    # DEFAULT serve (round-13 verdict item 2): at full union-of-probes
+    # coverage ivf_topk now serves the exact full matmul over the
+    # cached index instead of the slower-than-brute masked plan — the
+    # "batch serve is never slower than brute" wiring. This is the
+    # gate row ann10m_ivf_speedup divides into.
+    t0 = time.time()
+    S.ivf_topk(
+        corpus, queries, k=10, n_probe=8, index=index, kernel="matrix"
+    ).count()
+    out["ann10m_ivf_query_sec"] = round(time.time() - t0, 4)
 
     # single-query serve twin — the regime the corpus-fraction thesis
     # lives in: a 50-query batch probes every one of the 64 cells
@@ -1838,6 +1877,35 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
     )
     q1.unpersist()
 
+    # batch-size crossover ladder (round-13 verdict item 2): where does
+    # the MASKED serve stop beating brute as the query batch widens
+    # (and its union-of-probes coverage grows)? n=1 is covered by the
+    # *_q1 keys above; min-of-2 per point (RAM-resident work, the
+    # shuffle-reuse trap doesn't apply — both paths rebuild per trial).
+    # ann10m_batch_crossover records the largest measured batch size
+    # where masked < brute (0 = none); the DEFAULT serve never pays the
+    # losing side of it because the coverage fallback takes over.
+    xn_last = 1 if out["ann10m_ivf_q1_sec"] < out["ann10m_brute_q1_sec"] else 0
+    for xn in (5, 15, 50):
+        qx = queries.limit(xn).persist()
+        qx.count()
+        masked = _best(
+            lambda: S.ivf_topk(
+                corpus, qx, k=10, n_probe=8, index=index,
+                kernel="matrix", brute_fallback_coverage=None,
+            ).count(),
+            2,
+        )
+        brute = _best(
+            lambda: S.brute_force_topk_matrix(corpus, qx, k=10).count(), 2
+        )
+        out[f"ann10m_xn{xn}_masked_sec"] = masked
+        out[f"ann10m_xn{xn}_brute_sec"] = brute
+        if masked < brute:
+            xn_last = xn
+        qx.unpersist()
+    out["ann10m_batch_crossover"] = xn_last
+
     t0 = time.time()
     books = S.train_pq_codebooks(
         sample, m=16, n_codes=256, iters=3, kernel="column"
@@ -1854,20 +1922,37 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
     # the recorded config (recall gate >= 0.95 at ~2.5x less wall than
     # 3000 — the candidate window + vector-fetch join dominate the
     # serve at big budgets)
+    # real ADC + rerank path (brute_fallback=False) — the serve the
+    # recall invariant pins, recorded as its own key (0.35x of brute
+    # in r12: the code-scan byte lever cannot pay against RAM-resident
+    # vectors; see the ann_cold section for its claimed regime)
     t0 = time.time()
     pq = S.pq_topk(
         enc, queries, books, k=10, rerank=corpus, rerank_factor=1500,
-        kernel="matrix",
+        kernel="matrix", brute_fallback=False,
     ).persist()
     pq.count()
-    out["ann10m_pq_query_sec"] = round(time.time() - t0, 4)
+    out["ann10m_pq_adc_sec"] = round(time.time() - t0, 4)
     out["ann10m_pq_rerank_factor"] = 1500
     hits = truth.select("query_id", "vec_id").intersect(
         pq.select("query_id", "vec_id")
     ).count()
     out["ann10m_pq_recall10"] = round(hits / max(n_truth, 1), 4)
 
-    # the thesis, as recorded ratios (gate: serve <= brute/5)
+    # DEFAULT serve (round-13 verdict item 2): rerank (= corpus) is
+    # RAM-persisted here, so brute_fallback='auto' serves exact brute
+    # — never slower than brute, by construction. Gate row.
+    t0 = time.time()
+    S.pq_topk(
+        enc, queries, books, k=10, rerank=corpus, rerank_factor=1500,
+        kernel="matrix",
+    ).count()
+    out["ann10m_pq_query_sec"] = round(time.time() - t0, 4)
+
+    # the thesis, as recorded ratios (gate: default serve never slower
+    # than brute, i.e. speedup >= ~1.0; the index-path economics live
+    # in ann10m_ivf_masked_sec / ann10m_pq_adc_sec and the ann_cold
+    # section)
     out["ann10m_ivf_speedup"] = round(
         out["ann10m_brute_sec"] / max(out["ann10m_ivf_query_sec"], 1e-9), 2
     )
@@ -1877,6 +1962,330 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
 
     for f in (pq, enc, truth, approx, index[1], queries, corpus):
         f.unpersist()
+    return out
+
+
+def _run_recurrence_soak(spark: SparkSession, data_dir: str) -> dict:
+    """60M SINGLE-series recurrence soak (round-13 verdict item 6,
+    SURVEY §7 hard part 4): every recorded global-path soak so far
+    partitions by symbol, so the chunked-recurrence carry machinery
+    (_ewm_global / cum_agg_global: parallel local recurrences +
+    driver-side carry fold over P partitions, not N rows) had never
+    been measured at its pathological shape — ONE dense 60M series,
+    where a serializing carry chain would show super-linear wall.
+
+    Keys: recur{6m,60m}_{ema,cum}_sec (min of 2; each trial re-runs
+    the whole path including its internal stats collect), linear-ratio
+    gates recur60m_*_linear_ratio = (t_60M/t_6M)/10 <= 2, and two
+    correctness pins that hold at 60M without a 60M oracle:
+    recur60m_cum_tail_relerr — the cumulative sum at the last position
+    vs F.sum over the same column (arbitrary reduction order, so
+    agreement to ~1e-12 relative pins the carry chain end to end) —
+    and recur60m_ema_tail_ok — the EMA at the last position vs a
+    driver-side numpy recurrence over the final 1000 rows (with
+    α = 2/21, prefix influence decays by (1-α)^1000 ≈ 1e-44, so the
+    truncated recurrence is exact to double precision)."""
+    from .operators import windows
+
+    global N_SYMBOLS, QUOTE_ROWS
+    p6 = os.path.join(data_dir, "quotes_6m.parquet")
+    _ensure(spark, p6, gen_quotes)
+    p60 = os.path.join(data_dir, "quotes_60m.parquet")
+    saved = (N_SYMBOLS, QUOTE_ROWS)
+    N_SYMBOLS, QUOTE_ROWS = 22000, 22000 * N_DAYS
+    try:
+        _ensure(spark, p60, gen_quotes)
+    finally:
+        N_SYMBOLS, QUOTE_ROWS = saved
+
+    out: dict[str, float] = {}
+    spark.catalog.clearCache()
+    out["recur_floor_sec"], _ = _floor_probe(spark)
+
+    def series(path):
+        # one dense global series: the table's global row index as pos
+        return spark.read.parquet(path).select(
+            F.col("id").alias("pos"),
+            F.col("close").cast("double").alias("val"),
+        )
+
+    def run_ema(path):
+        return (
+            windows.ema_global(series(path), 20)
+            .agg(F.max_by("ema", "pos").alias("tail"))
+            .collect()[0]["tail"]
+        )
+
+    def run_cum(path):
+        return (
+            windows.cum_agg_global(series(path), "sum")
+            .agg(
+                F.max_by("cum_sum", "pos").alias("tail"),
+            )
+            .collect()[0]["tail"]
+        )
+
+    tails = {}
+    for label, path in (("6m", p6), ("60m", p60)):
+        for op, fn in (("ema", run_ema), ("cum", run_cum)):
+            best, tail = None, None
+            for _ in range(2):
+                t0 = time.time()
+                tail = fn(path)
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            out[f"recur{label}_{op}_sec"] = round(best, 4)
+            tails[(label, op)] = tail
+    for op in ("ema", "cum"):
+        out[f"recur60m_{op}_linear_ratio"] = round(
+            (out[f"recur60m_{op}_sec"] / max(out[f"recur6m_{op}_sec"], 1e-9))
+            / 10.0,
+            4,
+        )
+
+    # correctness pins at 60M
+    s60 = series(p60)
+    total = s60.agg(F.sum("val")).collect()[0][0]
+    out["recur60m_cum_tail_relerr"] = round(
+        abs(tails[("60m", "cum")] - total) / max(abs(total), 1e-9), 16
+    )
+    n_rows = 22000 * N_DAYS
+    last = (
+        s60.filter(F.col("pos") >= n_rows - 1000)
+        .orderBy("pos")
+        .collect()
+    )
+    alpha = 2.0 / 21.0
+    e = last[0]["val"]
+    for r in last[1:]:
+        e = (1.0 - alpha) * e + alpha * r["val"]
+    out["recur60m_ema_tail_ok"] = int(
+        abs(tails[("60m", "ema")] - e) <= 1e-9 * max(1.0, abs(e))
+    )
+    return out
+
+
+def _evict_pages(*paths: str) -> int:
+    """The cold-read harness (round-13 verdict item 1): sync dirty
+    pages, then posix_fadvise(DONTNEED) every file under `paths`,
+    dropping their clean page-cache pages so the next read is served
+    from the device. Measured on this box: 2.6 GB corpus re-scan 1.6 s
+    warm vs 9-25 s evicted — a genuine IO-bound regime without
+    touching system-wide state (no /proc/sys/vm/drop_caches).
+    Returns the number of files evicted."""
+    os.sync()
+    n = 0
+    for p in paths:
+        files = (
+            [p]
+            if os.path.isfile(p)
+            else [
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(p)
+                for f in fs
+            ]
+        )
+        for fp in files:
+            try:
+                fd = os.open(fp, os.O_RDONLY)
+                try:
+                    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+                finally:
+                    os.close(fd)
+                n += 1
+            except OSError:
+                pass
+    return n
+
+
+def _run_ann_cold_soak(spark: SparkSession, data_dir: str) -> dict:
+    """ANN serve economics measured IN THEIR CLAIMED REGIME (round-13
+    verdict item 1): IVF/PQ are BYTE levers — scan n_probe/n_centroids
+    of the corpus (IVF) or m codes instead of dim floats (PQ, 12.8x
+    smaller at rest) — and the r12 10M numbers could not show the win
+    because the whole corpus was page-cache/Spark-cache-hot, where
+    serve is Arrow-decode-bound and the levers buy nothing. Here the
+    indexes live AT REST like a real 100-TB deployment's would —
+    corpus parquet, cell-PARTITIONED IVF assignment (partition pruning
+    = the physical probed-cells scan), codes parquet — and every timed
+    serve starts page-cache-cold via _evict_pages, alternating paths
+    across trials so device/hypervisor cache drift cannot favor one
+    side. Point query (n_probe 8/64), the shape the corpus-fraction
+    thesis lives in; min of 2 evicted trials per path.
+
+    Keys: ann10m_cold_{brute,ivf,pq_adc,pq}_q1_sec (+ _q1_recall10 for
+    approximate paths), ann10m_cold_ivf_q1_speedup (gate: >= 5x brute
+    cold), warm controls ann10m_cold_warmctl_{brute,ivf}_q1_sec (the
+    same serves page-cache-hot — the regime delta in one line), and
+    ann10m_cold_bytes_{corpus,ivf_probed,codes} (the byte lever as
+    written)."""
+    from .pipeline import similarity as S
+
+    global ANN_ROWS
+    rows10 = ANN_ROWS * 10
+    corpus_path = os.path.join(data_dir, "embeddings_10m.parquet")
+    saved = ANN_ROWS
+    ANN_ROWS = rows10
+    try:
+        _ensure(spark, corpus_path, gen_embeddings_1m)
+    finally:
+        ANN_ROWS = saved
+
+    ivf_dir = os.path.join(data_dir, "ann10m_cold_ivf")
+    codes_path = os.path.join(data_dir, "ann10m_cold_codes.parquet")
+    meta_path = os.path.join(data_dir, "ann10m_cold_meta.json")
+
+    out: dict[str, float] = {}
+    spark.catalog.clearCache()
+
+    t0 = time.time()
+    if not (
+        os.path.exists(meta_path)
+        and os.path.isdir(ivf_dir)
+        and os.path.isdir(codes_path)
+    ):
+        # one-time at-rest index build (amortized across rounds, like
+        # any index-at-rest): same train config as the ann_big soak
+        corpus = spark.read.parquet(corpus_path)
+        sample = corpus.filter(F.col("vec_id") % 10 == 3)
+        cents = S.train_ivf_centroids(sample, n_centroids=64, iters=3)
+        idx = S.ivf_index(corpus, centroids=cents, kernel="matrix")
+        (
+            idx[1]
+            .select(
+                "cell", "vec_id",
+                F.col("_cu").cast("array<float>").alias("_cu"),
+            )
+            .repartition(64, "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(ivf_dir)
+        )
+        idx[1].unpersist()
+        books = S.train_pq_codebooks(
+            sample, m=16, n_codes=256, iters=3, kernel="column"
+        )
+        S.pq_encode(corpus, books, kernel="matrix").write.mode(
+            "overwrite"
+        ).parquet(codes_path)
+        with open(meta_path, "w") as fh:
+            json.dump({"centroids": cents, "codebooks": books}, fh)
+        out["ann10m_cold_build_sec"] = round(time.time() - t0, 4)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    cents, books = meta["centroids"], meta["codebooks"]
+
+    # the point query, materialized as a LITERAL before any eviction so
+    # building it never re-warms the corpus inside a timed serve: the
+    # same perturbed-row construction as the ann soaks, vec_id=17
+    stride = rows10 // ANN_QUERIES
+    q1_rows = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("vec_id") % stride == 17)
+        .limit(1)
+        .selectExpr(
+            "vec_id AS query_id",
+            "transform(embedding, (x, d) -> x + cast(0.1 * "
+            "(shiftrightunsigned(xxhash64(vec_id, d + 31), 11) / 9007199254740992.0 - 0.5) AS float)) AS embedding",
+        )
+        .collect()
+    )
+    q1 = spark.createDataFrame(q1_rows, "query_id long, embedding array<float>")
+
+    # the probed-cell byte footprint, from the same probe rule the
+    # serve applies (n_probe highest-cosine cells, ties low cell)
+    Q = np.asarray(q1_rows[0]["embedding"], dtype=np.float64)
+    Q = Q / (np.linalg.norm(Q) or 1.0)
+    sims = np.asarray(cents, dtype=np.float64) @ Q
+    order = np.lexsort((np.arange(len(cents)), -sims))
+    probed = sorted(int(c) for c in order[:8])
+
+    def _dir_sz(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _d, fs in os.walk(p)
+            for f in fs
+        )
+
+    out["ann10m_cold_bytes_corpus"] = _dir_sz(corpus_path)
+    out["ann10m_cold_bytes_ivf_probed"] = sum(
+        _dir_sz(os.path.join(ivf_dir, f"cell={c}"))
+        for c in probed
+        if os.path.isdir(os.path.join(ivf_dir, f"cell={c}"))
+    )
+    out["ann10m_cold_bytes_codes"] = _dir_sz(codes_path)
+
+    def serve_brute():
+        return S.brute_force_topk_matrix(
+            spark.read.parquet(corpus_path), q1, k=10
+        )
+
+    def serve_ivf():
+        idx_df = spark.read.parquet(ivf_dir)
+        return S.ivf_topk(
+            spark.read.parquet(corpus_path), q1, k=10, n_probe=8,
+            index=(cents, idx_df), kernel="matrix",
+            brute_fallback_coverage=None,
+        )
+
+    def serve_pq_adc():
+        return S.pq_topk(
+            spark.read.parquet(codes_path), q1, books, k=10, kernel="matrix"
+        )
+
+    def serve_pq():
+        return S.pq_topk(
+            spark.read.parquet(codes_path), q1, books, k=10,
+            rerank=spark.read.parquet(corpus_path), rerank_factor=1500,
+            kernel="matrix", brute_fallback=False,
+        )
+
+    paths = {
+        "brute": serve_brute,
+        "ivf": serve_ivf,
+        "pq_adc": serve_pq_adc,
+        "pq": serve_pq,
+    }
+    results: dict[str, set] = {}
+    times: dict[str, list[float]] = {k: [] for k in paths}
+    for _trial in range(2):
+        for name, fn in paths.items():
+            out["ann10m_cold_evict_files"] = _evict_pages(
+                corpus_path, ivf_dir, codes_path
+            )
+            t0 = time.time()
+            rows = fn().collect()
+            times[name].append(time.time() - t0)
+            results[name] = {r["vec_id"] for r in rows}
+    for name in paths:
+        out[f"ann10m_cold_{name}_q1_sec"] = round(min(times[name]), 4)
+    out["ann10m_cold_ivf_q1_speedup"] = round(
+        out["ann10m_cold_brute_q1_sec"]
+        / max(out["ann10m_cold_ivf_q1_sec"], 1e-9),
+        2,
+    )
+    out["ann10m_cold_pq_q1_speedup"] = round(
+        out["ann10m_cold_brute_q1_sec"]
+        / max(out["ann10m_cold_pq_q1_sec"], 1e-9),
+        2,
+    )
+    # recall vs the exact answer from the same session (gate: the cold
+    # layout serves the same quality as the warm index — IVF 1.0 at
+    # 10M since r12)
+    for name in ("ivf", "pq_adc", "pq"):
+        out[f"ann10m_cold_{name}_q1_recall10"] = round(
+            len(results[name] & results["brute"]) / 10.0, 4
+        )
+
+    # warm controls: the SAME serves, page-cache-hot (immediately after
+    # the trials, no evict) — cold/warmctl is the regime ratio that
+    # explains why r12's RAM-resident numbers could not show the lever
+    out["ann10m_cold_warmctl_brute_q1_sec"] = _best(
+        lambda: serve_brute().collect(), 2
+    )
+    out["ann10m_cold_warmctl_ivf_q1_sec"] = _best(
+        lambda: serve_ivf().collect(), 2
+    )
     return out
 
 

@@ -720,6 +720,7 @@ def ivf_topk(
     index: tuple[list[list[float]], DataFrame] | None = None,
     kernel: str = "column",
     max_query_batch: int = MAX_QUERY_BATCH,
+    brute_fallback_coverage: float | None = 1.0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into coarse cells
     (spherical k-means), each query probes its n_probe nearest cells,
@@ -753,7 +754,22 @@ def ivf_topk(
     Arrow-scorer objection (shipping both vectors per candidate) does
     not apply here because each corpus vector crosses Arrow once.
     kernel='column' keeps the pair-join + Column-fold form — the
-    SQL-auditable shape the driver oracles pin."""
+    SQL-auditable shape the driver oracles pin.
+
+    brute_fallback_coverage (matrix kernel only, round-13): a broad
+    query batch's union-of-probes can cover (nearly) every cell, at
+    which point the masked serve decodes the whole corpus like brute
+    force while still paying per-cell grouping + per-(cell, query)
+    partial top-k overhead — the recorded 10M x 50-query batch measured
+    0.74x of brute (BENCH_r12). When the probed-cell fraction reaches
+    this threshold, serve EXACT instead: one full matmul scan of the
+    cached index (brute_force_topk_matrix over the pre-normalized _cu
+    column), which dominates the masked plan at full coverage. The
+    fallback returns exact cosine top-k — a superset-quality answer
+    (recall vs truth = 1.0 >= the IVF answer's), so results for a batch
+    above the threshold differ from the masked IVF answer ONLY by
+    being better. Set None to always run the masked IVF serve
+    (e.g. when measuring the index itself)."""
     if index is None:
         index = ivf_index(
             corpus, n_centroids, iters, vec_col, id_col, seed, centroids,
@@ -786,6 +802,21 @@ def ivf_topk(
         for qi, cells_row in enumerate(probe_sets):
             for cell in cells_row:
                 cell_to_q.setdefault(int(cell), []).append(qi)
+
+        if (
+            brute_fallback_coverage is not None
+            and len(cell_to_q) >= brute_fallback_coverage * C.shape[0]
+        ):
+            # union-of-probes covers the corpus: the masked serve would
+            # decode everything brute does plus grouping overhead — run
+            # the exact full matmul over the cached index instead (the
+            # _cu vectors are already unit; the renormalize inside is a
+            # ~1-ULP no-op). Never slower than brute, exact results.
+            return brute_force_topk_matrix(
+                c.select(id_col, F.col("_cu").alias(vec_col)), queries,
+                k=k, vec_col=vec_col, id_col=id_col,
+                query_id_col=query_id_col, max_query_batch=max_query_batch,
+            )
 
         qid_t = queries.schema[query_id_col].dataType.simpleString()
         id_t = c.schema[id_col].dataType.simpleString()
@@ -1313,6 +1344,7 @@ def pq_topk(
     rerank_factor: int = 4,
     kernel: str = "column",
     max_query_batch: int = MAX_QUERY_BATCH,
+    brute_fallback: bool | str = "auto",
 ) -> DataFrame:
     """ADC top-k over the PQ-encoded corpus: score ≈ cosine =
     Σ_sub dot(q_sub, codebook[sub][codes[sub]]) — each sub-dot a
@@ -1337,10 +1369,37 @@ def pq_topk(
     fold, ties at a boundary may reorder). The matrix kernel collects
     the query batch to the driver, capped at ``max_query_batch`` rows
     — exceeding it raises ValueError instead of OOMing the driver
-    (<=0 disables); kernel='column' keeps the query side distributed."""
+    (<=0 disables); kernel='column' keeps the query side distributed.
+
+    brute_fallback (matrix kernel with ``rerank`` only, round-13): PQ's
+    serve economics are a BYTE lever — scan m codes instead of dim
+    floats — which pays only where the exact vectors are expensive to
+    scan (disk/object-store-resident state). When ``rerank`` is already
+    RAM-resident, ADC + candidate re-rank measured 0.35x of plain brute
+    force at 10M x 50 queries (BENCH_r12): the code scan saves nothing
+    against a page-cache/Spark-cache-hot vector scan and the rerank
+    join is pure overhead. 'auto' (default) serves EXACT cosine top-k
+    via brute_force_topk_matrix(rerank, ...) when
+    ``rerank.storageLevel.useMemory`` is set — never slower than brute,
+    recall 1.0 >= the ADC answer's; True forces the exact path; False
+    always runs ADC (e.g. when measuring the index itself, or when the
+    storage level doesn't reflect the real scan cost). The column
+    kernel (the driver-oracle-pinned form) ignores this."""
     m = len(codebooks)
     sd = len(codebooks[0][0])
     n_cand = k * rerank_factor if rerank is not None else k
+    if (
+        kernel == "matrix"
+        and rerank is not None
+        and (
+            brute_fallback is True
+            or (brute_fallback == "auto" and rerank.storageLevel.useMemory)
+        )
+    ):
+        return brute_force_topk_matrix(
+            rerank, queries, k=k, vec_col=vec_col, id_col=id_col,
+            query_id_col=query_id_col, max_query_batch=max_query_batch,
+        )
     if kernel == "matrix":
         import pandas as pd
 

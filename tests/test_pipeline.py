@@ -1679,7 +1679,12 @@ def test_ivf_matrix_kernel_matches_column_kernel(spark, sf_dir):
         top = {
             (r.query_id, r.rank): r.vec_id
             for r in S.ivf_topk(
-                corpus, queries, k=5, n_probe=3, index=idx, kernel=kern
+                corpus, queries, k=5, n_probe=3, index=idx, kernel=kern,
+                # pin the MASKED serve: the parity under test is
+                # column-vs-matrix IVF, and a broad union-of-probes
+                # would otherwise trip the matrix kernel's exact
+                # full-coverage fallback (tested separately)
+                brute_fallback_coverage=None,
             ).collect()
         }
         out[kern] = (cells, top)
@@ -1817,7 +1822,11 @@ def test_pq_topk_matrix_kernel_matches_column_kernel(spark, sf_dir):
     for kern in ("column", "matrix"):
         rows = S.pq_topk(
             enc, queries, books, k=5, rerank=corpus, rerank_factor=4,
-            kernel=kern,
+            # the parity under test is column-vs-matrix ADC; pin the
+            # ADC path so a cache-resident corpus (any test caching a
+            # plan-identical read) can't swap the matrix leg to the
+            # exact brute fallback
+            kernel=kern, brute_fallback=False,
         ).collect()
         out[kern] = {(r.query_id, r.rank): r.vec_id for r in rows}
     enc.unpersist()
@@ -1906,3 +1915,93 @@ def test_matrix_kernels_query_batch_cap(spark, sf_dir):
             assert call(queries, 0).count() > 0
     finally:
         idx[1].unpersist()
+
+
+def test_ivf_full_coverage_brute_fallback(spark, sf_dir):
+    """Round-13 verdict item 2: when a query batch's union-of-probes
+    covers every cell, the masked matrix serve decodes the whole corpus
+    like brute while paying per-cell grouping overhead (0.74x of brute
+    recorded at 10M — BENCH_r12), so the default serve falls back to an
+    EXACT full matmul over the cached index. Pin: (a) at full coverage
+    the default answer equals exact brute force; (b) a point query
+    stays on the masked path (results equal the fallback-disabled
+    serve); (c) fallback results are never worse — exact recall."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = S.ivf_index(corpus, n_centroids=8, iters=2, kernel="matrix")
+    try:
+        # 12 queries x 3 probes over 8 cells: union covers all 8
+        broad = corpus.limit(12).selectExpr("vec_id AS query_id", "embedding")
+        got = {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.ivf_topk(
+                corpus, broad, k=5, n_probe=3, index=idx, kernel="matrix"
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.brute_force_topk_matrix(corpus, broad, k=5).collect()
+        }
+        assert got == exact
+
+        # point query probes 3/8 cells — below the full-coverage
+        # threshold, identical to the explicitly-masked serve
+        q1 = corpus.limit(1).selectExpr("vec_id AS query_id", "embedding")
+        masked = lambda cov: {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.ivf_topk(
+                corpus, q1, k=5, n_probe=3, index=idx, kernel="matrix",
+                brute_fallback_coverage=cov,
+            ).collect()
+        }
+        assert masked(1.0) == masked(None)
+    finally:
+        idx[1].unpersist()
+
+
+def test_pq_ram_resident_brute_fallback(spark, sf_dir):
+    """Round-13 verdict item 2 (PQ side): ADC's serve economics are a
+    byte lever that cannot pay when the exact vectors are RAM-resident
+    (0.35x of brute recorded at 10M — BENCH_r12), so kernel='matrix'
+    with a memory-cached rerank corpus serves exact brute top-k under
+    brute_fallback='auto'. Pin: uncached rerank -> 'auto' stays on the
+    real ADC+rerank path; cached rerank -> exact answer;
+    brute_fallback=False keeps ADC even when cached. (A plan-identical
+    re-read of a cached corpus reports useMemory too — Spark's cache
+    manager matches by logical plan — so 'auto' correctly treats it as
+    RAM-resident; the uncached leg therefore runs BEFORE any persist.)"""
+    from imcs_spark.pipeline import similarity as S
+
+    # the >= -1 filter gives this read a logical plan no other test's
+    # cached read shares, so the session cache manager cannot make the
+    # "uncached" leg RAM-resident behind our back
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") >= -1
+    )
+    books = S.train_pq_codebooks(corpus, m=2, n_codes=4, iters=1)
+    enc = S.pq_encode(corpus, books).persist()
+    queries = corpus.limit(4).selectExpr("vec_id AS query_id", "embedding")
+
+    def run(**kw):
+        return {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.pq_topk(
+                enc, queries, books, k=5, rerank=corpus, rerank_factor=4,
+                kernel="matrix", **kw,
+            ).collect()
+        }
+
+    try:
+        adc_before = run()  # corpus not cached: 'auto' must run ADC
+        corpus.persist().count()
+        auto_cached = run()  # RAM-resident: 'auto' serves exact
+        exact = {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.brute_force_topk_matrix(corpus, queries, k=5).collect()
+        }
+        assert auto_cached == exact
+        assert run(brute_fallback=False) == adc_before
+    finally:
+        enc.unpersist()
+        corpus.unpersist()

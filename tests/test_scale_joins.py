@@ -529,7 +529,13 @@ def test_ivf_matrix_serve_has_no_pair_join(spark, sf_dir):
     corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     idx = S.ivf_index(corpus, n_centroids=8, iters=2, kernel="matrix")
     queries = corpus.limit(3).selectExpr("vec_id AS query_id", "embedding")
-    out = S.ivf_topk(corpus, queries, k=5, n_probe=3, index=idx, kernel="matrix")
+    # brute_fallback_coverage=None: this pins the MASKED serve's plan;
+    # at full union-of-probes coverage the default would (correctly)
+    # serve the exact full-scan shape instead
+    out = S.ivf_topk(
+        corpus, queries, k=5, n_probe=3, index=idx, kernel="matrix",
+        brute_fallback_coverage=None,
+    )
     plan = out._jdf.queryExecution().executedPlan().toString()
     pre_window = plan.split("Window")[-1]  # everything BELOW the final top-k window
     assert "MapInPandas" in plan
