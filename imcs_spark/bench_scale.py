@@ -1847,6 +1847,26 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
     ).count()
     out["ann10m_ivf_recall10"] = round(hits / max(n_truth, 1), 4)
 
+    # a second, DISJOINT 50-query batch for every re-timed serve below
+    # (default-serve gate rows + the crossover ladder): a rebuilt serve
+    # over the SAME query batch is plan-identical to the persisted
+    # truth/approx frames — the pickled scorer closure embeds the same
+    # collected Q matrix — and Spark's cache manager substitutes the
+    # cached result (first observed here: a 15.3 s brute "re-run" read
+    # 0.25 s). Different query rows → different closure bytes → the
+    # rebuilt plans really execute.
+    queries_b = (
+        corpus.filter(F.col("vec_id") % stride == 29)
+        .limit(ANN_QUERIES)
+        .selectExpr(
+            "vec_id AS query_id",
+            "transform(embedding, (x, d) -> x + cast(0.1 * "
+            "(shiftrightunsigned(xxhash64(vec_id, d + 31), 11) / 9007199254740992.0 - 0.5) AS float)) AS embedding",
+        )
+        .persist()
+    )
+    queries_b.count()
+
     # DEFAULT serve (round-13 verdict item 2): at full union-of-probes
     # coverage ivf_topk now serves the exact full matmul over the
     # cached index instead of the slower-than-brute masked plan — the
@@ -1854,7 +1874,7 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
     # gate row ann10m_ivf_speedup divides into.
     t0 = time.time()
     S.ivf_topk(
-        corpus, queries, k=10, n_probe=8, index=index, kernel="matrix"
+        corpus, queries_b, k=10, n_probe=8, index=index, kernel="matrix"
     ).count()
     out["ann10m_ivf_query_sec"] = round(time.time() - t0, 4)
 
@@ -1887,7 +1907,7 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
     # losing side of it because the coverage fallback takes over.
     xn_last = 1 if out["ann10m_ivf_q1_sec"] < out["ann10m_brute_q1_sec"] else 0
     for xn in (5, 15, 50):
-        qx = queries.limit(xn).persist()
+        qx = queries_b.limit(xn).persist()
         qx.count()
         masked = _best(
             lambda: S.ivf_topk(
@@ -1941,10 +1961,12 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
 
     # DEFAULT serve (round-13 verdict item 2): rerank (= corpus) is
     # RAM-persisted here, so brute_fallback='auto' serves exact brute
-    # — never slower than brute, by construction. Gate row.
+    # — never slower than brute, by construction. Gate row; on the
+    # disjoint queries_b batch (plan-cache trap above — this serve's
+    # fallback is plan-identical to the persisted truth otherwise).
     t0 = time.time()
     S.pq_topk(
-        enc, queries, books, k=10, rerank=corpus, rerank_factor=1500,
+        enc, queries_b, books, k=10, rerank=corpus, rerank_factor=1500,
         kernel="matrix",
     ).count()
     out["ann10m_pq_query_sec"] = round(time.time() - t0, 4)
@@ -1960,7 +1982,7 @@ def _run_ann_big_soak(spark: SparkSession, data_dir: str) -> dict:
         out["ann10m_brute_sec"] / max(out["ann10m_pq_query_sec"], 1e-9), 2
     )
 
-    for f in (pq, enc, truth, approx, index[1], queries, corpus):
+    for f in (pq, enc, truth, approx, index[1], queries, queries_b, corpus):
         f.unpersist()
     return out
 
@@ -1987,51 +2009,46 @@ def _run_recurrence_soak(spark: SparkSession, data_dir: str) -> dict:
     truncated recurrence is exact to double precision)."""
     from .operators import windows
 
-    global N_SYMBOLS, QUOTE_ROWS
-    p6 = os.path.join(data_dir, "quotes_6m.parquet")
-    _ensure(spark, p6, gen_quotes)
-    p60 = os.path.join(data_dir, "quotes_60m.parquet")
-    saved = (N_SYMBOLS, QUOTE_ROWS)
-    N_SYMBOLS, QUOTE_ROWS = 22000, 22000 * N_DAYS
-    try:
-        _ensure(spark, p60, gen_quotes)
-    finally:
-        N_SYMBOLS, QUOTE_ROWS = saved
-
     out: dict[str, float] = {}
     spark.catalog.clearCache()
     out["recur_floor_sec"], _ = _floor_probe(spark)
 
-    def series(path):
-        # one dense global series: the table's global row index as pos
-        return spark.read.parquet(path).select(
+    n6 = QUOTE_ROWS
+    n60 = 22000 * N_DAYS
+
+    def series(n_rows):
+        # one dense synthetic series, pure-Column and generated inside
+        # the timed region at BOTH scales (same per-row cost, so the
+        # linear ratio stays clean) — quote-shaped values, no parquet
+        # scan in the measurement
+        return spark.range(0, n_rows, 1, 32).select(
             F.col("id").alias("pos"),
-            F.col("close").cast("double").alias("val"),
+            (F.lit(10.0) + F.lit(490.0) * _u("id", 1))
+            .cast("double")
+            .alias("val"),
         )
 
-    def run_ema(path):
+    def run_ema(n_rows):
         return (
-            windows.ema_global(series(path), 20)
+            windows.ema_global(series(n_rows), 20)
             .agg(F.max_by("ema", "pos").alias("tail"))
             .collect()[0]["tail"]
         )
 
-    def run_cum(path):
+    def run_cum(n_rows):
         return (
-            windows.cum_agg_global(series(path), "sum")
-            .agg(
-                F.max_by("cum_sum", "pos").alias("tail"),
-            )
+            windows.cum_agg_global(series(n_rows), "sum")
+            .agg(F.max_by("cum_sum", "pos").alias("tail"))
             .collect()[0]["tail"]
         )
 
     tails = {}
-    for label, path in (("6m", p6), ("60m", p60)):
+    for label, n_rows in (("6m", n6), ("60m", n60)):
         for op, fn in (("ema", run_ema), ("cum", run_cum)):
             best, tail = None, None
             for _ in range(2):
                 t0 = time.time()
-                tail = fn(path)
+                tail = fn(n_rows)
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
             out[f"recur{label}_{op}_sec"] = round(best, 4)
@@ -2044,14 +2061,13 @@ def _run_recurrence_soak(spark: SparkSession, data_dir: str) -> dict:
         )
 
     # correctness pins at 60M
-    s60 = series(p60)
+    s60 = series(n60)
     total = s60.agg(F.sum("val")).collect()[0][0]
     out["recur60m_cum_tail_relerr"] = round(
         abs(tails[("60m", "cum")] - total) / max(abs(total), 1e-9), 16
     )
-    n_rows = 22000 * N_DAYS
     last = (
-        s60.filter(F.col("pos") >= n_rows - 1000)
+        s60.filter(F.col("pos") >= n60 - 1000)
         .orderBy("pos")
         .collect()
     )
@@ -2132,6 +2148,10 @@ def _run_ann_cold_soak(spark: SparkSession, data_dir: str) -> dict:
         ANN_ROWS = saved
 
     ivf_dir = os.path.join(data_dir, "ann10m_cold_ivf")
+    # array layout, deliberately: the pq_widen columnar form measured
+    # 3x SLOWER through the Arrow bridge's per-column cost despite a
+    # 55x faster gather (see pq_widen docstring) — the at-rest layout
+    # for THIS engine's serve is the codes array
     codes_path = os.path.join(data_dir, "ann10m_cold_codes.parquet")
     meta_path = os.path.join(data_dir, "ann10m_cold_meta.json")
 
@@ -2139,11 +2159,7 @@ def _run_ann_cold_soak(spark: SparkSession, data_dir: str) -> dict:
     spark.catalog.clearCache()
 
     t0 = time.time()
-    if not (
-        os.path.exists(meta_path)
-        and os.path.isdir(ivf_dir)
-        and os.path.isdir(codes_path)
-    ):
+    if not (os.path.exists(meta_path) and os.path.isdir(ivf_dir)):
         # one-time at-rest index build (amortized across rounds, like
         # any index-at-rest): same train config as the ann_big soak
         corpus = spark.read.parquet(corpus_path)
@@ -2165,15 +2181,17 @@ def _run_ann_cold_soak(spark: SparkSession, data_dir: str) -> dict:
         books = S.train_pq_codebooks(
             sample, m=16, n_codes=256, iters=3, kernel="column"
         )
-        S.pq_encode(corpus, books, kernel="matrix").write.mode(
-            "overwrite"
-        ).parquet(codes_path)
         with open(meta_path, "w") as fh:
             json.dump({"centroids": cents, "codebooks": books}, fh)
-        out["ann10m_cold_build_sec"] = round(time.time() - t0, 4)
     with open(meta_path) as fh:
         meta = json.load(fh)
     cents, books = meta["centroids"], meta["codebooks"]
+    if not os.path.isdir(codes_path):
+        S.pq_encode(
+            spark.read.parquet(corpus_path), books, kernel="matrix"
+        ).write.mode("overwrite").parquet(codes_path)
+    if time.time() - t0 > 1.0:
+        out["ann10m_cold_build_sec"] = round(time.time() - t0, 4)
 
     # the point query, materialized as a LITERAL before any eviction so
     # building it never re-warms the corpus inside a timed serve: the
@@ -2285,6 +2303,28 @@ def _run_ann_cold_soak(spark: SparkSession, data_dir: str) -> dict:
     )
     out["ann10m_cold_warmctl_ivf_q1_sec"] = _best(
         lambda: serve_ivf().collect(), 2
+    )
+
+    # regime self-classification (the drift-line discipline applied to
+    # cold runs): posix_fadvise drops the GUEST page cache, but this
+    # box is a VM — when the HYPERVISOR's cache is warm from recent
+    # activity, "cold" reads are served host-side at near-warm speed
+    # and the IO term the section exists to measure vanishes (observed
+    # back-to-back: brute cold 12.19 s against warmctl 5.24 s on the
+    # first run of the day, then 4.61 vs 4.58 an hour later). The wall
+    # gate is only meaningful when the regime held, so record it:
+    # regime_ok=0 means "host-cache-warm run — read the bytes lever,
+    # not the wall ratio". The bytes lever itself (corpus/probed) is
+    # cache-tier-independent and is the quantity that scales to the
+    # 100-TB object-store shape.
+    ratio = out["ann10m_cold_brute_q1_sec"] / max(
+        out["ann10m_cold_warmctl_brute_q1_sec"], 1e-9
+    )
+    out["ann10m_cold_regime_ratio"] = round(ratio, 2)
+    out["ann10m_cold_regime_ok"] = int(ratio >= 1.5)
+    out["ann10m_cold_bytes_lever"] = round(
+        out["ann10m_cold_bytes_corpus"]
+        / max(out["ann10m_cold_bytes_ivf_probed"], 1), 2
     )
     return out
 

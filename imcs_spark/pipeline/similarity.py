@@ -1332,6 +1332,41 @@ def pq_encode(
     )
 
 
+def pq_widen(
+    encoded: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Columnar layout for PQ codes: one ``code_<s>`` smallint column
+    per subspace instead of a single ``codes array<int>``. pq_topk's
+    matrix kernel auto-detects it (absence of a ``codes`` column) and
+    gathers each column as a flat int array — 55x faster per batch
+    than the array layout's per-row list->ndarray stack in pure numpy.
+
+    MEASURED CAVEAT (round 13, the reason this is NOT the default serve
+    layout): Spark's Arrow bridge pays a per-COLUMN per-batch
+    conversion cost that swamps the gather win — a pass-through
+    mapInPandas over 10M rows delivered (id + 16 smallint columns) in
+    7.7-9.9 s vs 2.7 s for (id + array), batch size insensitive, and
+    the end-to-end ADC serve measured 14.5 s wide vs ~5 s array. Parquet
+    bitpacking also saved ~nothing (203.2 vs 204.0 MB: the array
+    layout's int32 codes already dictionary/bitpack). Use the array
+    layout for serving in this engine; pq_widen exists for interop and
+    for columnar analytics over individual code columns. smallint caps
+    n_codes at 32768 — far above the 256-code standard. The column
+    kernel stays array-layout (the driver-oracle-pinned form)."""
+    if "codes" not in encoded.columns:
+        raise ValueError("pq_widen: encoded frame has no 'codes' column")
+    # m (subspace count) from the data, not a parameter: one row's
+    # codes length — constant by construction (pq_encode output)
+    n_sub = len(encoded.select("codes").head()["codes"])
+    return encoded.select(
+        id_col,
+        *[
+            F.element_at("codes", s + 1).cast("smallint").alias(f"code_{s}")
+            for s in range(n_sub)
+        ],
+    )
+
+
 def pq_topk(
     encoded: DataFrame,
     queries: DataFrame,
@@ -1428,6 +1463,23 @@ def pq_topk(
         qid_t = queries.schema[query_id_col].dataType.simpleString()
         cid_t = encoded.schema[id_col].dataType.simpleString()
         schema = f"{query_id_col} {qid_t}, {id_col} {cid_t}, score double"
+        # layout detection: pq_widen's columnar codes (code_0..code_{m-1}
+        # flat columns) vs the classic codes array. Wide columns reach
+        # the scorer as flat int arrays — no per-row list->ndarray
+        # stack, the decode cost that dominated the array-layout cold
+        # ADC serve (round 13).
+        wide = "codes" not in encoded.columns
+        if wide:
+            missing = [
+                s for s in range(m) if f"code_{s}" not in encoded.columns
+            ]
+            if missing or f"code_{m}" in encoded.columns:
+                raise ValueError(
+                    "pq_topk: encoded frame has neither a 'codes' array nor "
+                    f"exactly code_0..code_{m - 1} wide columns for "
+                    f"codebook count m={m} "
+                    f"(missing={missing[:4]}, columns={encoded.columns[:6]})"
+                )
 
         def gen(batches):
             # running top-n_cand per query across the PARTITION's
@@ -1443,20 +1495,25 @@ def pq_topk(
                 if not len(pdf):
                     continue
                 ids = pdf[id_col].to_numpy()
-                codes = np.stack(
-                    [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
-                )
-                if codes.shape[1] != m:
-                    # codes LONGER than m would otherwise silently use
-                    # the first m entries against the wrong codebooks
-                    raise ValueError(
-                        f"pq_topk: encoded codes length {codes.shape[1]}"
-                        f" != codebook count m={m}"
-                    )
                 # scores: (n_q, n_batch) = Σ_s LUT[:, s, codes[:, s]]
                 S = np.zeros((n_q, len(ids)))
-                for s in range(m):
-                    S += LUT[:, s, codes[:, s]]
+                if wide:
+                    for s in range(m):
+                        S += LUT[:, s, pdf[f"code_{s}"].to_numpy()]
+                else:
+                    codes = np.stack(
+                        [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+                    )
+                    if codes.shape[1] != m:
+                        # codes LONGER than m would otherwise silently
+                        # use the first m entries against the wrong
+                        # codebooks
+                        raise ValueError(
+                            f"pq_topk: encoded codes length "
+                            f"{codes.shape[1]} != codebook count m={m}"
+                        )
+                    for s in range(m):
+                        S += LUT[:, s, codes[:, s]]
                 bid = np.broadcast_to(ids, (n_q, len(ids)))
                 if pool_S is not None:
                     S = np.concatenate([pool_S, S], axis=1)
@@ -1476,7 +1533,10 @@ def pq_topk(
                 }
             )
 
-        partial = encoded.select(id_col, "codes").mapInPandas(gen, schema)
+        scan_cols = (
+            [f"code_{s}" for s in range(m)] if wide else ["codes"]
+        )
+        partial = encoded.select(id_col, *scan_cols).mapInPandas(gen, schema)
         w = Window.partitionBy(query_id_col).orderBy(
             F.col("score").desc(), F.col(id_col).asc()
         )
@@ -1491,6 +1551,11 @@ def pq_topk(
             )
             top = top.join(F.broadcast(qu), query_id_col)
     elif kernel == "column":
+        if "codes" not in encoded.columns:
+            raise ValueError(
+                "pq_topk: kernel='column' requires the 'codes' array "
+                "layout — pq_widen frames are matrix-kernel only"
+            )
         qu = (
             queries.select(query_id_col, F.col(vec_col).alias("_qv"))
             .withColumn("_qu", _unit("_qv"))

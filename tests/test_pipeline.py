@@ -2005,3 +2005,46 @@ def test_pq_ram_resident_brute_fallback(spark, sf_dir):
     finally:
         enc.unpersist()
         corpus.unpersist()
+
+
+def test_pq_wide_codes_layout_matches_array(spark, sf_dir):
+    """pq_widen (round 13): columnar code_<s> smallint columns are the
+    PQ-at-rest layout — the matrix ADC scan reads them as flat arrays
+    (no per-row list->ndarray stack, the measured cold-serve decode
+    wall). Pin: identical ranked output to the array layout with and
+    without rerank; pq_widen rejects non-encoded frames; the column
+    kernel rejects wide frames."""
+    from imcs_spark.pipeline import similarity as S
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = S.train_pq_codebooks(corpus, m=4, n_codes=8, iters=2)
+    enc = S.pq_encode(corpus, books, kernel="matrix").persist()
+    wideframe = S.pq_widen(enc)
+    queries = corpus.limit(4).selectExpr("vec_id AS query_id", "embedding")
+
+    def rankmap(e, **kw):
+        return {
+            (r.query_id, r.rank): r.vec_id
+            for r in S.pq_topk(
+                e, queries, books, k=5, kernel="matrix",
+                brute_fallback=False, **kw,
+            ).collect()
+        }
+
+    try:
+        assert rankmap(enc) == rankmap(wideframe)
+        assert rankmap(enc, rerank=corpus, rerank_factor=4) == rankmap(
+            wideframe, rerank=corpus, rerank_factor=4
+        )
+        with pytest.raises(ValueError, match="no 'codes' column"):
+            S.pq_widen(wideframe)
+        with pytest.raises(ValueError, match="matrix-kernel only"):
+            S.pq_topk(wideframe, queries, books, k=5)
+        # incomplete wide layout: a missing code column fails loudly
+        with pytest.raises(ValueError, match="code_0..code_3"):
+            S.pq_topk(
+                wideframe.drop("code_3"), queries, books, k=5,
+                kernel="matrix",
+            )
+    finally:
+        enc.unpersist()
