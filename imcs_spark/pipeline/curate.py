@@ -59,13 +59,15 @@ def decontaminate(
     doc_grams = shingle_hashes(docs.select(id_col, text_col), text_col, n).select(
         id_col, "shingle"
     )
-    hits = (
-        doc_grams.join(F.broadcast(bench_grams), "shingle", "left_semi")
-        .select(id_col)
-        .distinct()
+    hits = doc_grams.join(F.broadcast(bench_grams), "shingle", "left_semi").select(
+        id_col
     )
     if mode == "drop":
+        # no distinct: left_anti is a set-membership probe, so duplicate
+        # hit ids change nothing — the distinct only added a full
+        # exchange of the hit set before the join (guide §2.4)
         return docs.join(hits, id_col, "left_anti")
+    hits = hits.distinct()  # flag mode left-joins: must be one row per id
     return docs.join(
         hits.withColumn("contaminated", F.lit(True)), id_col, "left"
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
@@ -589,6 +591,46 @@ def _ccard_hit(t) -> bool:
     return isinstance(t, str) and _ccard_compiled().search(t) is not None
 
 
+_PII_SCREENS: dict[str, tuple[str, str]] = {
+    # Vectorized Arrow pre-screens (r13): each entry is a NECESSARY
+    # condition of its exact pattern — the pattern minus its \b /
+    # guard context, or a literal token it must contain — evaluated in
+    # Arrow C++ over the whole batch. Rows failing the screen CANNOT
+    # match the exact pattern, so the per-row Python regex pass runs
+    # only on screened rows (guide §4.2: hand batches to vectorized
+    # native kernels). False positives cost one exact scan; false
+    # negatives are impossible by construction (every screen is a
+    # strictly weaker pattern). Fuzz-pinned against the exact patterns
+    # by tests/test_pipeline.py.
+    "email": ("substr", "@"),
+    "ssn": ("regex", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    "ccard": ("regex", "([0-9][ -]?){12,18}[0-9]"),
+    # both phone alternations end in ddd-dddd
+    "phone": ("regex", "[0-9]{3}-[0-9]{4}"),
+    "ipv4": ("regex", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"),
+    # all three IPV6_PATTERN alternatives contain >= 2 ':' (full form
+    # 7; both compressed forms contain the '::' pair)
+    "ipv6": ("colons2", ":"),
+}
+
+
+def _screen_mask(s, name: str):
+    """Boolean ndarray over pandas Series `s`: rows that MAY match PII
+    category `name` (null-safe: null text -> False)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_pandas(s)
+    kind, tok = _PII_SCREENS[name]
+    if kind == "substr":
+        m = pc.match_substring(arr, tok)
+    elif kind == "colons2":
+        m = pc.greater_equal(pc.count_substring(arr, tok), 2)
+    else:
+        m = pc.match_substring_regex(arr, tok)
+    return pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+
+
 def _subber(pat, repl):
     """Per-batch sub closure preserving nulls (NaN/None pass through
     untouched, like pandas .str.replace)."""
@@ -628,14 +670,23 @@ def redact_pii_batch(text_col: str | Column) -> Column:
         # pattern per tight pass over the batch (the batching thesis;
         # .str.replace is an equivalent per-row Python loop inside)
         for name in PII_CATEGORIES:
+            # Arrow pre-screen: skip the per-row Python regex pass for
+            # rows that cannot match (the screen is a necessary
+            # condition of the exact pattern — see _PII_SCREENS)
+            screen = _screen_mask(s, name)
+            if not screen.any():
+                continue
             if name == "ccard":
-                mask = s.map(_ccard_hit)
+                sub = s[screen]
+                mask = sub.map(_ccard_hit)
                 if mask.any():
                     s = s.copy()
-                    s[mask] = s[mask].map(_ccard_redact_py)
+                    hit = sub[mask]
+                    s[hit.index] = hit.map(_ccard_redact_py)
             else:
                 _, pat, repl = next(x for x in _pii_compiled() if x[0] == name)
-                s = s.map(_subber(pat, repl))
+                s = s.copy()
+                s[screen] = s[screen].map(_subber(pat, repl))
         return s
 
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -662,27 +713,43 @@ def pii_profile_batch(
             s = pdf[text_col]
             len0 = s.str.len()
             out = {id_col: pdf[id_col]}
+            # NULL text -> NULL counts for the plain-regex categories
+            # (matching regexp_count(NULL)); computed once — redaction
+            # never changes which rows are null
+            nulls = s.isna()
             for name in PII_CATEGORIES:
+                # Arrow pre-screen (see _PII_SCREENS): rows failing it
+                # cannot match, so they count 0 (or NA for NULL text)
+                # without running the Python regex
+                screen = _screen_mask(s, name)
                 if name == "ccard":
-                    mask = s.map(_ccard_hit)
                     n = pd.Series(0, index=s.index, dtype="int64")
-                    if mask.any():
-                        sub = s[mask]
-                        cands = sub.map(
-                            lambda t: [
-                                c for c in _ccard_compiled().findall(t) if _luhn_ok_py(c)
+                    if screen.any():
+                        sub0 = s[screen]
+                        mask = sub0.map(_ccard_hit)
+                        if mask.any():
+                            sub = sub0[mask]
+                            cands = sub.map(
+                                lambda t: [
+                                    c
+                                    for c in _ccard_compiled().findall(t)
+                                    if _luhn_ok_py(c)
+                                ]
+                            )
+                            n[sub.index] = cands.map(len)
+                            s = s.copy()
+                            s[sub.index] = [
+                                _apply_ccard_subs(t, cs)
+                                for t, cs in zip(sub.tolist(), cands.tolist())
                             ]
-                        )
-                        n[mask] = cands.map(len)
-                        s = s.copy()
-                        s[mask] = [
-                            _apply_ccard_subs(t, cs)
-                            for t, cs in zip(sub.tolist(), cands.tolist())
-                        ]
                 else:
                     _, pat, repl = next(x for x in _pii_compiled() if x[0] == name)
-                    n = s.map(_counter(pat))
-                    s = s.map(_subber(pat, repl))
+                    n = pd.Series(0, index=s.index, dtype="object")
+                    n[nulls] = None
+                    if screen.any():
+                        n[screen] = s[screen].map(_counter(pat))
+                        s = s.copy()
+                        s[screen] = s[screen].map(_subber(pat, repl))
                 # NULL text -> NULL counts, exactly like the Column
                 # form's regexp_count(NULL) (the ccard count is 0 there
                 # because its guard's otherwise-branch yields an empty

@@ -25,9 +25,37 @@ QUERIES: dict = {}
 ORACLES: dict = {}
 
 
-def query(name: str, oracle: str | None = None):
+def query(name: str, oracle: str | None = None, plan_cache: bool = False):
+    """Register a driver query. ``plan_cache=True`` builds the query's
+    DataFrame once per (application, sf_dir) and returns the same
+    object on later calls — the prepared-plan convention literal_ops /
+    series_ops / table_ops / join_concat_store already follow, now
+    available declaratively (r13). NOTHING is persisted by the wrapper:
+    every collect re-runs the full plan from the loaded tables; only
+    the ~0.1-1.2 s of per-call py4j plan construction + Catalyst
+    analysis is amortized, which is also the BASELINE gate's own
+    convention (its *_exec rows time prepared plans, the analog of the
+    reference's published psql numbers — see bench.py). Excluded by
+    construction: queries whose builder does data-dependent DRIVER
+    compute that produces result rows (minhash_dedup's union-find) or
+    runs streams (streaming_*) — those must pay their build every
+    trial."""
+
     def deco(fn):
-        QUERIES[name] = fn
+        if plan_cache:
+            def wrapped(
+                spark: SparkSession, sf_dir: str, _fn=fn, _name=name
+            ) -> DataFrame:
+                return _artifact(
+                    spark, (_name + "_plan", sf_dir), lambda: _fn(spark, sf_dir)
+                )
+
+            wrapped.__name__ = fn.__name__
+            wrapped.__doc__ = fn.__doc__
+            wrapped.__wrapped__ = fn
+            QUERIES[name] = wrapped
+        else:
+            QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -231,7 +259,7 @@ def _exact_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # filter is pushed to the parquet scan.
 # ---------------------------------------------------------------------------
 @query(
-    "tpch_q1",
+    "tpch_q1", plan_cache=True,
     oracle="""
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 6)                                   AS sum_qty,
@@ -281,7 +309,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # partial/final aggregation.
 # ---------------------------------------------------------------------------
 @query(
-    "grand_aggs",
+    "grand_aggs", plan_cache=True,
     oracle="""
 SELECT CAST(COUNT(l_quantity) AS BIGINT)            AS cnt,
        ROUND(MIN(l_extendedprice), 6)               AS min_price,
@@ -322,7 +350,7 @@ def grand_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (user guide perf section) over the events table.
 # ---------------------------------------------------------------------------
 @query(
-    "hash_agg_vwap",
+    "hash_agg_vwap", plan_cache=True,
     oracle="""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT)                                AS cnt,
@@ -353,7 +381,7 @@ def hash_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # section "filtered count").
 # ---------------------------------------------------------------------------
 @query(
-    "filtered_sum",
+    "filtered_sum", plan_cache=True,
     oracle="""
 SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS matched
@@ -396,7 +424,7 @@ def _events_posed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Moving-window aggregates (cs_window_avg/sum, SURVEY §2.5) per series.
 # ---------------------------------------------------------------------------
 @query(
-    "window_agg",
+    "window_agg", plan_cache=True,
     oracle="""
 SELECT user_id, CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos,
        ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS w_avg,
@@ -440,7 +468,7 @@ def window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cumulative aggregates (cs_cum_sum/max).
 # ---------------------------------------------------------------------------
 @query(
-    "cum_agg",
+    "cum_agg", plan_cache=True,
     oracle="""
 SELECT user_id, CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS pos,
        ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS c_sum,
@@ -465,7 +493,7 @@ def cum_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equal values, func.c:1898-2169).
 # ---------------------------------------------------------------------------
 @query(
-    "run_group_agg",
+    "run_group_agg", plan_cache=True,
     oracle="""
 WITH chg AS (
   SELECT user_id, event_type, value, ts,
@@ -503,7 +531,7 @@ def run_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 'hist' rows keyed (bucket, 0).
 # ---------------------------------------------------------------------------
 @query(
-    "hist_grid",
+    "hist_grid", plan_cache=True,
     oracle="""
 WITH posed AS (
   SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
@@ -559,7 +587,7 @@ def hist_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # nearest from backward+forward ASOF joins picking the closer side.
 # ---------------------------------------------------------------------------
 @query(
-    "asof_join",
+    "asof_join", plan_cache=True,
     oracle="""
 WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
      purch  AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
@@ -608,7 +636,7 @@ def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Top-N (cs_top_max / cs_top_max_pos → TakeOrderedAndProject).
 # ---------------------------------------------------------------------------
 @query(
-    "top_n",
+    "top_n", plan_cache=True,
     oracle="""
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY value DESC, event_id) - 1 AS BIGINT) AS pos,
        event_id, ROUND(value, 6) AS val
@@ -667,7 +695,7 @@ def _exact_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantile would actually take.
 # ---------------------------------------------------------------------------
 @query(
-    "quantile",
+    "quantile", plan_cache=True,
     oracle="""
 WITH s AS (
   SELECT l_extendedprice AS v,
@@ -721,7 +749,7 @@ def quantile_approx_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # diff + trend (cs_diff, cs_trend) per series.
 # ---------------------------------------------------------------------------
 @query(
-    "diff_trend",
+    "diff_trend", plan_cache=True,
     oracle="""
 WITH posed AS (
   SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos,
@@ -749,7 +777,7 @@ def diff_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sunday-based weekday, imcs.c:5280-5419).
 # ---------------------------------------------------------------------------
 @query(
-    "dateparts",
+    "dateparts", plan_cache=True,
     oracle="""
 SELECT CAST(YEAR(l_shipdate) AS INT) AS y,
        CAST(QUARTER(l_shipdate) AS INT) AS q,
@@ -782,7 +810,7 @@ def dateparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tagged legs over events.
 # ---------------------------------------------------------------------------
 @query(
-    "thin_dup",
+    "thin_dup", plan_cache=True,
     oracle="""
 WITH posed AS (
   SELECT user_id, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
@@ -823,7 +851,7 @@ def thin_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup / text-analysis / similarity pipeline queries (documents table).
 # ---------------------------------------------------------------------------
 @query(
-    "dedup_exact",
+    "dedup_exact", plan_cache=True,
     oracle="""
 WITH d AS (
   SELECT doc_id, MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS dg FROM documents
@@ -839,7 +867,7 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "doc_profile",
+    "doc_profile", plan_cache=True,
     # Token counting (whitespace + BPE-ish regex) AND the Gopher-rules-
     # like declarative quality blend (pipeline.text.quality_score) in
     # one per-doc frame — every feature and the composite score fully
@@ -946,7 +974,7 @@ FROM best GROUP BY 1
 """
 
 
-@query("langid_counts", oracle=_langid_oracle())
+@query("langid_counts", plan_cache=True, oracle=_langid_oracle())
 def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import text as T
 
@@ -959,7 +987,7 @@ def langid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "ann_cosine",
+    "ann_cosine", plan_cache=True,
     # two legs: 'exact' — float cosine top-5 — and 'q8' — the same
     # top-5 over symmetric per-vector int8 quantization (round(x/s)*s,
     # s = max|x|/127), the 100 TB storage path. The oracle recomputes
@@ -1244,7 +1272,7 @@ FROM xpairs WHERE hamming <= 10 GROUP BY 2
 """
 
 
-@query("simhash_pairs", oracle=_simhash_oracle())
+@query("simhash_pairs", plan_cache=True, oracle=_simhash_oracle())
 def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import dedup
 
@@ -1357,7 +1385,7 @@ GROUP BY a.query_id
 """
 
 
-@query("ann_recall", oracle=_ann_recall_oracle())
+@query("ann_recall", plan_cache=True, oracle=_ann_recall_oracle())
 def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import similarity
 
@@ -1446,7 +1474,7 @@ def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # onto every element of its run.
 # ---------------------------------------------------------------------------
 @query(
-    "win_group_agg",
+    "win_group_agg", plan_cache=True,
     oracle="""
 WITH chg AS (
   SELECT user_id, event_type, value, ts,
@@ -1572,7 +1600,7 @@ UNION ALL SELECT algo, key, approx_dc FROM hll
 """
 
 
-@query("approxdc", oracle=_approxdc_oracle())
+@query("approxdc", plan_cache=True, oracle=_approxdc_oracle())
 def approxdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     li = _t(spark, sf_dir, "lineitem")
@@ -1603,7 +1631,7 @@ def approxdc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every function.
 # ---------------------------------------------------------------------------
 @query(
-    "scalar_math",
+    "scalar_math", plan_cache=True,
     oracle="""
 SELECT ROUND(AVG(SIN(l_discount)), 4)            AS m_sin,
        ROUND(AVG(COS(l_discount)), 4)            AS m_cos,
@@ -1651,7 +1679,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LIKE / ILIKE + iif + cast (cs_like/cs_ilike/cs_iif/cs_cast, §2.3).
 # ---------------------------------------------------------------------------
 @query(
-    "like_iif_cast",
+    "like_iif_cast", plan_cache=True,
     oracle="""
 SELECT CAST(SUM(CASE WHEN event_type LIKE 'c%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like,
        CAST(SUM(CASE WHEN event_type ILIKE 'S%P' THEN 1 ELSE 0 END) AS BIGINT) AS n_ilike,
@@ -1685,7 +1713,7 @@ def like_iif_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # themselves (func.c:4221-4307).
 # ---------------------------------------------------------------------------
 @query(
-    "cross_extrema",
+    "cross_extrema", plan_cache=True,
     oracle="""
 WITH posed AS (
   SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
@@ -1754,7 +1782,7 @@ def cross_extrema_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is covered by golden tests (tests/test_golden_vectors.py).
 # ---------------------------------------------------------------------------
 @query(
-    "ema_atr",
+    "ema_atr", plan_cache=True,
     # Closed forms of the reference recurrences (func.c:1764-1790), SQL-
     # expressible as rescaled power-weighted prefix sums (valid at per-
     # series lengths ~100: a^-pos stays ~1e7, well inside double range):
@@ -1846,7 +1874,7 @@ def ema_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flagship access pattern — slice one series by time range, project columns.
 # ---------------------------------------------------------------------------
 @query(
-    "slice_project",
+    "slice_project", plan_cache=True,
     oracle="""
 SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS o_totalprice
 FROM orders
@@ -1980,7 +2008,7 @@ def _literal_ops_build(spark: SparkSession) -> DataFrame:
 # table never shuffles for the join (only for the aggregate).
 # ---------------------------------------------------------------------------
 @query(
-    "star_join",
+    "star_join", plan_cache=True,
     oracle="""
 SELECT n.n_name, r.r_name,
        CAST(COUNT(*) AS BIGINT) AS orders_cnt,
@@ -2014,7 +2042,7 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fact-to-fact join with rank-limit output.
 # ---------------------------------------------------------------------------
 @query(
-    "tpch_q3_shape",
+    "tpch_q3_shape", plan_cache=True,
     oracle="""
 SELECT l.l_orderkey,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
@@ -2050,7 +2078,7 @@ def tpch_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (user_id, ts) → a total order since event ids are unique per (ts).
 # ---------------------------------------------------------------------------
 @query(
-    "global_pos",
+    "global_pos", plan_cache=True,
     oracle="""
 WITH posed AS (
   SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS pos FROM events
@@ -2071,7 +2099,7 @@ def global_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of run grouping; standard OLAP pattern the engine should own).
 # ---------------------------------------------------------------------------
 @query(
-    "sessionize",
+    "sessionize", plan_cache=True,
     oracle="""
 WITH gaps AS (
   SELECT user_id, ts, value,
@@ -2106,7 +2134,7 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frame keyed (user_id, pos) carrying all three derived columns.
 # ---------------------------------------------------------------------------
 @query(
-    "rank_norm",
+    "rank_norm", plan_cache=True,
     oracle="""
 WITH posed AS (
   SELECT user_id, value, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS pos
@@ -2143,7 +2171,7 @@ def rank_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one bin so no distinct is needed.
 # ---------------------------------------------------------------------------
 @query(
-    "range_join_count",
+    "range_join_count", plan_cache=True,
     oracle="""
 WITH intervals AS (
   SELECT i AS iid, i * 5.0 AS lo, i * 5.0 + 7.5 AS hi
@@ -2171,7 +2199,7 @@ def range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "union_merge",
+    "union_merge", plan_cache=True,
     oracle="""
 WITH u AS (
   SELECT value FROM events WHERE event_type = 'click'
@@ -2198,7 +2226,7 @@ def union_merge_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark-native: per-user event-type counts as columns.
 # ---------------------------------------------------------------------------
 @query(
-    "pivot",
+    "pivot", plan_cache=True,
     oracle="""
 SELECT user_id,
        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
@@ -2333,7 +2361,7 @@ _MM_UDFS: dict[str, object] = {}
 
 
 @query(
-    "multimodal_pipeline",
+    "multimodal_pipeline", plan_cache=True,
     oracle="""
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -2512,7 +2540,7 @@ FROM xsizes
 """
 
 
-@query("fingerprint_profile", oracle=_fingerprint_oracle())
+@query("fingerprint_profile", plan_cache=True, oracle=_fingerprint_oracle())
 def fingerprint_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import text as T
 
@@ -2722,7 +2750,7 @@ SELECT 'pii', 'len_delta', 0.0, 0.0, len_delta FROM pii_tot
 """
 
 
-@query("curate_profile", oracle=_curate_profile_oracle())
+@query("curate_profile", plan_cache=True, oracle=_curate_profile_oracle())
 def curate_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import curate
     from .pipeline import sample as S
@@ -2991,7 +3019,7 @@ FROM rawpacked GROUP BY 1, 2, 3
 """
 
 
-@query("curation_e2e", oracle=_curation_e2e_oracle())
+@query("curation_e2e", plan_cache=True, oracle=_curation_e2e_oracle())
 def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import curate, dedup
     from .pipeline import text as T
@@ -3083,7 +3111,7 @@ def curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.95 threshold has no boundary-noise risk at 6-decimal rounding.
 # ---------------------------------------------------------------------------
 @query(
-    "embedding_neardup",
+    "embedding_neardup", plan_cache=True,
     oracle="""
 WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -3468,7 +3496,7 @@ def near_dedup_stream_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB (DAYOFWEEK there is already 0=Sunday = reference j2day).
 # ---------------------------------------------------------------------------
 @query(
-    "sql_surface",
+    "sql_surface", plan_cache=True,
     oracle="""
 WITH base AS (
   SELECT event_type,
@@ -3630,7 +3658,7 @@ JOIN grid_leg g USING (event_type)
 # from_array round trip, cs_call, cs_const, str2code — §2.1/2.3/2.5).
 # ---------------------------------------------------------------------------
 @query(
-    "sort_permute",
+    "sort_permute", plan_cache=True,
     oracle="""
 WITH src AS (
   -- (l_orderkey, l_linenumber) is NOT unique in the generated data, so

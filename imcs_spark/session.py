@@ -77,6 +77,21 @@ def get_spark(
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
+        # AQE coalescing floor = the session's parallelism (scale-
+        # adaptive: derived from the same source as shuffle.partitions,
+        # not a constant). Without it AQE coalesces any small shuffle to
+        # ONE partition, serializing every downstream narrow stage —
+        # regex chains, Arrow kernels — through a single core until the
+        # next exchange; several pipeline operators then needed an
+        # extra repartition (dedup.spread) purely to undo the coalesce.
+        # At cluster scale post-shuffle partitions exceed any such
+        # floor, so this only changes the small-shuffle regime it
+        # targets (guide §2.2/§2.5). Cluster deployments (unset branch
+        # above) keep spark-submit defaults.
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(shuffle_partitions),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
     if not on_cluster:

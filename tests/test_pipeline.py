@@ -2048,3 +2048,46 @@ def test_pq_wide_codes_layout_matches_array(spark, sf_dir):
             )
     finally:
         enc.unpersist()
+
+
+def test_pii_screens_are_necessary_conditions():
+    """The r13 Arrow pre-screens (curate._PII_SCREENS) must be
+    NECESSARY conditions of the exact patterns: any text the exact
+    pattern matches must pass the screen, or redaction would silently
+    skip it. Pure-Python check over representative + adversarial
+    matches of every category (including minimal compressed IPv6 and
+    fully-spaced card digits, the forms most likely to defeat a naive
+    digit-run screen)."""
+    import pandas as pd
+
+    from imcs_spark.pipeline import curate
+
+    matches = {
+        "email": ["a@b.co", "x.y+z%w-q@sub.domain-x.org"],
+        "ssn": ["123-45-6789", "x 999-00-0000 y"],
+        "ccard": [
+            "4111111111111111",
+            "4 1 1 1 1 1 1 1 1 1 1 1 1 1 1 1",
+            "4111-1111-1111-1111",
+        ],
+        "phone": ["555-123-4567", "+1-555-123-4567", "+44-555-4567"],
+        "ipv4": ["1.2.3.4", "255.255.255.255"],
+        "ipv6": [
+            "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+            "2001:db8::1",
+            "fe80::",
+        ],
+    }
+    for name, texts in matches.items():
+        # every sample really matches its exact pattern...
+        if name == "ccard":
+            pat = curate._ccard_compiled()
+        else:
+            pat = next(x for x in curate._pii_compiled() if x[0] == name)[1]
+        for t in texts:
+            assert pat.search(t) is not None, (name, t)
+        # ...and every sample passes the screen (plus null-safety)
+        s = pd.Series(texts + [None])
+        mask = curate._screen_mask(s, name)
+        assert mask[: len(texts)].all(), (name, list(mask))
+        assert not mask[len(texts)], name
