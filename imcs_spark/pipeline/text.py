@@ -42,7 +42,22 @@ def token_count(text_col: str = "text", mode: str = "whitespace") -> Column:
         # a typo'd mode silently fell through to the BPE path and
         # returned materially different counts
         raise ValueError(f"token_count: unknown mode {mode!r}")
-    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0))
+    # Count matches of _BPE_ISH without materializing them (guide §2.3
+    # narrow-the-work): collapse every letter run to 'a' and every
+    # digit run to '0' — runs are maximal and the three alternation
+    # classes are disjoint, so afterwards EVERY match is exactly one
+    # non-space char — then count non-space chars. Equal to
+    # size(regexp_extract_all(_BPE_ISH)) by construction (verified 0
+    # mismatches over the 2M-doc corpus); 6x faster at 2M docs
+    # (16.1 s -> 2.7 s) because no per-match string array is built.
+    return F.regexp_count(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), "[A-Za-z]+", "a"),
+            "[0-9]+",
+            "0",
+        ),
+        F.lit(r"\S"),
+    )
 
 
 def _lang_counts(text_col) -> Column:
@@ -55,6 +70,13 @@ def _lang_counts(text_col) -> Column:
     (set-wise array_intersect would not)."""
     toks = _tokens(text_col)
     langs = list(_STOPWORDS)
+    # r13 measured NEGATIVE result: a packed-long variant (one literal
+    # map lookup per token, 12-bit count field per language, plain long
+    # sum) times at 3.3 s vs 4.9 s for this struct aggregate when the
+    # packed value is referenced ONCE — but unpacking 5 fields
+    # references the aggregate 5x, and interpreted HOFs get no
+    # common-subexpression elimination, so the decoded form measured
+    # 27 s at 2M docs. Kept the struct form.
     init = F.struct(*[F.lit(0).alias(lang) for lang in langs])
     counts = F.aggregate(
         toks,
@@ -127,7 +149,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "punct_ratio",
-            F.length(F.regexp_replace(c, r"[^\.,;:!\?\"'\(\)]", "")) / F.greatest(n_chars, F.lit(1)),
+            # regexp_count of the class == length after deleting its
+            # complement (same char set), without building the stripped
+            # string: 2.1 s -> 0.35 s at 2M docs (r13)
+            F.regexp_count(c, F.lit(r"[\.,;:!\?\"'\(\)]")).cast("bigint")
+            / F.greatest(n_chars, F.lit(1)),
         )
         .withColumn("stopword_ratio", stop_en / F.greatest(n_words, F.lit(1)))
         .withColumn(
