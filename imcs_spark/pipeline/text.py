@@ -32,12 +32,22 @@ def _tokens(text_col) -> Column:
     return F.filter(F.split(F.lower(F.trim(c)), r"\s+"), lambda t: t != "")
 
 
+def _ws_token_count(c: Column) -> Column:
+    """``size(_tokens(c))`` as one JVM regexp_count: tokens are exactly
+    the maximal ``\\S+`` runs (the split+filter array form built the
+    array only to take its size; counts are equal by construction —
+    empty/whitespace-only/NULL included: no runs -> 0, NULL -> NULL).
+    Lower/trim don't change run counts, so the raw column is scanned."""
+    return F.regexp_count(c, F.lit(r"\S+"))
+
+
 def token_count(text_col: str = "text", mode: str = "whitespace") -> Column:
     """Token count: whitespace words, or a BPE-ish regex segmentation
     (letters / digits / single punctuation — a proxy for subword
     tokenizer cost accounting)."""
     if mode == "whitespace":
-        return F.size(_tokens(text_col))
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
+        return _ws_token_count(c)
     if mode != "bpe":
         # a typo'd mode silently fell through to the BPE path and
         # returned materially different counts
@@ -67,16 +77,25 @@ def _lang_counts(text_col) -> Column:
     language and allocates an intermediate array each — the bigger
     expression tree also bloats generated code (compile time is a real
     per-query cost). Counts multiplicity, like the filter formulation
-    (set-wise array_intersect would not)."""
+    (set-wise array_intersect would not).
+
+    r13 measured NEGATIVE results, both at the 2M-doc soak:
+    - a packed-long variant (one literal map lookup per token, 12-bit
+      count field per language, plain long sum) times at 3.3 s vs
+      4.9 s for this struct aggregate when the packed value is
+      referenced ONCE — but unpacking 5 fields references the
+      aggregate 5x, and interpreted HOFs get no common-subexpression
+      elimination, so the decoded form measured 27 s.
+    - five per-language regexp_counts of a complete-token alternation
+      (``(^|\\s)(?:w1|...)(?=\\s|$)`` over the lowered text — counts
+      proven bit-equal): 8.1 s vs 5.2 s for this single-pass aggregate.
+      Interleaving five compiled java.util.regex programs per row
+      defeats Pattern.match specialization (the same pathology the
+      round-8 PII measurement pinned); regexp_count only beats the
+      array forms for RARE single-char classes (punct, CJK), not for
+      multi-pattern token counting. Kept the struct aggregate."""
     toks = _tokens(text_col)
     langs = list(_STOPWORDS)
-    # r13 measured NEGATIVE result: a packed-long variant (one literal
-    # map lookup per token, 12-bit count field per language, plain long
-    # sum) times at 3.3 s vs 4.9 s for this struct aggregate when the
-    # packed value is referenced ONCE — but unpacking 5 fields
-    # references the aggregate 5x, and interpreted HOFs get no
-    # common-subexpression elimination, so the decoded form measured
-    # 27 s at 2M docs. Kept the struct form.
     init = F.struct(*[F.lit(0).alias(lang) for lang in langs])
     counts = F.aggregate(
         toks,
@@ -93,8 +112,8 @@ def _lang_counts(text_col) -> Column:
 
 def lang_scores(text_col: str = "text") -> dict[str, Column]:
     """Per-language stopword-hit ratio."""
-    toks = _tokens(text_col)
-    n = F.greatest(F.size(toks), F.lit(1))
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.greatest(_ws_token_count(c), F.lit(1))
     counts = _lang_counts(text_col)
     return {lang: counts[lang] / n for lang in _STOPWORDS}
 
@@ -104,9 +123,7 @@ def lang_id(text_col: str = "text", default: str = "unknown", min_score: float =
     language scores above min_score. Ratios share one denominator, so
     the argmax (score, then language string on ties) is identical to
     the per-ratio formulation."""
-    toks = _tokens(text_col)
-    n = F.greatest(F.size(toks), F.lit(1))
-    counts = _lang_counts(text_col)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
     # CJK script detection must run at the CHARACTER level: real
     # Chinese text has no whitespace between words, so the token-based
     # zh stopword ratio can never fire on unsegmented input. The signal
@@ -115,21 +132,70 @@ def lang_id(text_col: str = "text", default: str = "unknown", min_score: float =
     # outer when() — wrapping the argmax in another conditional pushed
     # the generated code past the codegen method limit and ran the
     # whole expression interpreted (~4x slower at sf0.1).
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # regexp_count of the class == length after deleting its complement
+    # (same char set) without building the stripped string — the same
+    # rewrite as punct_ratio (r13), counts bit-equal (and 2.2 -> 0.5 s
+    # at the 2M soak: the class is rare there, so count-per-match wins).
     n_chars = F.greatest(F.length(c), F.lit(1))
-    cjk_ratio = F.length(F.regexp_replace(c, r"[^一-鿿]", "")) / n_chars
-    entries = [
-        F.struct((counts[lang] / n).alias("s"), F.lit(lang).alias("l"))
-        for lang in _STOPWORDS
-    ]
-    entries.append(
-        F.struct(
-            F.when(cjk_ratio > 0.33, F.lit(9.0)).otherwise(F.lit(-1.0)).alias("s"),
-            F.lit("zh").alias("l"),
-        )
+    cjk_ratio = F.regexp_count(c, F.lit(r"[一-鿿]")).cast("bigint") / n_chars
+    zh_entry = F.struct(
+        F.when(cjk_ratio > 0.33, F.lit(9.0)).otherwise(F.lit(-1.0)).alias("s"),
+        F.lit("zh").alias("l"),
     )
-    best = F.array_max(F.array(*entries))
-    return F.when(best["s"] > min_score, best["l"]).otherwise(F.lit(default))
+    # The scores/argmax/threshold all run inside the count aggregate's
+    # FINISH lambda (r13): the old shape referenced counts[lang] once
+    # per language and best twice more, so the token-array aggregate
+    # re-evaluated per reference (interpreted HOFs get at best partial
+    # subexpression reuse). Measured at the 2M-doc soak: 9.9 s old ->
+    # 6.9 s this one-evaluation shape (equality proven per-row over
+    # 4 corpora x 3 parameter sets incl. NULL/empty/CJK edges).
+    # Inside finish, `acc` is a BOUND value — referencing its fields is
+    # free — and the token count rides in the accumulator (`n` field,
+    # +1 per non-empty token == size(toks), so ratios are unchanged).
+    # The small 6-entry array_max is built twice (once for the
+    # threshold test, once for the label) over bound values; only
+    # zh_entry's cjk regexp_count is duplicated by that, not the
+    # aggregate. Argmax algebra identical -> results identical (NULL
+    # text: aggregate(NULL) is NULL before finish -> when() falls to
+    # the default, exactly like the old NULL-scores path).
+    toks = _tokens(text_col)
+    langs = list(_STOPWORDS)
+    init = F.struct(*[F.lit(0).alias(lang) for lang in langs], F.lit(0).alias("n"))
+
+    def _entries(acc):
+        nn = F.greatest(acc["n"], F.lit(1))
+        return F.array_max(
+            F.array(
+                *[
+                    F.struct((acc[lang] / nn).alias("s"), F.lit(lang).alias("l"))
+                    for lang in langs
+                ],
+                zh_entry,
+            )
+        )
+
+    agg = F.aggregate(
+        toks,
+        init,
+        lambda acc, t: F.struct(
+            *[
+                (acc[lang] + t.isin(_STOPWORDS[lang]).cast("int")).alias(lang)
+                for lang in langs
+            ],
+            (acc["n"] + 1).alias("n"),
+        ),
+        lambda acc: F.when(
+            _entries(acc)["s"] > min_score, _entries(acc)["l"]
+        ).otherwise(F.lit(default)),
+    )
+    # NULL text: the aggregate is NULL before finish runs, but the old
+    # shape scored it as best = (-1.0, 'zh') (all stopword scores NULL,
+    # the cjk entry's otherwise(-1.0) the only non-NULL) -> 'zh' only
+    # when min_score < -1.0, else the default. min_score is a plain
+    # Python float, so that branch folds at build time.
+    null_result = "zh" if min_score < -1.0 else default
+    c2 = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.when(c2.isNull(), F.lit(null_result)).otherwise(agg)
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -138,7 +204,19 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     toks = _tokens(text_col)
     n_chars = F.length(c)
-    n_words = F.size(toks)
+    # n_words as one JVM regexp_count (r13): maximal \S+ runs == the
+    # non-empty split tokens, counts proven bit-equal per-row over the
+    # 2M corpus + adversarial set; skips one array allocation per row
+    # (each HOF consumer below re-tokenizes anyway — interpreted HOFs
+    # get no common-subexpression elimination).
+    # Measured r13 NEGATIVE results, kept as the array forms below:
+    # regexp_count(\S) for the mean_word_len numerator (4.6 s vs 2.0 s
+    # at 2M — one regex match PER CHARACTER), a complete-token
+    # alternation for stop_en (2.3 vs 2.2 — wash), and
+    # regexp_count([0-9]) for digit_ratio (6.6 s vs 1.9 s on the
+    # digit-heavy soak corpus — count-per-match only beats
+    # replace-and-measure for RARE classes like punct/CJK).
+    n_words = _ws_token_count(c)
     stop_en = F.size(F.filter(toks, lambda t: t.isin(_STOPWORDS["en"])))
     return (
         df.withColumn("n_chars_q", n_chars)
