@@ -620,7 +620,9 @@ def _screen_mask(s, name: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    arr = pa.Array.from_pandas(s)
+    # type=string(): an all-null batch otherwise infers Arrow `null`
+    # type, for which the match kernels have no implementation
+    arr = pa.Array.from_pandas(s, type=pa.string())
     kind, tok = _PII_SCREENS[name]
     if kind == "substr":
         m = pc.match_substring(arr, tok)
