@@ -85,6 +85,17 @@ def moving_agg(
     if warmup == "partial" or agg in ("sum", "count"):
         return df.withColumn(out_name, fn(F.col(val_col)).over(w))
     c = F.col(val_col)
+    # Skip the to-double cast when the column is already double: a cast
+    # (even a no-op one) inside a window function makes Catalyst's
+    # ExtractWindowExpressions hoist it into a Project BETWEEN this
+    # Window and any neighboring one over the same spec, which defeats
+    # the CollapseWindow rule — chained moving_agg calls then run one
+    # Window pass per call instead of one total (guide §2.1: fewer
+    # full-data passes). Bit-identical: cast(double AS double) is the
+    # identity.
+    from pyspark.sql.types import DoubleType
+
+    cd = c if isinstance(df.schema[val_col].dataType, DoubleType) else c.cast("double")
     rows_in = F.count(F.lit(1)).over(w)  # < n only during warm-up
     if agg in ("min", "max"):
         # zero in the ELEMENT type: reference min/max keep elem type
@@ -93,10 +104,10 @@ def moving_agg(
         pad = F.least(partial, zero) if agg == "min" else F.greatest(partial, zero)
         expr = F.when(rows_in < n, pad).otherwise(partial)
     elif agg == "avg":
-        expr = F.sum(c.cast("double")).over(w) / F.lit(float(n))
+        expr = F.sum(cd).over(w) / F.lit(float(n))
     else:  # var / dev — raw-moment form, unclamped like the C code
-        s = F.sum(c.cast("double")).over(w)
-        s2 = F.sum(c.cast("double") * c.cast("double")).over(w)
+        s = F.sum(cd).over(w)
+        s2 = F.sum(cd * cd).over(w)
         expr = (s2 - s * s / n) / n
         if agg == "dev":
             expr = F.sqrt(expr)
