@@ -1832,22 +1832,25 @@ def ema_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
     a_e = F.lit(9.0) / F.lit(11.0)
     a_a = F.lit(0.9)
-    cf = (
-        out.withColumn("x0", F.first("value").over(w))
-        .withColumn("es", F.sum(F.col("value") * F.pow(a_e, -F.col("pos"))).over(w))
-        .withColumn("runavg", F.sum("value").over(w) / (F.col("pos") + 1))
-        .withColumn(
-            "warmsum",
-            F.sum(F.when(F.col("pos") <= 8, F.col("value")).otherwise(F.lit(0.0))).over(w),
-        )
-        .withColumn(
-            "ats",
-            F.sum(
-                F.when(
-                    F.col("pos") >= 9, F.col("value") * F.pow(a_a, -F.col("pos"))
-                ).otherwise(F.lit(0.0))
-            ).over(w),
-        )
+    # ONE select for all five closed-form window columns: chained
+    # withColumn calls interleave the extracted window-argument Projects
+    # with the Window nodes, so Catalyst planned FOUR sequential Window
+    # passes over the same (user_id, pos) spec; built together they land
+    # in one Project + ONE Window node (r13 — same expressions, same
+    # frame, bit-identical results; plan diff in plans/r13/ema_atr_*).
+    cf = out.select(
+        "*",
+        F.first("value").over(w).alias("x0"),
+        F.sum(F.col("value") * F.pow(a_e, -F.col("pos"))).over(w).alias("es"),
+        (F.sum("value").over(w) / (F.col("pos") + 1)).alias("runavg"),
+        F.sum(
+            F.when(F.col("pos") <= 8, F.col("value")).otherwise(F.lit(0.0))
+        ).over(w).alias("warmsum"),
+        F.sum(
+            F.when(
+                F.col("pos") >= 9, F.col("value") * F.pow(a_a, -F.col("pos"))
+            ).otherwise(F.lit(0.0))
+        ).over(w).alias("ats"),
     )
     ema_cf = F.pow(a_e, F.col("pos")) * (
         F.col("x0") + (F.lit(2.0) / F.lit(11.0)) * (F.col("es") - F.col("x0"))
