@@ -121,6 +121,41 @@ def win_group_agg(
     return rid.withColumn(out_name, fn(target).over(w)).drop("run_id")
 
 
+def win_group_aggs(
+    df: DataFrame,
+    aggs: dict[str, tuple[str, str]],
+    group_col: str,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Multi-aggregate form of :func:`win_group_agg` (the dict
+    convention :func:`group_aggs` already uses): {out_col: (agg,
+    val_col)}. Chained single-agg calls each re-derive run_id — two
+    lag Windows + a cumulative-sum Window + a sort PER CALL — because
+    the single-agg API drops run_id on return; computing every
+    aggregate over ONE run_id derivation plans one shared Window node
+    (r13, guide §2.1: fewer full-data passes). first/last stay on the
+    single-agg API (they need the ordered per-run frame).
+
+    Results are identical to chaining win_group_agg per entry, pinned
+    by tests/test_operators_grouping.py."""
+    for out_name, (agg, _v) in aggs.items():
+        if agg in ("first", "last"):
+            raise ValueError(
+                f"win_group_aggs: {agg!r} needs the ordered frame — "
+                "use win_group_agg for first/last"
+            )
+        if agg not in _AGGS:
+            raise ValueError(f"win_group_aggs: unknown agg {agg!r}")
+    rid = run_id(df, group_col, (POS,), partition_by)
+    parts = ([*partition_by] if partition_by else []) + ["run_id"]
+    w = Window.partitionBy(*parts)
+    cols = [
+        _AGGS[agg](F.col(val) if agg != "count" else F.lit(1)).over(w).alias(out_name)
+        for out_name, (agg, val) in aggs.items()
+    ]
+    return rid.select("*", *cols).drop("run_id")
+
+
 def grid_agg(
     df: DataFrame,
     agg: str,

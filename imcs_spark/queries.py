@@ -1498,8 +1498,16 @@ def win_group_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import grouping
 
     posed = _events_posed(spark, sf_dir)
-    out = grouping.win_group_agg(posed, "sum", "event_type", "value", ["user_id"], "wg_sum")
-    out = grouping.win_group_agg(out, "max", "event_type", "value", ["user_id"], "wg_max")
+    # multi-agg form: ONE run_id derivation + one shared Window node
+    # for both aggregates (chained single-agg calls re-derived run_id
+    # per call: 2 extra Window passes + 2 sorts — r13 plan diff in
+    # plans/r13/win_group_agg_*)
+    out = grouping.win_group_aggs(
+        posed,
+        {"wg_sum": ("sum", "value"), "wg_max": ("max", "value")},
+        "event_type",
+        ["user_id"],
+    )
     return out.select(
         "user_id", "pos", _r6(F.col("wg_sum")).alias("wg_sum"), _r6(F.col("wg_max")).alias("wg_max")
     )

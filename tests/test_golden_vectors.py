@@ -264,6 +264,28 @@ def test_win_group_agg(spark):
     assert [r["win_group_sum"] for r in out.collect()] == [30.0, 30.0, 30.0]
 
 
+def test_win_group_aggs_equals_chained_singles(spark):
+    # the r13 multi-agg form (one run_id derivation, one shared Window
+    # node) must match chaining the single-agg API call-for-call
+    g = seq(spark, [1, 1, 2, 2, 1, 1, 1, 3], "int").withColumnRenamed("val", "grp")
+    v = seq(spark, [10.0, 20.0, 30.0, 5.0, 1.0, 2.0, 3.0, 9.0])
+    df = v.join(g, "pos")
+    multi = grouping.win_group_aggs(
+        df, {"s": ("sum", "val"), "m": ("max", "val"), "n": ("count", "val")}, "grp"
+    ).orderBy("pos")
+    chained = grouping.win_group_agg(df, "sum", "grp", "val", out_col="s")
+    chained = grouping.win_group_agg(chained, "max", "grp", "val", out_col="m")
+    chained = grouping.win_group_agg(chained, "count", "grp", "val", out_col="n")
+    cols = ["pos", "s", "m", "n"]
+    assert [tuple(r) for r in multi.select(*cols).collect()] == [
+        tuple(r) for r in chained.orderBy("pos").select(*cols).collect()
+    ]
+    import pytest
+
+    with pytest.raises(ValueError, match="first/last"):
+        grouping.win_group_aggs(df, {"f": ("first", "val")}, "grp")
+
+
 def test_grid_agg(spark):
     s = seq(spark, [1.0, 2.0, 3.0, 4.0, 5.0])
     out = grouping.grid_agg(s, "avg", 2).orderBy("pos")
