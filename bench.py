@@ -209,6 +209,17 @@ def main():
     # still parses the total.
     sys.stdout.flush()
 
+    summary_line = json.dumps(
+        {
+            "metric": payload["metric"],
+            "value": payload["value"],
+            "unit": "sec",
+            "sf": payload["sf"],
+            "compact": True,
+        },
+        separators=(",", ":"),
+    )
+
     # Self-evidencing 2x-gate line: the BASELINE.md headline rows with
     # their reference numbers AND the machine-floor probes, as one
     # compact line near the tail. Round 8's capture kept only ~2000
@@ -292,64 +303,123 @@ def main():
             "ann10m_ivf_speedup", "ann10m_pq_speedup",
             "asof60m_slice_equal", "stretch60m_slice_equal",
             "asof60m_linear_ratio", "stretch60m_linear_ratio",
+            # round 14 (VERDICT item 5): the ANN index-economics gates
+            # as ONE combined boolean — the crossover ladder (masked
+            # serve beats brute at n=5 and n=15) plus the cold point-
+            # serve regime check. One key because the 2000-byte tail
+            # budget (below) has no room for four; the raw per-gate
+            # values stay in the payload + extras lines and the scale
+            # dict. Computed in bench_scale._run_ann_big_soak.
+            "ann10m_index_gates_ok",
         )
-        print(
-            json.dumps(
-                {
-                    "gate": gate,
-                    "gate_60m": gate60,
-                    "floors_ms": {
-                        k.replace("floor_", "").replace("_exec", ""):
-                            round(scale[k] * 1000, 1)
-                        for k in (
-                            "floor_select1_exec",
-                            "floor_1task_agg_exec",
-                            "floor_32task_agg_exec",
-                            # round-12 shuffle probe MUST ride the
-                            # compact line: build_drift_line reads the
-                            # PREVIOUS round's floors from here (the
-                            # full payload is truncated in BENCH files)
-                            "floor_shuffle_agg_exec",
-                        )
-                        if k in scale
-                    },
-                    "invariants": {
-                        k: scale[k] for k in inv_keys if k in scale
-                    },
-                    "compact": True,
-                }
+        # TAIL BUDGET (round 14, VERDICT item 2): the driver archives
+        # only the LAST 2000 bytes of stdout, and whole lines whose
+        # head falls outside the window are lost. r13's tail carried
+        # gate+60m+drift+summary and left per-query timings invisible
+        # (PERF_r13.per_query == {}). Repack, most-important-last, all
+        # compact lines with tight separators:
+        #   extras line  (sacrificial): queries_median, gate_60m
+        #   drift line   (sacrificial): unchanged format
+        #   gate line    (protected):   gate + floors_ms + invariants
+        #   queries line (protected):   per-query MIN seconds, 3dp
+        #   summary line (protected):   headline (the hard contract)
+        # Every key is still printed every run — only the packing
+        # changed; the full payload line (first) is unchanged.
+        tight = {"separators": (",", ":")}
+        floors_ms = {
+            k.replace("floor_", "").replace("_exec", ""):
+                round(scale[k] * 1000, 1)
+            for k in (
+                "floor_select1_exec",
+                "floor_1task_agg_exec",
+                "floor_32task_agg_exec",
+                # round-12 shuffle probe MUST ride the compact line:
+                # build_drift_line reads the PREVIOUS round's floors
+                # from here (the full payload is truncated in BENCH
+                # files)
+                "floor_shuffle_agg_exec",
             )
+            if k in scale
+        }
+        extras_line = json.dumps(
+            {
+                "queries_median": {
+                    k: round(v, 3) for k, v in medians.items()
+                },
+                "gate_60m": gate60,
+                "compact": True,
+            },
+            **tight,
         )
+        gate_line = json.dumps(
+            {
+                "gate": gate,
+                "floors_ms": floors_ms,
+                "invariants": {k: scale[k] for k in inv_keys if k in scale},
+                "compact": True,
+            },
+            **tight,
+        )
+        queries_line = _qline(timings, False)
+        if (
+            len(gate_line) + len(queries_line) + len(summary_line) + 3
+            > 1990
+        ):
+            queries_line = _qline(timings, True)
+        print(extras_line)
         sys.stdout.flush()
     # Drift-control line (round 12, VERDICT item 2): compare this run's
     # gate rows and headline against the PREVIOUS round's recorded
     # BENCH_r{N}.json, both raw and normalized by the frozen floor
     # probes' own cross-round ratio — so a reader classifies any delta
     # as code vs environment without the manual forensics rounds 9-11
-    # each needed.
+    # each needed. Printed BEFORE the protected trio (gate/queries/
+    # summary): under the 2000-byte tail window it is the first line
+    # sacrificed, and its content is re-derivable offline from the
+    # archived BENCH_r{N}.json files.
     try:
         line = build_drift_line(
             payload, scale, os.path.dirname(os.path.abspath(__file__))
         )
         if line is not None:
-            print(json.dumps(line))
+            print(json.dumps(line, separators=(",", ":")))
             sys.stdout.flush()
     except Exception as e:  # pragma: no cover - the drift line must
         # never break the bench contract
         print(f"[bench] drift line skipped: {e}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": payload["metric"],
-                "value": payload["value"],
-                "unit": "sec",
-                "sf": payload["sf"],
-                "compact": True,
-            }
-        )
-    )
+    if isinstance(scale, dict) and scale:
+        print(gate_line)
+        print(queries_line)
+        sys.stdout.flush()
+    else:
+        # registry-only runs (SPARK_GRAFT_SCALE=0) still get per-query
+        # visibility in a tail-limited capture
+        print(_qline(timings, False))
+        sys.stdout.flush()
+    print(summary_line)
 
+
+
+def _qline(timings: dict, prec2: bool) -> str:
+    """Per-query MIN seconds as one tight compact line (round 14,
+    VERDICT item 2: the driver's 2000-byte tail capture cut the multi-KB
+    payload line, leaving PERF per_query empty). 3 decimals normally;
+    ``prec2`` degrades >=0.1 s entries to 2 decimals when the protected
+    tail trio would otherwise overflow the window — an unparseable cut
+    line is worth nothing."""
+    import json
+
+    return json.dumps(
+        {
+            "queries": {
+                k: (round(v, 2) if prec2 and v >= 0.1 else round(v, 3))
+                for k, v in timings.items()
+            },
+            "compact": True,
+        },
+        separators=(",", ":"),
+    )
 
 
 def build_drift_line(payload: dict, scale: dict, here: str) -> dict | None:

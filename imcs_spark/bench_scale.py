@@ -654,6 +654,27 @@ def _run_rest_sections(
         lambda: _run_recurrence_soak(spark, data_dir),
     )
 
+    # Combined ANN index-economics gate (round 14, VERDICT item 5): the
+    # r13 brute fallback made ann10m_{ivf,pq}_speedup compare two runs
+    # of the same brute plan (contract checks ~1.0, not index wins), so
+    # gate the index on the regimes where it genuinely pays: the
+    # partial-coverage crossover ladder (masked serve beats brute at
+    # n=5 and n=15) and the cold IVF point serve (>= 1x brute when the
+    # cold regime held; skipped when the hypervisor page cache defeated
+    # the eviction — regime_ok=0 — or the cold section didn't run).
+    # One combined key because the driver's 2000-byte tail window has
+    # no room for four; the raw per-gate values remain alongside.
+    if "ann10m_xn5_masked_sec" in out:
+        gates_ok = (
+            out["ann10m_xn5_masked_sec"] < out["ann10m_xn5_brute_sec"]
+            and out["ann10m_xn15_masked_sec"] < out["ann10m_xn15_brute_sec"]
+        )
+        if out.get("ann10m_cold_regime_ok"):
+            gates_ok = gates_ok and out.get(
+                "ann10m_cold_ivf_q1_speedup", 0
+            ) >= 1.0
+        out["ann10m_index_gates_ok"] = int(gates_ok)
+
 
 def gen_quotes_skewed(spark: SparkSession, path: str, parallelism: int = 32) -> None:
     """6M-row Quote variant whose symbol column is Zipf-like skewed:

@@ -77,21 +77,19 @@ def get_spark(
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
-        # AQE coalescing floor = the session's parallelism (scale-
-        # adaptive: derived from the same source as shuffle.partitions,
-        # not a constant). Without it AQE coalesces any small shuffle to
-        # ONE partition, serializing every downstream narrow stage —
-        # regex chains, Arrow kernels — through a single core until the
-        # next exchange; several pipeline operators then needed an
-        # extra repartition (dedup.spread) purely to undo the coalesce.
-        # At cluster scale post-shuffle partitions exceed any such
-        # floor, so this only changes the small-shuffle regime it
-        # targets (guide §2.2/§2.5). Cluster deployments (unset branch
-        # above) keep spark-submit defaults.
-        builder = builder.config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
-            str(shuffle_partitions),
-        )
+        # r13 additionally floored AQE's partition coalescing at the
+        # session parallelism (adaptive.coalescePartitions.
+        # minPartitionNum = cpus). REMOVED in r14 (verdict item 1): the
+        # blanket floor turns every tiny post-shuffle stage into a
+        # cpus-task stage — the official 32-core bench measured its
+        # fixed-work shuffle floor +32% while the floor's claimed wins
+        # (stretch-6M, LSH star) re-measured FLAT in an interleaved
+        # same-session A/B (tools/ab_floor.py: off/on 0.98-1.07x,
+        # min-of-3 on every workload the r13 conf targeted). Operators
+        # whose downstream narrow stages are compute-heavy restore
+        # parallelism locally via dedup.spread-style guarded
+        # repartitions instead of a session-wide tax (guide §1.2:
+        # config is the LAST lever, not the first).
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))
     if not on_cluster:
