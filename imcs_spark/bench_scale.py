@@ -653,6 +653,11 @@ def _run_rest_sections(
         "recur",
         lambda: _run_recurrence_soak(spark, data_dir),
     )
+    _section(
+        "SPARK_GRAFT_SCALE_STREAMFLOOR",
+        "streamfloor",
+        lambda: _run_stream_floor(spark),
+    )
 
     # Combined ANN index-economics gate (round 14, VERDICT item 5): the
     # r13 brute fallback made ann10m_{ivf,pq}_speedup compare two runs
@@ -674,6 +679,49 @@ def _run_rest_sections(
                 "ann10m_cold_ivf_q1_speedup", 0
             ) >= 1.0
         out["ann10m_index_gates_ok"] = int(gates_ok)
+
+
+def _run_stream_floor(spark: SparkSession) -> dict:
+    """DECLARED streaming-trial floor (round 14, VERDICT item 8): the
+    three stream-running registry queries each start a real structured-
+    streaming query per trial — availableNow over staged files,
+    foreachBatch, stop — so ~0.8-1.2 s of each trial is micro-batch
+    machinery (stream planning, WAL/commit-log fsyncs, state-store
+    bookkeeping), not query compute. r13 measured the floor directly
+    (tmpfs checkpoints and state-partition A/Bs both no-win, §9) and
+    this probe RECORDS it each round: a minimal one-row file stream
+    through foreachBatch(no-op) with a fresh checkpoint, min-of-3 —
+    everything the trial pays except the operators under test. Read
+    streaming_{ops,sessionize} and near_dedup_stream minus this floor
+    for the compute term. The recorded decision: the floor stays IN the
+    timed trials (reusing a running stream across trials would change
+    what the queries measure — a methodology change this bench does not
+    make unilaterally)."""
+    import shutil
+    import tempfile
+
+    best = None
+    tmp = tempfile.mkdtemp(prefix="imcs_streamfloor_")
+    try:
+        src = os.path.join(tmp, "src")
+        spark.range(1).write.mode("overwrite").parquet(src)
+        for i in range(3):
+            chk = os.path.join(tmp, f"chk{i}")
+            t0 = time.time()
+            q = (
+                spark.readStream.schema("id long")
+                .parquet(src)
+                .writeStream.foreachBatch(lambda df, bid: None)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"stream_trial_floor_sec": round(best, 4)}
 
 
 def gen_quotes_skewed(spark: SparkSession, path: str, parallelism: int = 32) -> None:

@@ -107,8 +107,14 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     the scale path: tokens are hashed ONCE, an n-gram's hash is a
     rotate-XOR combination of its token hashes, so no shingle strings
     are ever materialized (≈3-4× cheaper than string shingling; hash
-    collisions are harmless for minhash/Jaccard estimation)."""
-    tokens = F.split(_normalize(text_col), " ")
+    collisions are harmless for minhash/Jaccard estimation).
+
+    Tokenization splits on \\s+ directly instead of _normalize's
+    regexp_replace(\\s+ -> " ") + split(" ") — identical token arrays
+    (both collapse whitespace runs; trim handles the edges; Java's \\s
+    class is the same in both) with one less full-text regex pass.
+    Measured r14: the pass was ~15% of the 2M-doc shingle kernel."""
+    tokens = F.split(F.lower(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)), r"\s+")
     out = df.withColumn("_tokh", F.transform(tokens, lambda t: F.xxhash64(t)))
     m = F.greatest(F.size(F.col("_tokh")) - (n - 1), F.lit(1))
     # sliding combine via aligned slices + zip_with (vectorized array

@@ -994,7 +994,7 @@ def near_dedup_stream(
         import sys as _sys
         import time as _time
 
-        _dbg = _os.environ.get("IMCS_ND_TIMING") == "1"
+        _dbg = _os.environ.get("IMCS_ND_TIMING") in ("1", "2")
         _tprev = _time.time()
 
         def _mark(phase: str) -> None:
@@ -1040,12 +1040,38 @@ def near_dedup_stream(
                 else []
             )
             pre_path = f"{side_path}/v{batch_id}pre"
+            srow = None
             if usable:
-                seen = _read_state(
-                    spark,
-                    [f"{side_path}/v{usable[-1]}"]
-                    + [f"{side_path}/d{d}" for d in deltas],
+                # overlap the state-read PLANNING (driver-side parquet
+                # listing/schema py4j work, ~0.4 s/batch) with the
+                # batch's minhash materialization: the srow agg below is
+                # the batch's heaviest job and blocks only on a socket
+                # read, so a planning thread runs driver-side work in
+                # parallel (round 14, r13-verdict item 3 phase budget)
+                _rs_out: dict = {}
+
+                def _rs():
+                    _rs_out["seen"] = _read_state(
+                        spark,
+                        [f"{side_path}/v{usable[-1]}"]
+                        + [f"{side_path}/d{d}" for d in deltas],
+                    )
+
+                _rs_t = InheritableThread(target=_rs)
+                _rs_t.start()
+                id_is_str = isinstance(
+                    batch.schema[id_col].dataType, T.StringType
                 )
+                srow = bb.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    (
+                        F.sum(F.length(id_col)) if id_is_str else F.lit(0)
+                    ).alias("idb"),
+                    F.count_distinct("bucket").alias("nb"),
+                ).collect()[0]
+                _mark("minhash_srow")
+                _rs_t.join()
+                seen = _rs_out["seen"]
                 _mark("state_read_plan")
             elif _snapshot_ok(spark, pre_path):
                 seen = _read_state(spark, [pre_path])
@@ -1123,15 +1149,18 @@ def near_dedup_stream(
                 # reused by every later step, so the one agg job
                 # materializes work that happens anyway; it also yields
                 # the distinct-bucket count the trickle fast path needs.
-                id_is_str = isinstance(batch.schema[id_col].dataType, T.StringType)
-                srow = bb.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    (
-                        F.sum(F.length(id_col)) if id_is_str else F.lit(0)
-                    ).alias("idb"),
-                    F.count_distinct("bucket").alias("nb"),
-                ).collect()[0]
-                _mark("minhash_srow")
+                if srow is None:
+                    id_is_str = isinstance(
+                        batch.schema[id_col].dataType, T.StringType
+                    )
+                    srow = bb.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        (
+                            F.sum(F.length(id_col)) if id_is_str else F.lit(0)
+                        ).alias("idb"),
+                        F.count_distinct("bucket").alias("nb"),
+                    ).collect()[0]
+                    _mark("minhash_srow")
                 est_bytes = srow["n"] * 32 + (srow["idb"] or 0)
                 hint = F.broadcast if est_bytes <= (128 << 20) else (lambda d: d)
                 probe = cells_s
@@ -1200,6 +1229,34 @@ def near_dedup_stream(
                 collided = None
                 drop_prev = None
 
+            # ONE derivation of the batch's per-cell min-id spine (round
+            # 14, r13-verdict item 3): rule (b)'s `mins` and the state
+            # delta's fresh cells were the SAME relation computed twice —
+            # two groupBy-over-bb exchanges per batch, one on the append
+            # thread and one inside the state-write jobs (deep-timing
+            # attribution: the fresh chain was 1.4-1.9 s of the 3.4-4.4 s
+            # state_write wall). Compute batch_cells once, persist it,
+            # and derive both consumers from it. For a non-collided cell
+            # the min over fresh_bb's rows equals the min over ALL bb
+            # rows of that cell (the anti-join drops whole cells), so
+            # fresh_cells IS rule (b)'s per-cell min table.
+            batch_cells = bb.groupBy("band", "bucket").agg(
+                F.min(id_col).alias("hub_id")
+            ).persist()
+            state_tmp.append(batch_cells)
+            if collided is None:
+                fresh_cells = batch_cells
+            else:
+                # partition count sized to the batch's estimated cell
+                # bytes (round 12): a 20 MB delta in 8 files paid 8 task
+                # commits + 8 footers on every later read for no
+                # parallelism it could use
+                nf = int(min(8, max(1, est_bytes // (16 << 20) + 1)))
+                fresh_cells = batch_cells.join(
+                    hint(collided), ["band", "bucket"], "left_anti"
+                ).repartition(nf).persist()
+                state_tmp.append(fresh_cells)
+
             # (b) within-batch: collision with a smaller-id document's cell
             # — restricted to cells with NO earlier-batch occupant: a seen
             # cell's hub is its ORIGINAL occupant and rule (a) already
@@ -1210,10 +1267,12 @@ def near_dedup_stream(
             fresh_bb = bb if collided is None else bb.join(
                 hint(collided), ["band", "bucket"], "left_anti"
             )
-            mins = fresh_bb.groupBy("band", "bucket").agg(F.min(id_col).alias("_min_id"))
-            inb = fresh_bb.join(mins, ["band", "bucket"]).filter(
-                F.col(id_col) > F.col("_min_id")
-            )
+            inb = fresh_bb.join(
+                fresh_cells.select(
+                    "band", "bucket", F.col("hub_id").alias("_min_id")
+                ),
+                ["band", "bucket"],
+            ).filter(F.col(id_col) > F.col("_min_id"))
             if sim_threshold is not None:
                 hub_sigs = sigs.select(
                     F.col(id_col).alias("_min_id"),
@@ -1252,6 +1311,12 @@ def near_dedup_stream(
 
             app_t = InheritableThread(target=_append_worker)
             app_t.start()
+            # NOTE (r14 negative result): eagerly materializing the
+            # shared batch_cells spine on a third thread here measured
+            # a LOSS (full soak 150.1 s / 7.23 med vs 138.4 / 6.81
+            # without) — the extra count job contends with the append
+            # job for the same cores; BlockManager already dedups the
+            # computation between the two write threads.
             _mark("append_launch")
 
             # post-batch state: earlier occupants win their cells; new
@@ -1260,35 +1325,39 @@ def near_dedup_stream(
             # row per hub) as a delta; compact the union to a full
             # snapshot every `compact_every` batches (bounding the
             # reader's file fan-in) or when no base snapshot exists yet.
-            batch_cells, batch_sigs = _cells_sigs(bb, sigs)
-            batch_cells = batch_cells.withColumn("_v", F.lit(batch_id))
+            # Cells come from the SHARED batch_cells/fresh_cells spine
+            # built above (round 14 — was a second _cells_sigs groupBy).
             if seen is None:
+                batch_sigs = sigs.withColumnRenamed(id_col, "hub_id").join(
+                    batch_cells.select("hub_id"), "hub_id", "left_semi"
+                )
                 _write_state(
-                    spark, batch_cells, batch_sigs, f"{side_path}/v{batch_id}",
+                    spark,
+                    batch_cells.withColumn("_v", F.lit(batch_id)),
+                    batch_sigs,
+                    f"{side_path}/v{batch_id}",
                     sort=True,
                 )
                 keep = {batch_id}
                 base = None
             else:
                 # fresh cells = batch cells with no earlier occupant — the
-                # anti-join runs against the tiny collided set, not the
+                # anti-join ran against the tiny collided set, not the
                 # corpus-scale state (see rule (a) note); fresh sigs are
                 # the fresh hubs' rows of the batch's per-doc signatures
-                # persisted: batch-bounded, and the cells write + the
-                # sigs semi-join below each materialize it otherwise.
-                # Partition count sized to the batch's estimated cell
-                # bytes (round 12): a 20 MB delta in 8 files paid 8 task
-                # commits + 8 footers on every later read for no
-                # parallelism it could use
-                nf = int(min(8, max(1, est_bytes // (16 << 20) + 1)))
-                fresh = batch_cells.join(
-                    hint(collided), ["band", "bucket"], "left_anti"
-                ).repartition(nf).persist()
-                state_tmp.append(fresh)
+                fresh = fresh_cells.withColumn("_v", F.lit(batch_id))
                 fresh_sigs = sigs.withColumnRenamed(id_col, "hub_id").join(
-                    fresh.select("hub_id"), "hub_id", "left_semi"
+                    fresh_cells.select("hub_id"), "hub_id", "left_semi"
                 ).repartition(nf).persist()
                 state_tmp.append(fresh_sigs)
+                if _os.environ.get("IMCS_ND_TIMING") == "2":
+                    # DEEP attribution mode (probe-only): force each
+                    # sub-materialization so the state_write wall
+                    # decomposes. Changes overlap behavior — never use
+                    # for recorded numbers, only attribution.
+                    prev.count(); _mark("deep:prev")
+                    fresh_cells.count(); _mark("deep:fresh")
+                    fresh_sigs.count(); _mark("deep:fresh_sigs")
                 if usable and len(deltas) + 1 < compact_every:
                     _write_state(
                         spark, fresh, fresh_sigs, f"{side_path}/d{batch_id}",
