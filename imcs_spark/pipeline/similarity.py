@@ -1423,6 +1423,7 @@ def pq_topk(
     m = len(codebooks)
     sd = len(codebooks[0][0])
     n_cand = k * rerank_factor if rerank is not None else k
+    prune_cells = False  # set in the matrix kernel when cell columns exist
     if (
         kernel == "matrix"
         and rerank is not None
@@ -1481,6 +1482,22 @@ def pq_topk(
                     f"(missing={missing[:4]}, columns={encoded.columns[:6]})"
                 )
 
+        # Rerank-fetch cell pruning (round 14, r13-verdict item 4):
+        # when BOTH the encoded frame and the rerank frame carry an IVF
+        # `cell` column (the at-rest cold layout: codes stamped with
+        # their vector's cell, rerank corpus partitioned by cell), the
+        # exact-vector fetch is restricted to the candidates' OWN cells
+        # — a static partition-pruning IN filter, exact by
+        # construction (every candidate id lives in its stamped cell).
+        # Measured at 10M/64 cells: the ADC top-1500 of a point query
+        # landed in ONE cell (61 MB) vs the 2.6 GB full-corpus fetch
+        # that made the cold PQ serve SLOWER than brute (0.74-0.81x).
+        prune_cells = (
+            rerank is not None
+            and "cell" in encoded.columns
+            and "cell" in rerank.columns
+        )
+
         def gen(batches):
             # running top-n_cand per query across the PARTITION's
             # batches, emitted once: the old per-batch emission shipped
@@ -1490,7 +1507,7 @@ def pq_topk(
             # lever — pay a linear wall tax. The pruning order is the
             # same (score desc, id asc) total order the final window
             # applies, so the global result set is IDENTICAL.
-            pool_ids = pool_S = None
+            pool_ids = pool_S = pool_cells = None
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -1515,27 +1532,43 @@ def pq_topk(
                     for s in range(m):
                         S += LUT[:, s, codes[:, s]]
                 bid = np.broadcast_to(ids, (n_q, len(ids)))
+                bcell = (
+                    np.broadcast_to(
+                        pdf["cell"].to_numpy(), (n_q, len(ids))
+                    )
+                    if prune_cells
+                    else None
+                )
                 if pool_S is not None:
                     S = np.concatenate([pool_S, S], axis=1)
                     bid = np.concatenate([pool_ids, bid], axis=1)
+                    if prune_cells:
+                        bcell = np.concatenate([pool_cells, bcell], axis=1)
                 kb = min(n_cand, S.shape[1])
                 order = np.lexsort((bid, -S), axis=1)[:, :kb]
                 pool_S = np.take_along_axis(S, order, axis=1)
                 pool_ids = np.take_along_axis(bid, order, axis=1)
+                if prune_cells:
+                    pool_cells = np.take_along_axis(bcell, order, axis=1)
             if pool_S is None:
                 return
             kb = pool_S.shape[1]
-            yield pd.DataFrame(
-                {
-                    query_id_col: np.repeat(q_ids, kb),
-                    id_col: pool_ids.ravel(),
-                    "score": pool_S.ravel(),
-                }
-            )
+            out = {
+                query_id_col: np.repeat(q_ids, kb),
+                id_col: pool_ids.ravel(),
+                "score": pool_S.ravel(),
+            }
+            if prune_cells:
+                out["cell"] = pool_cells.ravel()
+            yield pd.DataFrame(out)
 
         scan_cols = (
             [f"code_{s}" for s in range(m)] if wide else ["codes"]
         )
+        if prune_cells:
+            scan_cols.append("cell")
+            cell_t = encoded.schema["cell"].dataType.simpleString()
+            schema += f", cell {cell_t}"
         partial = encoded.select(id_col, *scan_cols).mapInPandas(gen, schema)
         w = Window.partitionBy(query_id_col).orderBy(
             F.col("score").desc(), F.col(id_col).asc()
@@ -1632,6 +1665,21 @@ def pq_topk(
     # interpreted HOF, and computing it corpus-wide just to fetch a
     # few thousand candidates was the serve wall at 1M (the join
     # itself probes only the raw id column)
+    if kernel == "matrix" and prune_cells:
+        # restrict the exact-vector fetch to the candidates' OWN cells:
+        # a literal IN on the rerank table's partition column, so a
+        # cell-partitioned at-rest corpus scans only the probed cells'
+        # files instead of all of them. `top` is persisted (tiny:
+        # n_queries * n_cand rows) so the cells collect and the fetch
+        # join share one ADC scan — cache ownership follows the module
+        # convention (caller clears between corpora). Candidate ids
+        # cannot escape the filter: each id's stamped cell IS the cell
+        # its vector lives in, so the fetch is exact.
+        top = top.persist()
+        probed = sorted(
+            r[0] for r in top.select("cell").distinct().collect()
+        )
+        rerank = rerank.filter(F.col("cell").isin(probed))
     cand = rerank.select(id_col, F.col(vec_col).alias("_cv")).join(
         F.broadcast(top.select(query_id_col, id_col, "_qu")), id_col
     )
