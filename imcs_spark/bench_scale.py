@@ -677,6 +677,10 @@ def _run_rest_sections(
         if out.get("ann10m_cold_regime_ok"):
             gates_ok = gates_ok and out.get(
                 "ann10m_cold_ivf_q1_speedup", 0
+            ) >= 1.0 and out.get(
+                # r14 cell-pruned rerank fetch: the cold PQ serve now
+                # also gates >= 1x brute (measured 5.41x on this box)
+                "ann10m_cold_pq_q1_speedup", 0
             ) >= 1.0
         out["ann10m_index_gates_ok"] = int(gates_ok)
 

@@ -62,14 +62,24 @@ def decontaminate(
     hits = doc_grams.join(F.broadcast(bench_grams), "shingle", "left_semi").select(
         id_col
     )
+    # distinct + BROADCAST the hit set (round 14, guide §3.1): Catalyst
+    # cannot estimate the hit side (explode lineage) and planned the
+    # docs-vs-hits join as SortMergeJoin — an Exchange+Sort of the WHOLE
+    # corpus INCLUDING text (1.9 GB shuffle write at the 2M soak) to
+    # drop a few hundred contaminated rows, violating this docstring's
+    # own "the corpus is never shuffled". The distinct's exchange
+    # carries only matching (id) rows — benchmark contamination is
+    # eval-suite-scale by construction — and the broadcast turns the
+    # corpus side into a narrow pass over the cached/scanned rows.
+    # (r13 had removed the drop-mode distinct as "a pure extra
+    # exchange"; with the broadcast it is what BOUNDS the build side.)
+    hits = hits.distinct()
     if mode == "drop":
-        # no distinct: left_anti is a set-membership probe, so duplicate
-        # hit ids change nothing — the distinct only added a full
-        # exchange of the hit set before the join (guide §2.4)
-        return docs.join(hits, id_col, "left_anti")
-    hits = hits.distinct()  # flag mode left-joins: must be one row per id
+        return docs.join(F.broadcast(hits), id_col, "left_anti")
     return docs.join(
-        hits.withColumn("contaminated", F.lit(True)), id_col, "left"
+        F.broadcast(hits.withColumn("contaminated", F.lit(True))),
+        id_col,
+        "left",
     ).withColumn("contaminated", F.coalesce("contaminated", F.lit(False)))
 
 
